@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated star-schema fixtures (TESTDATA.md).
   *
@@ -8,6 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files enumerated sorted-by-name (reference manager/__main__.py:371-374);
   * the analytics surface instead reads typed parquet, letting Spark push
   * filters/projections into the scan.
+  *
+  * Note: the fixture dirs contain 10 parquet tables — the 8 listed in
+  * TESTDATA.md plus `documents` and `embeddings` (used by the dedup /
+  * similarity / text-analysis packs).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+  * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). [[events]]
+  * reads it via `spark.sql.legacy.parquet.nanosAsLong` and rebuilds a
+  * microsecond TimestampType column with integer division (ns values
+  * ~1.7e18 exceed double's 2^53 exact range, so a double roundtrip would
+  * corrupt them). Oracle SQL on `events.ts` must therefore only observe
+  * µs-or-coarser views of the column (epoch_us, date_trunc, strftime).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -24,7 +37,11 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -8,13 +8,20 @@ import org.apache.spark.sql.functions._
   *
   * Oracle-safety rules used throughout the packs (so that a value-hash
   * compare between Spark-parquet and DuckDB passes bit-for-bit):
-  *   - Monetary doubles are converted to integer cents PER ROW
-  *     (`round(x*100) :: bigint`) before aggregation — integer sums are
+  *   - Monetary doubles are converted to scaled integers PER ROW
+  *     (`round(x*10^k) :: bigint`) before aggregation — integer sums are
   *     order-independent and exact in both engines, unlike double sums.
+  *     `l_quantity` is integer-valued, so its double sum is also exact.
   *   - Counts are bigint in both engines.
-  *   - Single double ops on exact inputs (one division, one subtraction)
-  *     are IEEE-deterministic and safe to emit raw.
-  *   - Every query ends in a total ORDER BY over a unique key set.
+  *   - A fixed, identical sequence of IEEE double ops on exact inputs
+  *     (e.g. one division after an exact integer sum) is deterministic
+  *     and safe to emit raw; reassociated double sums are NOT.
+  *   - Every multi-row query ends in a total ORDER BY over a unique key
+  *     set (ties broken by a unique column).
+  *   - Timestamps are never emitted raw: `events.ts` is NANOS in parquet
+  *     (DuckDB keeps ns, Spark only has µs — see [[graft.Tables.events]]),
+  *     so outputs go through `unix_micros`/`epoch_us` or
+  *     second-truncated `date_format`/`strftime` strings on both sides.
   */
 final case class Q(
     run: (SparkSession, String) => DataFrame,
@@ -26,9 +33,15 @@ trait QueryPack {
   def queries: Seq[(String, Q)]
 }
 
+/** Exact scaled-integer helpers, with SQL twins for the DuckDB oracle. */
 object Cents {
   /** Exact integer cents of a 2-decimal monetary double column. */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
-  /** SQL twin of [[cents]] for the DuckDB oracle. */
+  /** Exact integer 1e-4 units of a ≤4-decimal product (e.g. price*(1-disc)). */
+  def e4(c: Column): Column = round(c * 10000, 0).cast("long")
+  /** Exact integer 1e-6 units of a ≤6-decimal product. */
+  def e6(c: Column): Column = round(c * 1000000, 0).cast("long")
   def sqlCents(e: String): String = s"CAST(round(($e)*100) AS BIGINT)"
+  def sqlE4(e: String): String = s"CAST(round(($e)*10000) AS BIGINT)"
+  def sqlE6(e: String): String = s"CAST(round(($e)*1000000) AS BIGINT)"
 }

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+
+Expects <verify_out_dir> to contain, per query, a parquet dir written by
+graft.Verify plus oracle_sql.json. Runs each oracle SQL in DuckDB over
+views named after the fixture tables, sorts columns by name and rows by
+value, and compares cell-by-cell (exact, incl. float bit equality via
+repr) — mirroring the driver's "sort columns by name then hash values".
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [sorted(cols)] + out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    out_dir = Path(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name in sorted(p.name for p in out_dir.iterdir() if p.is_dir()):
+        got_rel = con.query(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        got = canon(got_rel.fetchall(), got_rel.columns)
+        if name not in oracle:
+            print(f"  ~ {name}: no oracle (rows-only check), "
+                  f"rows={len(got)-1}")
+            continue
+        try:
+            exp_rel = con.query(oracle[name])
+            exp = canon(exp_rel.fetchall(), exp_rel.columns)
+        except Exception as e:
+            print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        if got == exp:
+            print(f"  ✓ {name} ({len(got)-1} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"  ✗ {name}: MISMATCH got {len(got)-1} rows, "
+                  f"exp {len(exp)-1} rows")
+            if got[0] != exp[0]:
+                print(f"      cols got={got[0]} exp={exp[0]}")
+            else:
+                shown = 0
+                for i in range(1, min(len(got), len(exp))):
+                    if got[i] != exp[i] and shown < 3:
+                        print(f"      row{i} got={got[i]}")
+                        print(f"      row{i} exp={exp[i]}")
+                        shown += 1
+                if len(got) != len(exp):
+                    print("      (row count differs)")
+    print(f"PASS={n_pass} FAIL={n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
