@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** Registered packs. Order only affects listing, names must be unique. */
   val packs: Seq[QueryPack] = Seq(
-    RelationalPack)
+    RelationalPack, WindowPack, EventsPack)
 
   lazy val all: Seq[(String, Q)] = {
     val qs = packs.flatMap(_.queries)

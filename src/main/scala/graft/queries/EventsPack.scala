@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` fixture, expressed as batch
+  * plans whose streaming twins live in `graft.streaming` (SURVEY.md §2.2
+  * "Streaming": the reference has no data-plane streaming at all — only
+  * control-plane heartbeats, reference worker/__main__.py:103-111).
+  *
+  * `events.ts` is nanosecond-precision parquet; all time arithmetic and
+  * ordering here goes through microseconds (`unix_micros` / `epoch_us`)
+  * so Spark (µs) and the DuckDB oracle (ns) observe identical values —
+  * see [[graft.Tables.events]].
+  *
+  * Scale posture: tumbling/sliding windows are plain hash aggregates on
+  * (bucket, type) — fully parallel, map-side partials; sessionization is
+  * one shuffle on user_id + a per-user sort (high-cardinality key, no
+  * global sort); the as-of join avoids a per-event backward scan by the
+  * union + last(ignoreNulls) running-carry trick — one shuffle on the
+  * user key, linear in events+orders, the classic distributed as-of
+  * formulation.
+  */
+object EventsPack extends QueryPack {
+  import Cents._
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ── Tumbling window (1 h) ──────────────────────────────────────────
+    "e01_tumbling_hourly" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"), col("value_cents"))
+          .orderBy("hour", "event_type"),
+      oracle = Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n,
+               sum(CAST(round((value)*100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
+      bench = true),
+
+    // ── Sliding window (1 h window, 30 min slide → 2 windows/event) ────
+    "e02_sliding_windows" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+            col("event_type"), col("n"))
+          .orderBy("wstart", "event_type"),
+      oracle = Some("""
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+               count(*) AS n
+        FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                             time_bucket(INTERVAL '30 minutes', ts)]) AS wstart,
+                     event_type
+              FROM events)
+        GROUP BY 1, 2 ORDER BY wstart, event_type""")),
+
+    // ── Sessionization (30 min inactivity gap) ─────────────────────────
+    "e03_sessionize" -> Q(
+      run = (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull
+              || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+          .orderBy("user_id", "sess_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us, 1) OVER w IS NULL
+                        OR us - lag(us, 1) OVER w > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM t
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sessions AS (
+          SELECT user_id, us,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM flagged)
+        SELECT user_id, sess_id, count(*) AS n_events,
+               min(us) AS start_us, max(us) - min(us) AS dur_us
+        FROM sessions GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id"""),
+      bench = true),
+
+    // ── JSON extraction ────────────────────────────────────────────────
+    "e04_json_extract" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy((col("k") % 10).as("kmod"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+          .orderBy("kmod"),
+      oracle = Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS kmod,
+               count(*) AS n,
+               sum(CAST(round((value)*100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1 ORDER BY kmod""")),
+
+    // ── As-of join: latest order at-or-before each event ───────────────
+    // Distributed formulation: dedupe the right side to one row per
+    // (user, time), union both sides into one keyed stream, carry the
+    // last non-null order key forward with a running window, keep event
+    // rows. One shuffle, no per-event rescans (vs the naive
+    // join+row_number which is quadratic per user).
+    "e05_asof_join" -> Q(
+      run = (s, d) => {
+        val o2 = Tables.orders(s, d)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("ok"))
+          .select(col("o_custkey").as("uid"),
+            // o_orderdate loads as TIMESTAMP_NTZ; session TZ is UTC so the
+            // cast to TIMESTAMP is wall-clock lossless.
+            unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+            lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+            col("ok"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id").as("uid"), unix_micros(col("ts")).as("t"),
+            lit(1).as("kind"), col("event_id"),
+            lit(null).cast("long").as("ok"))
+        val w = Window.partitionBy(col("uid"))
+          .orderBy(col("t"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o2.unionByName(ev)
+          .withColumn("matched_orderkey",
+            last(col("ok"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("matched_orderkey"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH o2 AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+                    FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, o2.ok AS matched_orderkey
+        FROM events e
+        ASOF LEFT JOIN o2
+          ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        ORDER BY e.event_id"""))
+  )
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window-function surface (SURVEY.md §2.2 "Window functions").
+  *
+  * In the reference, per-key ordered runs are only visible inside a
+  * reducer executable after the sort-merge shuffle (reference
+  * worker/__main__.py:164-181) — rank/lag/cumsum must be hand-coded
+  * there. Here each is a Catalyst `WindowExec` over an explicit
+  * partition/order spec.
+  *
+  * Scale posture: every window below is partitioned by a high-cardinality
+  * key (custkey/suppkey/partkey), so the shuffle distributes evenly and
+  * no executor materializes more than one key group's frame; the two
+  * global-order windows (ntile/percent_rank) are single-partition by
+  * nature and documented as such — at 100 TB those would move to a
+  * range-partitioned two-pass rank.
+  *
+  * Oracle parity: deterministic total orderings everywhere (ties broken
+  * by unique keys); money as scaled ints; window frames written
+  * identically on both sides.
+  */
+object WindowPack extends QueryPack {
+  import Cents._
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ── row_number top-N per group ─────────────────────────────────────
+    "w01_rank_topn" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+            cents(col("c_acctbal")).as("acctbal_cents"))
+          .orderBy("c_mktsegment", "rn")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, rn, c_custkey, acctbal_cents FROM (
+          SELECT c_mktsegment, c_custkey,
+                 CAST(round((c_acctbal)*100) AS BIGINT) AS acctbal_cents,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer)
+        WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    // ── Running (cumulative) sum per group ─────────────────────────────
+    "w02_running_sum" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .filter(col("l_suppkey") <= 3)
+          .withColumn("running_qty", sum(col("l_quantity")).over(w))
+          .select(col("l_suppkey"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+            col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+          .orderBy("l_suppkey", "ship_day", "l_orderkey", "l_linenumber")
+      },
+      oracle = Some("""
+        SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+               l_orderkey, l_linenumber,
+               sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem WHERE l_suppkey <= 3
+        ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""")),
+
+    // ── lag: per-customer order-to-order price delta ───────────────────
+    "w03_lag_delta" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .withColumn("price_cents", cents(col("o_totalprice")))
+          .withColumn("delta_cents",
+            col("price_cents") - lag(col("price_cents"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("delta_cents"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               price_cents - lag(price_cents, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS delta_cents
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(round((o_totalprice)*100) AS BIGINT) AS price_cents
+              FROM orders WHERE o_custkey < 100)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ── ntile deciles over a global order ──────────────────────────────
+    "w04_ntile_deciles" -> Q(
+      run = (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("total_cents"))
+          .orderBy("decile")
+      },
+      oracle = Some("""
+        SELECT decile, count(*) AS n,
+               sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS total_cents
+        FROM (SELECT o_totalprice,
+                     ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+              FROM orders)
+        GROUP BY decile ORDER BY decile""")),
+
+    // ── first_value / last_value over an explicit full frame ───────────
+    "w05_first_last" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.lineitem(s, d)
+          .filter(col("l_partkey") < 100)
+          .select(col("l_partkey"),
+            date_format(first(col("l_shipdate")).over(w), "yyyy-MM-dd").as("first_ship"),
+            date_format(last(col("l_shipdate")).over(w), "yyyy-MM-dd").as("last_ship"))
+          .distinct()
+          .orderBy("l_partkey")
+      },
+      oracle = Some("""
+        SELECT DISTINCT l_partkey,
+               strftime(first_value(l_shipdate) OVER w, '%Y-%m-%d') AS first_ship,
+               strftime(last_value(l_shipdate) OVER w, '%Y-%m-%d') AS last_ship
+        FROM lineitem WHERE l_partkey < 100
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY l_partkey""")),
+
+    // ── percent_rank / cume_dist ───────────────────────────────────────
+    "w06_percentiles" -> Q(
+      run = (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .filter(col("c_custkey") < 300)
+          .select(col("c_custkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey,
+               percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr,
+               cume_dist()    OVER (ORDER BY c_acctbal, c_custkey) AS cd
+        FROM customer WHERE c_custkey < 300
+        ORDER BY c_custkey"""))
+  )
+}
