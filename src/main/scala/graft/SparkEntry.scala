@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** Registered packs. Order only affects listing, names must be unique. */
   val packs: Seq[QueryPack] = Seq(
-    RelationalPack, WindowPack, EventsPack)
+    RelationalPack, WindowPack, EventsPack, TextPack, DedupPack,
+    SimilarityPack)
 
   lazy val all: Seq[(String, Q)] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline over
+  * `documents` / `embeddings`: exact (hash), n-gram Jaccard,
+  * MinHash+LSH banding, SimHash, embedding-cosine near-dup.
+  *
+  * Hash parity strategy: every hash any query depends on is `md5` (hex
+  * string) — identical in Spark and DuckDB — and "minimum hash" is the
+  * lexicographic min of hex strings, so signatures match bit-for-bit
+  * across engines. Similarity thresholds are applied to ROUNDED scaled
+  * integers (e.g. `jaccard_e4 >= 3000`), never raw doubles, so a
+  * boundary value can't land on different sides of the cut.
+  *
+  * Scale posture (100 TB):
+  *   - d01 is one hash-aggregate: fully parallel, no skew risk.
+  *   - d02's shared-shingle candidate join is the exact method; its hot
+  *     shingles blow up quadratically at scale — d03 (MinHash+LSH) is
+  *     the scale path: candidate pairs only within equal (band, key)
+  *     buckets, tunable false-positive rate, one shuffle per stage.
+  *   - d04 SimHash reduces each doc to one 16-bit int; at scale the
+  *     pair stage joins on bucket prefixes instead of all-pairs.
+  *   - d05 is the brute-force O(n²) baseline over embeddings; the
+  *     bucketed ANN in SimilarityPack (s03) is its scale path.
+  */
+object DedupPack extends QueryPack {
+
+  // token 3-gram shingles, distinct, as an array column (docs are
+  // single-space tokenized; every fixture doc has ≥3 tokens)
+  private val shingleExpr =
+    """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+      |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+      |                 element_at(split(text, ' '), i + 1),
+      |                 element_at(split(text, ' '), i + 2))))""".stripMargin
+  private val sqlShingle =
+    """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |       || ' ' || string_split(text, ' ')[i+2]))""".stripMargin
+
+  private val numHashes = 12
+  private val bandSize = 3
+  private val numBands = numHashes / bandSize
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ── Exact dedup (content hash) ─────────────────────────────────────
+    "d01_exact_dedup" -> Q(
+      run = (s, d) => {
+        val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        Tables.documents(s, d)
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_uniq_raw"),
+            countDistinct(md5(norm)).as("n_uniq_norm"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_uniq_raw,
+               count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_uniq_norm
+        FROM documents""")),
+
+    // ── Exact n-gram Jaccard near-dup (shared-shingle candidates) ──────
+    "d02_ngram_jaccard" -> Q(
+      run = (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), expr(shingleExpr).as("s"))
+        val sz = sh.select(col("doc_id"), size(col("s")).as("sz"))
+        val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+        val cand = ex.as("a")
+          .join(ex.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("shared"))
+        val jac = round(col("shared") * lit(10000.0)
+          / (col("x.sz") + col("y.sz") - col("shared")), 0).cast("long")
+        cand
+          .join(sz.as("x"), col("da") === col("x.doc_id"))
+          .join(sz.as("y"), col("db") === col("y.doc_id"))
+          .select(col("da"), col("db"), col("shared"), jac.as("jaccard_e4"))
+          .filter(col("jaccard_e4") >= 3000)
+          .orderBy("da", "db")
+      },
+      oracle = Some(s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                 FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+        SELECT da, db, shared,
+               CAST(round(shared * 10000.0 / (x.sz + y.sz - shared)) AS BIGINT) AS jaccard_e4
+        FROM cand JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        WHERE CAST(round(shared * 10000.0 / (x.sz + y.sz - shared)) AS BIGINT) >= 3000
+        ORDER BY da, db"""),
+      bench = true),
+
+    // ── MinHash + LSH banding near-dup (the scale path) ────────────────
+    "d03_minhash_lsh" -> Q(
+      run = (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), expr(shingleExpr).as("s"))
+        val sigCols = (0 until numHashes).map { i =>
+          array_min(transform(col("s"),
+            x => md5(concat(lit(s"$i|"), x)))).as(s"sig$i")
+        }
+        val sig = sh.select(col("doc_id") +: col("s") +: sigCols: _*)
+        val bandKeys = (0 until numBands).map { b =>
+          concat_ws("|",
+            (0 until bandSize).map(j => col(s"sig${b * bandSize + j}")): _*)
+        }
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val withSets = cand
+          .join(sh.select(col("doc_id"), col("s").as("sa")), col("da") === col("doc_id"))
+          .drop("doc_id")
+          .join(sh.select(col("doc_id"), col("s").as("sb")), col("db") === col("doc_id"))
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        val jac = round(inter * lit(10000.0)
+          / (size(col("sa")) + size(col("sb")) - inter), 0).cast("long")
+        withSets
+          .select(col("da"), col("db"), jac.as("jaccard_e4"))
+          .filter(col("jaccard_e4") >= 3000)
+          .orderBy("da", "db")
+      },
+      oracle = Some {
+        val sigSql = (0 until numHashes).map { i =>
+          s"list_aggregate(list_transform(s, x -> md5('$i|' || x)), 'min') AS sig$i"
+        }.mkString(",\n               ")
+        val bandSql = (0 until numBands).map { b =>
+          val ks = (0 until bandSize).map(j => s"sig${b * bandSize + j}")
+          s"SELECT doc_id, $b AS band, ${ks.mkString(" || '|' || ")} AS key FROM sig"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        sig AS (SELECT doc_id, s,
+               $sigSql
+               FROM sh),
+        bands AS ($bandSql),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT da, db,
+               CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
+                    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS BIGINT) AS jaccard_e4
+        FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+        WHERE CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
+                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS BIGINT) >= 3000
+        ORDER BY da, db"""
+      },
+      bench = true),
+
+    // ── SimHash near-dup (32-bit, hamming ≤ 2) ─────────────────────────
+    "d04_simhash" -> Q(
+      run = (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .distinct()
+          .withColumn("v", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+        val bitSums = (0 until 32).map { b =>
+          sum(when(shiftright(col("v"), b).bitwiseAND(lit(1)) === 1, 1)
+            .otherwise(-1)).as(s"s$b")
+        }
+        val bits = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        val h = (0 until 32).map { b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sh = bits.select(col("doc_id"), h.as("h"))
+        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("da", "db")
+      },
+      oracle = Some {
+        val bitSums = (0 until 32).map { b =>
+          s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+        }.mkString(",\n               ")
+        val hSql = (0 until 32).map { b =>
+          s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""
+        WITH tok AS (SELECT DISTINCT doc_id, t FROM
+                     (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        tv AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS v FROM tok),
+        bits AS (SELECT doc_id,
+               $bitSums
+               FROM tv GROUP BY doc_id),
+        sh AS (SELECT doc_id, $hSql AS h FROM bits)
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 2
+        ORDER BY da, db"""
+      }),
+
+    // ── Embedding-cosine near-dup (brute-force baseline) ───────────────
+    "d05_embedding_neardup" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("nrm", aggregate(
+            transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b))
+        val dot = aggregate(
+          zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        val cosE6 = round(dot / sqrt(col("a.nrm")) / sqrt(col("b.nrm"))
+          * lit(1000000), 0).cast("long")
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+            cosE6.as("cos_e6"))
+          .filter(col("cos_e6") >= 450000)
+          .orderBy("da", "db")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     list_reduce(list_transform(v, x -> x*x), (a, b) -> a + b) AS nrm
+              FROM e)
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               CAST(round(list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]),
+                          (acc, x) -> acc + x) / sqrt(a.nrm) / sqrt(b.nrm) * 1000000) AS BIGINT) AS cos_e6
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE CAST(round(list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]),
+                         (acc, x) -> acc + x) / sqrt(a.nrm) / sqrt(b.nrm) * 1000000) AS BIGINT) >= 450000
+        ORDER BY da, db"""))
+  )
+}

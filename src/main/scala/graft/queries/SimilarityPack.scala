@@ -1,0 +1,190 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *   - s01: brute-force cosine top-k — the exact baseline. O(Q·N) dot
+  *     products; at 100 TB this is the per-partition kernel, not the
+  *     global plan.
+  *   - s02: IVF-style ANN using the precomputed `label` column as the
+  *     coarse quantizer cell: each query searches only its own cell
+  *     (the classic inverted-file trade: recall for a ~k× fanout cut).
+  *   - s03: sign-LSH (random hyperplane) ANN: 8 md5-derived hyperplanes
+  *     → 8-bit bucket; candidates share the query's bucket. Fully
+  *     deterministic hyperplanes so Spark and the DuckDB oracle build
+  *     identical buckets.
+  *
+  * Float parity: vectors are cast elementwise to double on both
+  * engines; dot/norm are LEFT-FOLD sums (Spark `aggregate`, DuckDB
+  * `list_reduce`) so both engines execute the identical IEEE sequence —
+  * bit-equal cosines — and ranking ties are broken by vec_id. Emitted
+  * scores are rounded to e6 integers.
+  *
+  * Scale posture: top-k per query is a window rank partitioned by query
+  * id — shuffle keyed on (query), no global sort; s02/s03 cut the
+  * candidate set per query by bucketing before any pairwise math, which
+  * is the piece that keeps 100 TB feasible; the hyperplane matrix is a
+  * literal broadcast (zero data motion).
+  */
+object SimilarityPack extends QueryPack {
+
+  private val numQueries = 10 // vec_id < 10 are the query vectors
+  private val topK = 5
+
+  /** md5-derived hyperplane weight, identical to the SQL
+    * `(('0x' || substr(md5(p || '_' || c), 1, 4))::INT - 32767.5) / 32767.5`. */
+  private def planeWeight(p: Int, c: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$c".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (Integer.parseInt(hex.substring(0, 4), 16) - 32767.5) / 32767.5
+  }
+
+  private val numPlanes = 8
+  private val dim = 64
+
+  private def vecD: Column =
+    transform(col("embedding"), x => x.cast("double"))
+
+  private def norm(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0.0), (a, b) => a + b)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Shared SQL prelude: vectors as double lists + norms. */
+  private val sqlVecs = """
+        e AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        n AS (SELECT vec_id, label, v,
+                     list_reduce(list_transform(v, x -> x*x), (a, b) -> a + b) AS nrm
+              FROM e)"""
+
+  private val sqlCos =
+    """list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]),
+      |                  (acc, x) -> acc + x) / sqrt(q.nrm) / sqrt(c.nrm)""".stripMargin
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ── Brute-force cosine top-k (exact baseline) ──────────────────────
+    "s01_cosine_topk" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD.as("v"))
+          .withColumn("nrm", norm(col("v")))
+        val q = e.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val cos = dot(col("qv"), col("v")) / sqrt(col("qn")) / sqrt(col("nrm"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(q).join(e, col("qid") =!= col("vec_id"))
+          .withColumn("cos", cos)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+            round(col("cos") * 1000000, 0).cast("long").as("cos_e6"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(s"""
+        WITH $sqlVecs
+        SELECT qid, rank, neighbor, cos_e6 FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                 CAST(round(($sqlCos) * 1000000) AS BIGINT) AS cos_e6,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id)
+        WHERE rank <= $topK ORDER BY qid, rank"""),
+      bench = true),
+
+    // ── IVF-style ANN: label column as coarse quantizer cell ───────────
+    "s02_ivf_label_ann" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), vecD.as("v"))
+          .withColumn("nrm", norm(col("v")))
+        val q = e.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val cos = dot(col("qv"), col("v")) / sqrt(col("qn")) / sqrt(col("nrm"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(q)
+          .join(e, col("qlabel") === col("label") && col("qid") =!= col("vec_id"))
+          .withColumn("cos", cos)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+            round(col("cos") * 1000000, 0).cast("long").as("cos_e6"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(s"""
+        WITH $sqlVecs
+        SELECT qid, rank, neighbor, cos_e6 FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                 CAST(round(($sqlCos) * 1000000) AS BIGINT) AS cos_e6,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+          FROM n q JOIN n c
+            ON q.vec_id < $numQueries AND q.label = c.label
+           AND q.vec_id <> c.vec_id)
+        WHERE rank <= $topK ORDER BY qid, rank""")),
+
+    // ── Sign-LSH (random hyperplane) ANN ───────────────────────────────
+    "s03_signlsh_ann" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD.as("v"))
+          .withColumn("nrm", norm(col("v")))
+        // 8-bit bucket: bit p = sign of dot(v, hyperplane_p); planes are
+        // md5-derived literals (bit-identical to the SQL twin).
+        val bucket = (0 until numPlanes).map { p =>
+          val plane = array((0 until dim).map(c => lit(planeWeight(p, c))): _*)
+          when(dot(col("v"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val eb = e.withColumn("bucket", bucket)
+        val q = eb.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket").as("qbucket"))
+        val cos = dot(col("qv"), col("v")) / sqrt(col("qn")) / sqrt(col("nrm"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(q)
+          .join(eb, col("qbucket") === col("bucket") && col("qid") =!= col("vec_id"))
+          .withColumn("cos", cos)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+            round(col("cos") * 1000000, 0).cast("long").as("cos_e6"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some {
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(list_zip(v,
+             |  list_transform(range(0, $dim),
+             |    c -> (('0x' || substr(md5($p || '_' || c), 1, 4))::INT - 32767.5) / 32767.5)),
+             |  s -> s[1]*s[2]), (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""
+        WITH $sqlVecs,
+        nb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n)
+        SELECT qid, rank, neighbor, cos_e6 FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                 CAST(round(($sqlCos) * 1000000) AS BIGINT) AS cos_e6,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+          FROM nb q JOIN nb c
+            ON q.vec_id < $numQueries AND q.bucket = c.bucket
+           AND q.vec_id <> c.vec_id)
+        WHERE rank <= $topK ORDER BY qid, rank"""
+      })
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token statistics, quality scoring, language ID,
+  * fingerprinting, n-gram statistics.
+  *
+  * All tokenization is a plain single-space split (the fixture corpus is
+  * single-spaced word salad), kept byte-identical between Spark
+  * (`split`) and DuckDB (`string_split`). Scores are integer-arithmetic
+  * (scaled e4) so both engines agree bit-for-bit.
+  *
+  * Scale posture: every query is a narrow map over `documents` followed
+  * by (at most) one hash aggregation — embarrassingly parallel, no
+  * skew-sensitive shuffle; the only wide op (`t05` global top-k bigrams)
+  * is partial-aggregated map-side before its single shuffle.
+  */
+object TextPack extends QueryPack {
+
+  /** Stopword list shared by the quality score (t02). */
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private def sqlStop = stop.map(s => s"'$s'").mkString(", ")
+
+  /** Tiny per-language stopword lists for the langid heuristic (t03). */
+  private val langStop: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("de", "shi", "zai", "he"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ── Token counting ─────────────────────────────────────────────────
+    "t01_token_stats" -> Q(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_uniq"),
+            // mean token length ×1e4, exactly: total token chars =
+            // n_chars - (n_tokens-1) single-space separators.
+            round((col("n_chars") - (size(toks) - lit(1)))
+              * lit(10000.0) / size(toks), 0).cast("long").as("tok_len_e4"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               CAST(round((n_chars - (len(string_split(text, ' ')) - 1))
+                    * 10000.0 / len(string_split(text, ' '))) AS BIGINT) AS tok_len_e4
+        FROM documents ORDER BY doc_id""")),
+
+    // ── Quality scoring (stopword ratio + length prior) ────────────────
+    "t02_quality_score" -> Q(
+      run = (s, d) => {
+        val nTok = size(toks)
+        val nStop = size(filter(toks, t => t.isin(stop: _*)))
+        Tables.documents(s, d)
+          .select(col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stop"),
+            round(nStop * lit(5000.0) / nTok
+              + least(col("n_chars"), lit(500)) * lit(5000.0) / lit(500.0), 0)
+              .cast("long").as("quality_e4"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ($sqlStop))) AS n_stop,
+               CAST(round(len(list_filter(string_split(text, ' '),
+                          t -> t IN ($sqlStop))) * 5000.0
+                          / len(string_split(text, ' '))
+                    + least(n_chars, 500) * 5000.0 / 500.0) AS BIGINT) AS quality_e4
+        FROM documents ORDER BY doc_id"""),
+      bench = true),
+
+    // ── Language identification (stopword-hit argmax heuristic) ────────
+    // Ties break to the alphabetically-first language; compared against
+    // the fixture's `lang` label as a confusion matrix.
+    "t03_langid" -> Q(
+      run = (s, d) => {
+        val hits = langStop.map { case (l, ws) =>
+          l -> size(filter(toks, t => t.isin(ws: _*)))
+        }
+        val g = greatest(hits.map(_._2): _*)
+        val pred = hits.foldLeft(lit(null).cast("string")) {
+          case (acc, (l, h)) => when(acc.isNotNull, acc)
+            .otherwise(when(h === g, lit(l)))
+        }
+        Tables.documents(s, d)
+          .select(col("lang"), pred.as("pred"))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      },
+      oracle = Some {
+        val hitsSql = langStop.map { case (l, ws) =>
+          l -> s"len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        }
+        val gSql = s"greatest(${hitsSql.map(_._2).mkString(", ")})"
+        val predSql = "CASE " + hitsSql.map { case (l, h) =>
+          s"WHEN $h = $gSql THEN '$l'"
+        }.mkString(" ") + " END"
+        s"""
+        SELECT lang, $predSql AS pred, count(*) AS n
+        FROM documents GROUP BY 1, 2 ORDER BY lang, pred"""
+      }),
+
+    // ── Document fingerprinting ────────────────────────────────────────
+    "t04_fingerprint" -> Q(
+      run = (s, d) => {
+        val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(norm).as("fp"),
+            conv(substring(md5(norm), 1, 8), 16, 10).cast("long").as("bucket"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8))::BIGINT AS bucket
+        FROM documents ORDER BY doc_id""")),
+
+    // ── Global top-k bigrams ───────────────────────────────────────────
+    "t05_top_bigrams" -> Q(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(zip_with(
+            expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"),
+            expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
+            (x, y) => concat(x, lit(" "), y))).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20),
+      oracle = Some("""
+        SELECT bigram, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+          FROM documents)
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""))
+  )
+}
