@@ -1,0 +1,51 @@
+package graft.mr
+
+import java.math.BigInteger
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.Partitioner
+
+/** Hash partitioner with the reference's exact placement function:
+  * `int(md5(key_utf8).hexdigest(), 16) % num_partitions`, where `key` is
+  * the text before the first TAB of the line (whole line if no TAB) —
+  * reference worker/__main__.py:137-143.
+  *
+  * Spark's built-in `HashPartitioner` (Object.hashCode-based) would be
+  * semantically equivalent for correctness-by-content, but this gives
+  * bit-parity of record placement so `part-NNNNN` files match the
+  * reference's byte-for-byte (after the canonical-ordering decision in
+  * [[MapReduceJob]]).
+  *
+  * Keys here are WHOLE LINES: partitioning extracts the first-TAB field,
+  * while sorting (done by `repartitionAndSortWithinPartitions` with the
+  * natural String ordering) uses the full line — exactly the reference's
+  * split: md5 on the key field, `sort`/`heapq.merge` on whole lines.
+  */
+class Md5Partitioner(override val numPartitions: Int) extends Partitioner {
+  require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
+
+  override def getPartition(key: Any): Int = {
+    val line = key match {
+      case s: String => s
+      case null      => ""
+      case other     => other.toString
+    }
+    Md5Partitioner.partitionFor(line.takeWhile(_ != '\t'), numPartitions)
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case p: Md5Partitioner => p.numPartitions == numPartitions
+    case _                 => false
+  }
+  override def hashCode: Int = numPartitions
+}
+
+object Md5Partitioner {
+  /** `int(md5(key).hexdigest(), 16) % r` over the UTF-8 bytes of `key`. */
+  def partitionFor(key: String, r: Int): Int = {
+    val digest = MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+    new BigInteger(1, digest).mod(BigInteger.valueOf(r.toLong)).intValue()
+  }
+}

@@ -1,0 +1,192 @@
+package graft.mr
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class Md5PartitionerSpec extends AnyFunSuite {
+
+  // Expected values from the reference's placement function
+  // int(md5(key.encode('utf-8')).hexdigest(), 16) % R
+  // (reference worker/__main__.py:139-143), computed with CPython.
+  val expected: Seq[(String, Seq[(Int, Int)])] = Seq(
+    ""            -> Seq(2 -> 0, 5 -> 1, 7 -> 1, 32 -> 30),
+    "a"           -> Seq(2 -> 1, 5 -> 2, 7 -> 0, 32 -> 1),
+    "hello"       -> Seq(2 -> 0, 5 -> 4, 7 -> 4, 32 -> 18),
+    "héllo"       -> Seq(2 -> 0, 5 -> 3, 7 -> 5, 32 -> 16),
+    "词"          -> Seq(2 -> 1, 5 -> 3, 7 -> 6, 32 -> 7),
+    "key"         -> Seq(2 -> 1, 5 -> 1, 7 -> 4, 32 -> 29),
+    "no-tab-line" -> Seq(2 -> 0, 5 -> 4, 7 -> 3, 32 -> 14),
+    "the"         -> Seq(2 -> 1, 5 -> 4, 7 -> 0, 32 -> 23))
+
+  test("partitionFor matches CPython int(md5,16) % R bit-for-bit") {
+    for ((key, cases) <- expected; (r, want) <- cases)
+      assert(Md5Partitioner.partitionFor(key, r) === want,
+        s"key=$key r=$r")
+  }
+
+  test("getPartition keys on the first-TAB field of the line") {
+    val p = new Md5Partitioner(7)
+    assert(p.getPartition("key\tsome value") ===
+      Md5Partitioner.partitionFor("key", 7))
+    assert(p.getPartition("no-tab-line") ===
+      Md5Partitioner.partitionFor("no-tab-line", 7))
+    assert(p.getPartition("key\tv1\tv2") ===
+      Md5Partitioner.partitionFor("key", 7))
+  }
+
+  test("partition is always in [0, R)") {
+    val keys = Seq("", "a", "ab\tc", "\t", "ü", "", "x" * 1000)
+    for (r <- Seq(1, 2, 3, 17); k <- keys) {
+      val p = new Md5Partitioner(r).getPartition(k)
+      assert(p >= 0 && p < r)
+    }
+  }
+}
+
+class MapReduceJobSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def tmpDir(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  def writeFile(dir: Path, name: String, content: String): Unit =
+    Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+
+  def writeExe(dir: Path, name: String, script: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, script.getBytes(StandardCharsets.UTF_8))
+    p.toFile.setExecutable(true)
+    p.toString
+  }
+
+  def readPartFiles(dir: Path): Map[String, Seq[String]] =
+    Files.list(dir).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      .map(p => p.getFileName.toString ->
+        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq)
+      .toMap
+
+  // The reference's own golden pair: wc_map.sh / wc_reduce.sh
+  // (reference submit.py:41-50).
+  val wcMap = "#!/bin/sh\ntr ' ' '\\n' | grep -v '^$' | sed 's/$/\\t1/'\n"
+  val wcReduce =
+    """#!/bin/sh
+      |awk -F'\t' '{ if ($1 != prev) { if (NR > 1) print prev "\t" sum;
+      |  prev = $1; sum = 0 } sum += $2 } END { if (NR > 0) print prev "\t" sum }'
+      |""".stripMargin
+
+  test("executable word count end-to-end: grouping, sorting, part naming") {
+    val in = tmpDir("mr-in")
+    writeFile(in, "f1.txt", "the quick brown fox\nthe lazy dog\n")
+    writeFile(in, "f2.txt", "the dog barks\n")
+    writeFile(in, "f0.txt", "quick quick fox\n")
+    val exeDir = tmpDir("mr-exe")
+    val out = tmpDir("mr-out")
+
+    MapReduceJob.runExe(spark, in.toString, out.toString,
+      writeExe(exeDir, "wc_map.sh", wcMap),
+      writeExe(exeDir, "wc_reduce.sh", wcReduce),
+      numMappers = 2, numReducers = 3)
+
+    val parts = readPartFiles(out)
+    assert(parts.keySet === Set("part-00000", "part-00001", "part-00002"))
+
+    // content: exact counts
+    val all = parts.values.flatten.map { l =>
+      val Array(w, c) = l.split("\t"); w -> c.toLong
+    }.toMap
+    assert(all === Map("the" -> 3L, "quick" -> 3L, "brown" -> 1L,
+      "fox" -> 2L, "lazy" -> 1L, "dog" -> 2L, "barks" -> 1L))
+
+    // placement: every word in its md5-designated part file
+    for ((name, lines) <- parts; l <- lines) {
+      val w = l.takeWhile(_ != '\t')
+      assert(name === f"part-${Md5Partitioner.partitionFor(w, 3)}%05d")
+    }
+
+    // ordering: each part file sorted by code point
+    for ((_, lines) <- parts)
+      assert(lines === lines.sorted)
+  }
+
+  test("typed twin produces identical results to the executable path") {
+    val in = tmpDir("mr-in2")
+    writeFile(in, "a.txt", "x y z x\n")
+    writeFile(in, "b.txt", "y y\n")
+    val input = MapReduceJob.inputRdd(spark, in.toString, 2)
+    val result = MapReduceJob.typed(spark, input,
+      line => line.split(" ").iterator.filter(_.nonEmpty).map(w => s"$w\t1"),
+      graft.queries.MrPack.sumRuns,
+      numReducers = 2).collect().toSet
+    assert(result === Set("x\t2", "y\t3", "z\t1"))
+  }
+
+  test("same-key lines always land in one partition and arrive contiguously") {
+    val lines = (1 to 100).map(i => s"k${i % 7}\tv$i")
+    val rdd = spark.sparkContext.parallelize(lines, 5)
+    val parts = MapReduceJob.shuffleSort(rdd, 3)
+      .mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.toSeq))
+      .collect().toMap
+    // placement
+    for ((i, ls) <- parts; l <- ls)
+      assert(i === Md5Partitioner.partitionFor(l.takeWhile(_ != '\t'), 3))
+    // sorted ⇒ same keys contiguous
+    for ((_, ls) <- parts) assert(ls === ls.sorted)
+    // nothing lost
+    assert(parts.values.flatten.toSet === lines.toSet)
+  }
+
+  test("empty input dir yields empty part files, not a crash") {
+    // the reference crashes on empty map tasks (worker/__main__.py:122-151
+    // runs `sort` on never-created files); we must not (SURVEY §2.1).
+    val in = tmpDir("mr-empty")
+    val out = tmpDir("mr-empty-out")
+    val input = MapReduceJob.inputRdd(spark, in.toString, 4)
+    val result = MapReduceJob.typed(spark, input,
+      l => Iterator.single(l), it => it, numReducers = 2)
+    MapReduceJob.writePartFiles(result, out.toString)
+    val parts = readPartFiles(out)
+    assert(parts.keySet === Set("part-00000", "part-00001"))
+    assert(parts.values.forall(_.isEmpty))
+  }
+
+  test("more mappers than files is fine; lines without TAB key on whole line") {
+    val in = tmpDir("mr-few")
+    writeFile(in, "only.txt", "solo\nduo\tx\nsolo\n")
+    val input = MapReduceJob.inputRdd(spark, in.toString, 8)
+    val result = MapReduceJob.typed(spark, input,
+      l => Iterator.single(l), it => it, numReducers = 4)
+      .collect()
+    assert(result.sorted === Seq("duo\tx", "solo", "solo"))
+  }
+
+  test("unicode keys hash by UTF-8 bytes like the reference") {
+    val rdd = spark.sparkContext.parallelize(Seq("词\t1", "héllo\t2"), 2)
+    val parts = MapReduceJob.shuffleSort(rdd, 7)
+      .mapPartitionsWithIndex((i, it) => it.map(l => (i, l)))
+      .collect().toMap.map(_.swap)
+    assert(parts("词\t1") === 6)   // CPython: int(md5('词'),16) % 7 == 6
+    assert(parts("héllo\t2") === 5)
+  }
+
+  test("output dir is overwritten (pre-clear semantics)") {
+    val out = tmpDir("mr-ovw")
+    writeFile(out, "stale-file", "leftover\n")
+    val rdd = spark.sparkContext.parallelize(Seq("a\t1"), 1)
+    MapReduceJob.writePartFiles(MapReduceJob.shuffleSort(rdd, 2), out.toString)
+    val parts = readPartFiles(out)
+    assert(parts.keySet === Set("part-00000", "part-00001"))
+  }
+}
