@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.2 "Streaming").
+  *
+  * The reference has no data-plane streaming whatsoever — its only
+  * periodic machinery is control-plane UDP heartbeats (reference
+  * worker/__main__.py:103-111) — so this module is capability-surface
+  * extension, not parity: event-time windows, watermarked late-data
+  * handling, session windows, and custom keyed state.
+  *
+  * Every transform is written against a plain DataFrame so the SAME
+  * function serves batch (`spark.read`) and streaming (`spark.readStream`)
+  * inputs — the batch twins are checked against the DuckDB oracle in
+  * [[graft.queries.EventsPack]], and the streaming specs assert
+  * stream-batch equivalence on the same fixture data.
+  *
+  * Scale posture: watermarks bound state (no unbounded window buffers);
+  * all aggregations key on (window, type) or user_id — high cardinality,
+  * partial-aggregated before the shuffle by the streaming aggregation
+  * operator itself.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts per event type; watermark bounds state and
+    * admits late data up to `watermark`. Streaming twin of e01. */
+  def hourlyCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Session windows with an inactivity gap; the streaming counterpart
+    * of the batch lag/cumsum sessionization (e03). */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", gap)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * event count and value sum, emitted on every update — the streaming
+    * analogue of a reducer with carried state (which the reference
+    * cannot express at all: its reducers see one sorted batch). */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          var cur = state.getOption.getOrElse(UserStats(uid, 0L, 0L))
+          batch.foreach { e =>
+            cur = UserStats(uid, cur.n_events + 1,
+              cur.total_cents + math.round(e.value * 100))
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.mr.SparkTestSession
+
+case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  def fixtureEvents(n: Int): Seq[RawEvent] =
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[RawEvent].collect().sortBy(_.event_id).take(n).toSeq
+
+  test("streaming hourly counts equal the batch plan on the same data") {
+    val events = fixtureEvents(500)
+    val stream = MemoryStream[RawEvent](spark)
+    val q = StreamingOps.hourlyCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches to exercise incremental state
+      stream.addData(events.take(250)); q.processAllAvailable()
+      stream.addData(events.drop(250)); q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .select($"wstart", $"event_type", $"n", $"value_cents")
+        .collect().toSet
+      val batch = StreamingOps.hourlyCounts(events.toDF())
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    val base = 1700000000000L
+    val mk = (id: Long, uid: Long, offMin: Long) =>
+      RawEvent(id, new Timestamp(base + offMin * 60000), uid, "click", 1.0)
+    val events = Seq(
+      mk(1, 1, 0), mk(2, 1, 10), mk(3, 1, 20),   // one session
+      mk(4, 1, 120),                             // gap > 30min → new session
+      mk(5, 2, 0))
+    val out = StreamingOps.sessions(events.toDF())
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_events") === 3)
+    assert(out(1).getAs[Long]("n_events") === 1)
+    assert(out(2).getAs[Long]("n_events") === 1)
+  }
+
+  test("flatMapGroupsWithState carries per-user state across micro-batches") {
+    val stream = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.runningUserStats(stream.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("append").start()
+    try {
+      stream.addData(StreamingOps.Event(1, 7, "click", 1.50))
+      q.processAllAvailable()
+      stream.addData(StreamingOps.Event(2, 7, "view", 2.25),
+        StreamingOps.Event(3, 8, "click", 10.00))
+      q.processAllAvailable()
+      val rows = spark.table("running").as[StreamingOps.UserStats]
+        .collect().groupBy(_.user_id).map { case (u, xs) =>
+          u -> xs.maxBy(_.n_events)
+        }
+      assert(rows(7L) === StreamingOps.UserStats(7, 2, 375))
+      assert(rows(8L) === StreamingOps.UserStats(8, 1, 1000))
+    } finally q.stop()
+  }
+
+  test("watermark drops data later than the allowed lateness") {
+    val stream = MemoryStream[RawEvent](spark)
+    val base = 1700000000000L
+    val mk = (id: Long, offMin: Long) =>
+      RawEvent(id, new Timestamp(base + offMin * 60000), 1, "click", 1.0)
+    val q = StreamingOps.hourlyCounts(stream.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+    try {
+      stream.addData(mk(1, 0), mk(2, 5))
+      q.processAllAvailable()
+      // advance event time far beyond watermark → first hour finalizes
+      stream.addData(mk(3, 600))
+      q.processAllAvailable()
+      // a very late event for the finalized window must be dropped
+      stream.addData(mk(4, 1))
+      q.processAllAvailable()
+      val finalized = spark.table("wm").filter($"n" === 2).collect()
+      assert(finalized.length === 1) // the first hour emitted once, n=2 (not 3)
+    } finally q.stop()
+  }
+}
