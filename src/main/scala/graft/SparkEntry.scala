@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** Registered packs. Order only affects listing, names must be unique. */
   val packs: Seq[QueryPack] = Seq(
-    RelationalPack, WindowPack, EventsPack, TextPack, DedupPack,
+    RelationalPack, ExtrasPack, WindowPack, EventsPack, TextPack, DedupPack,
     SimilarityPack, MrPack, MultimodalPack)
 
   lazy val all: Seq[(String, Q)] = {

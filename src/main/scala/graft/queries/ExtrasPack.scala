@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Remaining relational/dataflow rows of the SURVEY.md §2.2 capability
+  * matrix: approximate distinct (HLL++), exact median, pivot,
+  * SQL-surface subqueries, bag (ALL) set ops, full-outer join, cross
+  * join, collect/string aggregation, date arithmetic.
+  *
+  * Oracle notes: the HLL estimate itself is engine-specific, so q18
+  * emits a BOOLEAN "within 5% of exact" (deterministic for fixed data —
+  * Spark's HLL++ is seedless) and the oracle asserts literal TRUE.
+  * Collected arrays are sorted before joining to a string — collect
+  * order is nondeterministic in both engines, sorted content is not.
+  */
+object ExtrasPack extends QueryPack {
+  import Cents._
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ── Approximate count-distinct (HLL++) sanity-banded vs exact ──────
+    "q18_approx_distinct" -> Q(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            approx_count_distinct(col("l_partkey")).as("approx"))
+          .select(col("l_returnflag"), col("n_parts"),
+            (abs(col("approx") - col("n_parts"))
+              <= col("n_parts") * 0.05).as("approx_ok"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+               TRUE AS approx_ok
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ── Exact interpolated median ──────────────────────────────────────
+    "q19_median" -> Q(
+      run = (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          // exact interpolated median over integer cents: the midpoint of
+          // two int64s is exact in IEEE doubles under either engine's
+          // interpolation formula, so cont-quantiles are hash-safe here
+          .agg(expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)")
+            .as("median_cents"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority,
+               quantile_cont(CAST(round((o_totalprice)*100) AS BIGINT), 0.5) AS median_cents,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // ── Pivot (wide conditional aggregation) ───────────────────────────
+    "q20_pivot" -> Q(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(cents(col("l_extendedprice"))))
+          .orderBy("l_linestatus"),
+      oracle = Some("""
+        SELECT l_linestatus,
+               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'A') AS "A",
+               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'N') AS "N",
+               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'R') AS "R"
+        FROM lineitem GROUP BY 1 ORDER BY l_linestatus""")),
+
+    // ── SQL surface: scalar + IN subqueries ────────────────────────────
+    "q21_sql_subquery" -> Q(
+      run = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q21_orders")
+        Tables.customer(s, d).createOrReplaceTempView("q21_customer")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS n
+          FROM q21_orders
+          WHERE o_totalprice > (SELECT max(o_totalprice) FROM q21_orders) * 0.5
+            AND o_custkey IN (SELECT c_custkey FROM q21_customer
+                              WHERE c_mktsegment = 'BUILDING')
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── Bag semantics: UNION ALL / EXCEPT ALL / INTERSECT ALL ──────────
+    "q22_bag_setops" -> Q(
+      run = (s, d) => {
+        val a = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k"))
+        val b = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey").as("k"))
+        a.unionAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
+          .unionByName(a.exceptAll(b).agg(count(lit(1)).as("n"))
+            .withColumn("op", lit("except_all")))
+          .unionByName(a.intersectAll(b).agg(count(lit(1)).as("n"))
+            .withColumn("op", lit("intersect_all")))
+          .select("op", "n").orderBy("op")
+      },
+      oracle = Some("""
+        SELECT 'except_all' AS op, count(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        UNION ALL
+        SELECT 'intersect_all' AS op, count(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        UNION ALL
+        SELECT 'union_all' AS op, count(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        ORDER BY op""")),
+
+    // ── Full-outer join with match categorization ──────────────────────
+    "q23_full_outer" -> Q(
+      run = (s, d) => {
+        val a = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("ka")).agg(count(lit(1)).as("na"))
+        val b = Tables.orders(s, d).filter(col("o_orderpriority") === "5-LOW")
+          .groupBy(col("o_custkey").as("kb")).agg(count(lit(1)).as("nb"))
+        a.join(b, col("ka") === col("kb"), "full_outer")
+          .select(when(col("ka").isNotNull && col("kb").isNotNull, "both")
+            .when(col("ka").isNotNull, "left_only")
+            .otherwise("right_only").as("category"),
+            coalesce(col("na"), lit(0L)).as("na"),
+            coalesce(col("nb"), lit(0L)).as("nb"))
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n_cust"), sum(col("na")).as("urgent_orders"),
+            sum(col("nb")).as("low_orders"))
+          .orderBy("category")
+      },
+      oracle = Some("""
+        WITH a AS (SELECT o_custkey AS ka, count(*) AS na FROM orders
+                   WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        b AS (SELECT o_custkey AS kb, count(*) AS nb FROM orders
+              WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        SELECT CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 'both'
+                    WHEN ka IS NOT NULL THEN 'left_only'
+                    ELSE 'right_only' END AS category,
+               count(*) AS n_cust,
+               sum(coalesce(na, 0)) AS urgent_orders,
+               sum(coalesce(nb, 0)) AS low_orders
+        FROM a FULL JOIN b ON ka = kb
+        GROUP BY 1 ORDER BY category""")),
+
+    // ── Cross join ─────────────────────────────────────────────────────
+    "q24_cross_join" -> Q(
+      run = (s, d) =>
+        Tables.region(s, d).select(col("r_name"))
+          .crossJoin(Tables.orders(s, d).select(col("o_orderstatus")).distinct())
+          .orderBy("r_name", "o_orderstatus"),
+      oracle = Some("""
+        SELECT r_name, o_orderstatus
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        ORDER BY r_name, o_orderstatus""")),
+
+    // ── Collect + string aggregation (sorted for determinism) ──────────
+    "q25_collect_agg" -> Q(
+      run = (s, d) =>
+        broadcast(Tables.nation(s, d))
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(sort_array(collect_set(col("n_name"))), ",")
+            .as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("r_name"),
+      oracle = Some("""
+        SELECT r_name,
+               array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations,
+               count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1 ORDER BY r_name""")),
+
+    // ── Date arithmetic ────────────────────────────────────────────────
+    "q26_date_fns" -> Q(
+      run = (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"),
+            date_format(date_add(col("o_orderdate").cast("date"), 30),
+              "yyyy-MM-dd").as("plus30"),
+            date_format(last_day(col("o_orderdate").cast("date")),
+              "yyyy-MM-dd").as("month_end"),
+            datediff(lit("2002-01-01").cast("date"),
+              col("o_orderdate").cast("date")).as("days_to_2002"),
+            date_format(date_trunc("month", col("o_orderdate")),
+              "yyyy-MM-dd").as("month_start"))
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+  )
+}
