@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration points for graft's native Catalyst expressions.
+  *
+  * Two paths (both standard Spark):
+  *   - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (cluster-wide injection at session build);
+  *   - [[GraftFunctions.register]] for programmatic registration on an
+  *     existing session (what the query packs use).
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))))
+
+  /** Idempotently register graft functions on `spark`. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Column-API sugar (requires [[register]] on the session first). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+}
+
+/** `spark.sql.extensions` entry point injecting graft's functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        builder))
+    }
+}

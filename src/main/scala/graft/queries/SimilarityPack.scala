@@ -138,6 +138,38 @@ object SimilarityPack extends QueryPack {
            AND q.vec_id <> c.vec_id)
         WHERE rank <= $topK ORDER BY qid, rank""")),
 
+    // ── Brute-force top-k via the native codegen'd expression ──────────
+    // Same result set as s01 bit-for-bit (the fused loop accumulates in
+    // the same IEEE order as the fold formulation) — same oracle — but
+    // one codegen'd kernel instead of three higher-order-function evals.
+    "s04_cosine_topk_native" -> Q(
+      run = (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(q).join(e, col("qid") =!= col("vec_id"))
+          .withColumn("cos", graft.functions.GraftFunctions
+            .cosineSimilarity(col("qv"), col("embedding")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+            round(col("cos") * 1000000, 0).cast("long").as("cos_e6"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(s"""
+        WITH $sqlVecs
+        SELECT qid, rank, neighbor, cos_e6 FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                 CAST(round(($sqlCos) * 1000000) AS BIGINT) AS cos_e6,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id)
+        WHERE rank <= $topK ORDER BY qid, rank"""),
+      bench = true),
+
     // ── Sign-LSH (random hyperplane) ANN ───────────────────────────────
     "s03_signlsh_ann" -> Q(
       run = (s, d) => {

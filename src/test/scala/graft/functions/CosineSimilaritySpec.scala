@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mr.SparkTestSession
+
+class CosineSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def foldCosine = {
+    val dot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(col("a"), x => x * x), lit(0.0), (p, x) => p + x)
+    val nb = aggregate(transform(col("b"), x => x * x), lit(0.0), (p, x) => p + x)
+    dot / sqrt(na) / sqrt(nb)
+  }
+
+  test("native expression is bit-identical to the fold formulation") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)),
+      (Array(0.1, -0.2, 0.3), Array(0.4, 0.5, -0.6)),
+      (Array(1e-8, 1e8, -1.0), Array(1e8, 1e-8, 1.0))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.cosineSimilarity(col("a"), col("b")).as("native"),
+      foldCosine.as("fold")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("float arrays widen to double (fixture embeddings)") {
+    GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(5)
+      .select(col("embedding").as("a"))
+    val pairs = e.crossJoin(e.select(col("a").as("b")))
+    val dblFold = {
+      val ad = transform(col("a"), x => x.cast("double"))
+      val bd = transform(col("b"), x => x.cast("double"))
+      val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val na = aggregate(transform(ad, x => x * x), lit(0.0), (p, x) => p + x)
+      val nb = aggregate(transform(bd, x => x * x), lit(0.0), (p, x) => p + x)
+      dot / sqrt(na) / sqrt(nb)
+    }
+    val rows = pairs.select(
+      GraftFunctions.cosineSimilarity(col("a"), col("b")).as("native"),
+      dblFold.as("fold")).collect()
+    assert(rows.length === 25)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null input and length mismatch yield null") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(1.0))),
+      (None, Some(Array(1.0))),
+      (Some(Array(1.0)), None)).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.cosineSimilarity(col("a"), col("b"))).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect().head.getDouble(0)
+    assert(r === 1.0)
+  }
+}
