@@ -40,7 +40,9 @@ object MrPack extends QueryPack {
     "mr01_wordcount" -> Q(
       run = (s, d) => {
         import s.implicits._
-        val lines = Tables.documents(s, d).select(col("text")).as[String].rdd
+        // documents is one parquet file → spread the map stage first
+        val lines = Tables.documents(s, d).select(col("text")).as[String]
+          .rdd.repartition(s.sparkContext.defaultParallelism)
         val counted = MapReduceJob.typed(s, lines,
           mapper = line => line.split(" ").iterator.map(w => s"$w\t1"),
           reducer = sumRuns,

@@ -79,6 +79,7 @@ object SimilarityPack extends QueryPack {
     "s01_cosine_topk" -> Q(
       run = (s, d) => {
         val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), vecD.as("v"))
           .withColumn("nrm", norm(col("v")))
         val q = e.filter(col("vec_id") < numQueries)
@@ -145,7 +146,9 @@ object SimilarityPack extends QueryPack {
     "s04_cosine_topk_native" -> Q(
       run = (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .select(col("vec_id"), col("embedding"))
         val q = e.filter(col("vec_id") < numQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val w = Window.partitionBy(col("qid"))
