@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.mr.SparkTestSession
+
+/** Plan-shape audits: the properties that decide whether these plans
+  * survive a 100 TB scale-up (SURVEY.md §7.3.6). Asserting on plan text
+  * is deliberate — a regression that, say, stops pushing the q02 filter
+  * into the scan or un-broadcasts the q04 dims is a scale bug even
+  * while every value stays correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // execute THIS QueryExecution's plan (a .write/.count would build a
+    // separate one) so AQE finalizes stages — codegen wrappers only
+    // appear in the final plan; scan nodes truncate PushedFilters in
+    // toString, so assertions use prefixes that survive truncation
+    df.queryExecution.executedPlan.execute().count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = planOf("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
+    // column pruning: the scan reads only the four needed columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), "scan not pruned to needed columns")
+    assert(!p.contains("l_returnflag"), "scan reads columns the query never uses")
+  }
+
+  test("q04: dimension joins broadcast, fact side never shuffles for the join") {
+    val p = planOf("q04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q13: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q13_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = planOf("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("s04: native cosine expression sits inside whole-stage codegen") {
+    val p = planOf("s04_cosine_topk_native")
+    assert(p.contains("cosine_similarity"), p.take(500))
+    // tree strings mark codegen'd spans with "*(n)" prefixes
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, "plan lost codegen entirely")
+  }
+}
