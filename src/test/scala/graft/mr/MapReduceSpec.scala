@@ -13,6 +13,8 @@ object SparkTestSession {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

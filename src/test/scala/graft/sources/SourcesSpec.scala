@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.mr.SparkTestSession
+
+/** Source/sink surface beyond the fixture parquet (SURVEY.md §2.2
+  * "Scans/sources"/"Sinks"): csv/json round-trips with explicit
+  * schemas, hive-partitioned writes with partition pruning, and
+  * bucketed tables giving shuffle-free co-located joins — the two
+  * layout techniques that matter most at 100 TB (prune what you can,
+  * never shuffle what is already co-located).
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("csv and json round-trip with explicit schemas") {
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val dir = Files.createTempDirectory("graft-src").toString
+
+    orders.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    val csvBack = spark.read.option("header", "true")
+      .schema(orders.schema).csv(s"$dir/csv")
+    assert(csvBack.collect().map(_.toSeq).toSet ===
+      orders.collect().map(_.toSeq).toSet)
+
+    orders.write.mode("overwrite").json(s"$dir/json")
+    val jsonBack = spark.read.schema(orders.schema).json(s"$dir/json")
+    assert(jsonBack.collect().map(_.toSeq).toSet ===
+      orders.collect().map(_.toSeq).toSet)
+  }
+
+  test("hive-partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.orders(spark, sfDir)
+      .withColumn("order_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("order_year")
+      .parquet(s"$dir/orders_by_year")
+
+    val pruned = spark.read.parquet(s"$dir/orders_by_year")
+      .filter($"order_year" === 1996)
+    pruned.queryExecution.executedPlan.execute().count()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:"), plan.take(400))
+    assert(plan.contains("order_year"), "partition filter not applied")
+    // the pruned read only sees 1996 rows
+    val expected = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === 1996).count()
+    assert(pruned.count() === expected && expected > 0)
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    orders.write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt")
+    lineitem.write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt")
+
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("lineitem_bkt"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    joined.queryExecution.executedPlan.execute().count()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the bucketed join itself must not shuffle either side: the only
+    // exchange in the plan is the one above the final aggregation
+    val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
+    assert(!joinPart.contains("Exchange "),
+      s"bucketed join still shuffles:\n${plan.take(1200)}")
+    // and values match the plain join
+    val expected = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet === expected)
+  }
+
+  test("text source: reference-style line-oriented directory reads") {
+    val dir = Files.createTempDirectory("graft-text").toString
+    Seq("line a", "line b", "line c").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$dir/in")
+    val back = spark.read.textFile(s"$dir/in").collect().sorted
+    assert(back === Array("line a", "line b", "line c"))
+  }
+}

@@ -80,6 +80,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: watermarked dropDuplicates removes replays") {
+    val stream = MemoryStream[RawEvent](spark)
+    val base = 1700000000000L
+    val mk = (id: Long, offMin: Long) =>
+      RawEvent(id, new Timestamp(base + offMin * 60000), 1, "click", 1.0)
+    val deduped = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("complete").start()
+    try {
+      stream.addData(mk(1, 0), mk(2, 1))
+      q.processAllAvailable()
+      // replay event 1 (same id) in a later micro-batch + one new event
+      stream.addData(mk(1, 0), mk(3, 2))
+      q.processAllAvailable()
+      val n = spark.table("dedup").collect().head.getAs[Long]("n")
+      assert(n === 3) // not 4: the replayed event_id was dropped
+    } finally q.stop()
+  }
+
   test("watermark drops data later than the allowed lateness") {
     val stream = MemoryStream[RawEvent](spark)
     val base = 1700000000000L
