@@ -161,17 +161,22 @@ object RelationalPack extends QueryPack {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ── Left-anti join (NOT EXISTS) ────────────────────────────────────
+    // customers without any pending ('P') order — every customer has
+    // SOME order in the fixtures, so the unfiltered variant would be a
+    // degenerate empty result
     "q06_anti_join" -> Q(
       run = (s, d) =>
         cust(s, d)
-          .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(ord(s, d).filter(col("o_orderstatus") === "P"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_cust"))
           .orderBy("c_mktsegment"),
       oracle = Some("""
         SELECT c_mktsegment, count(*) AS n_cust
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ── Left-outer join, null-aware count, second aggregation ──────────
