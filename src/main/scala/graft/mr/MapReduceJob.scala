@@ -118,6 +118,12 @@ object MapReduceJob {
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala.toSeq
       .filter(Files.isRegularFile(_))
+      // skip Hadoop-convention metadata (_SUCCESS, .crc sidecars) so a
+      // Spark-written text dir is a valid job input
+      .filterNot { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".") || n.startsWith("_")
+      }
       .sortBy(_.getFileName.toString)
 
   private def deleteRecursively(p: Path): Unit =

@@ -59,6 +59,47 @@ object MrPack extends QueryPack {
         SELECT t AS word, count(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         GROUP BY t ORDER BY word"""),
-      bench = true)
+      bench = true),
+
+    // Same job through the FULL executable contract — text-file input
+    // dir (O1), shell mapper/reducer via RDD.pipe (O2/O6), md5 shuffle
+    // (O3-O5), part-%05d sink (O7) — exactly what the reference CLI
+    // submits (reference submit.py:41-50), then read back and compared
+    // to the same relational oracle.
+    "mr02_wordcount_exe" -> Q(
+      run = (s, d) => {
+        import java.nio.charset.StandardCharsets
+        import java.nio.file.Files
+        val work = Files.createTempDirectory("graft-mr02")
+        val inDir = s"$work/input"
+        graft.Tables.documents(s, d).select(col("text"))
+          .repartition(4).write.mode("overwrite").text(inDir)
+        def exe(name: String, script: String): String = {
+          val p = work.resolve(name)
+          Files.write(p, script.getBytes(StandardCharsets.UTF_8))
+          p.toFile.setExecutable(true)
+          p.toString
+        }
+        val mapExe = exe("wc_map.sh",
+          "#!/bin/sh\ntr ' ' '\\n' | grep -v '^$' | sed 's/$/\\t1/'\n")
+        val redExe = exe("wc_reduce.sh",
+          "#!/bin/sh\nawk -F'\\t' '{ if ($1 != prev) { if (NR > 1) print prev \"\\t\" sum;\n" +
+            "  prev = $1; sum = 0 } sum += $2 } END { if (NR > 0) print prev \"\\t\" sum }'\n")
+        val outDir = s"$work/out"
+        MapReduceJob.runExe(s, inDir, outDir, mapExe, redExe,
+          numMappers = 3, numReducers = 4)
+        import s.implicits._
+        s.read.textFile(outDir)
+          .map { l =>
+            val tab = l.indexOf('\t')
+            (l.substring(0, tab), l.substring(tab + 1).toLong)
+          }
+          .toDF("word", "cnt")
+          .orderBy("word")
+      },
+      oracle = Some("""
+        SELECT t AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t ORDER BY word"""))
   )
 }

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed `Dataset[T]` surface (SURVEY.md §1.4 "Dataset where type
+  * safety helps"): case-class rows, `groupByKey`/`mapGroups`, and a
+  * custom `Aggregator[IN, BUF, OUT]` — the typed twins of the reducer
+  * contract (a reducer executable is exactly an arbitrary fold over a
+  * key group, reference worker/__main__.py:174-181).
+  *
+  * Determinism: all per-group folds here are commutative integer
+  * arithmetic (cent-rounding per row, then Long adds), so any merge
+  * order the shuffle produces yields identical results — same rule the
+  * untyped packs follow.
+  */
+object TypedPack extends QueryPack {
+
+  final case class Li(l_orderkey: Long, l_quantity: Double,
+      l_returnflag: String, l_extendedprice: Double)
+
+  /** Custom typed aggregator: exact cents sum of extended price. */
+  object CentsSum extends Aggregator[Li, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: Li): Long =
+      b + math.round(a.l_extendedprice * 100)
+    override def merge(b1: Long, b2: Long): Long = b1 + b2
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ── groupByKey + mapGroups (typed reducer) ─────────────────────────
+    "ty01_typed_mapgroups" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"), col("l_extendedprice"))
+          .as[Li]
+          .filter((x: Li) => x.l_quantity > 10)
+          .groupByKey((x: Li) => x.l_returnflag)
+          .mapGroups { (k: String, it: Iterator[Li]) =>
+            var n = 0L; var cents = 0L
+            it.foreach { x =>
+              n += 1; cents += math.round(x.l_extendedprice * 100)
+            }
+            (k, n, cents)
+          }
+          .toDF("l_returnflag", "n", "price_cents")
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS price_cents
+        FROM lineitem WHERE l_quantity > 10
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ── custom Aggregator[IN, BUF, OUT] ────────────────────────────────
+    "ty02_typed_aggregator" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"), col("l_extendedprice"))
+          .as[Li]
+          .groupByKey((x: Li) => x.l_returnflag)
+          .agg(CentsSum.toColumn.name("price_cents"))
+          .toDF("l_returnflag", "price_cents")
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS price_cents
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+  )
+}
