@@ -184,6 +184,32 @@ object ExtrasPack extends QueryPack {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1 ORDER BY r_name""")),
 
+    // ── Null-handling functions over outer-join nulls ──────────────────
+    "q27_null_fns" -> Q(
+      run = (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderstatus") === "P"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("o_orderkey"), lit(-1L)).as("ok_or_default"),
+            col("o_orderkey").isNull.as("no_pending"),
+            nullif(col("o_orderstatus"), lit("P")).as("status_nulled"),
+            nvl2(col("o_orderkey"), lit("has"), lit("none")).as("tag"))
+          .groupBy(col("no_pending"), col("status_nulled"), col("tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("ok_or_default") === -1L, 1L).otherwise(0L)).as("n_defaulted"))
+          .orderBy("no_pending", "tag"),
+      oracle = Some("""
+        SELECT o_orderkey IS NULL AS no_pending,
+               nullif(o_orderstatus, 'P') AS status_nulled,
+               CASE WHEN o_orderkey IS NOT NULL THEN 'has' ELSE 'none' END AS tag,
+               count(*) AS n,
+               sum(CASE WHEN coalesce(o_orderkey, -1) = -1 THEN 1 ELSE 0 END) AS n_defaulted
+        FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+          ON c_custkey = o_custkey
+        GROUP BY 1, 2, 3 ORDER BY no_pending, tag""")),
+
     // ── Date arithmetic ────────────────────────────────────────────────
     "q26_date_fns" -> Q(
       run = (s, d) =>

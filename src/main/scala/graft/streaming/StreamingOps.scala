@@ -46,6 +46,24 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join: clicks matched to purchases by the
+    * same user within `window` after the click. Both sides carry
+    * watermarks so Spark can discard buffered state once the interval
+    * can no longer match — the state-boundedness condition for
+    * stream-stream joins at scale. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", window)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", window)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, col("c_user") === col("p_user")
+      && col("purchase_ts") >= col("click_ts")
+      && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_cents: Long)

@@ -80,6 +80,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases within the window") {
+    val clicks = MemoryStream[RawEvent](spark)
+    val purchases = MemoryStream[RawEvent](spark)
+    val base = 1700000000000L
+    val mk = (id: Long, uid: Long, offMin: Long, t: String) =>
+      RawEvent(id, new Timestamp(base + offMin * 60000), uid, t, 1.0)
+    val q = StreamingOps.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(mk(1, 7, 0, "click"), mk(2, 8, 0, "click"))
+      purchases.addData(
+        mk(10, 7, 30, "purchase"),   // within 1h of click 1 → match
+        mk(11, 8, 120, "purchase"),  // 2h after click 2 → no match
+        mk(12, 9, 10, "purchase"))   // no click for user 9 → no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates removes replays") {
     val stream = MemoryStream[RawEvent](spark)
     val base = 1700000000000L
