@@ -32,10 +32,10 @@ object Bench {
     // each query shape pays 1-3s of Janino+JIT on first execution.
     names.foreach(n => try force(n) catch { case _: Throwable => () })
 
-    // min of two measured runs: the box hosting local[32] sees external
+    // min of three measured runs: the box hosting local[32] sees external
     // load spikes; min is the steady-state number.
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try force(name) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
