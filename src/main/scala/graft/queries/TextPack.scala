@@ -127,6 +127,48 @@ object TextPack extends QueryPack {
                ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8))::BIGINT AS bucket
         FROM documents ORDER BY doc_id""")),
 
+    // ── BPE-ish regex token counting ───────────────────────────────────
+    // subword-style segmentation: letter runs, digit runs, and single
+    // non-alphanumeric marks — the whitespace-split twin is t01
+    "t06_bpe_tokens" -> Q(
+      run = (s, d) => {
+        val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+        val subs = regexp_extract_all(col("text"), lit(pat), lit(0))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(subs).as("n_subtokens"),
+            size(array_distinct(subs)).as("n_uniq_subtokens"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+               len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_uniq_subtokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ── Rolling-hash document fingerprint ──────────────────────────────
+    // order-sensitive polynomial fold over token hashes (unlike the
+    // content-hash fingerprint t04, this changes when tokens reorder);
+    // identical integer arithmetic on both engines
+    "t07_rolling_fingerprint" -> Q(
+      run = (s, d) => {
+        val vals = transform(toks,
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        val rolling = aggregate(vals, lit(0L),
+          (h, v) => (h * lit(131L) + v) % lit(1000000007L))
+        Tables.documents(s, d)
+          .select(col("doc_id"), rolling.as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+                 (h, v) -> (h * 131 + v) % 1000000007) AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
     // ── Global top-k bigrams ───────────────────────────────────────────
     "t05_top_bigrams" -> Q(
       run = (s, d) =>
