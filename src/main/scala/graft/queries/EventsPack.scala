@@ -157,6 +157,34 @@ object EventsPack extends QueryPack {
         FROM events e
         ASOF LEFT JOIN o2
           ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        ORDER BY e.event_id""")),
+
+    // ── As-of join via the native whole-operator (graft.plans) ─────────
+    // Same semantics and oracle as e05, but through the custom
+    // LogicalPlan + Strategy + sort-merge SparkPlan instead of the
+    // union+carry composition.
+    "e06_asof_join_native" -> Q(
+      run = (s, d) => {
+        val o2 = Tables.orders(s, d)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("ok"))
+          .select(col("o_custkey").as("rk"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("rts"),
+            col("ok"))
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id").as("lk"),
+            unix_micros(col("ts")).as("lts"))
+        graft.plans.AsOfJoinOps.asof(s, ev, o2, "lk", "rk", "lts", "rts")
+          .select(col("event_id"), col("ok").as("matched_orderkey"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH o2 AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+                    FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, o2.ok AS matched_orderkey
+        FROM events e
+        ASOF LEFT JOIN o2
+          ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
         ORDER BY e.event_id"""))
   )
 }
