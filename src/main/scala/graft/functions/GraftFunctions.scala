@@ -18,25 +18,33 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))))
 
-  /** Idempotently register graft functions on `spark`. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register graft functions + optimizer rules on `spark`. */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(FoldSelfCosine))
+      spark.experimental.extraOptimizations = cur :+ FoldSelfCosine
+  }
 
   /** Column-API sugar (requires [[register]] on the session first). */
   def cosineSimilarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 }
 
-/** `spark.sql.extensions` entry point injecting graft's functions. */
+/** `spark.sql.extensions` entry point injecting graft's functions,
+  * optimizer rules, and planner strategies. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[CosineSimilarity].getName, name),
         builder))
     }
+    e.injectOptimizerRule(_ => FoldSelfCosine)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

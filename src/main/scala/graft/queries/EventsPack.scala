@@ -157,7 +157,8 @@ object EventsPack extends QueryPack {
         FROM events e
         ASOF LEFT JOIN o2
           ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
-        ORDER BY e.event_id""")),
+        ORDER BY e.event_id"""),
+      bench = true),
 
     // ── As-of join via the native whole-operator (graft.plans) ─────────
     // Same semantics and oracle as e05, but through the custom
@@ -185,6 +186,7 @@ object EventsPack extends QueryPack {
         FROM events e
         ASOF LEFT JOIN o2
           ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id"""),
+      bench = true)
   )
 }

@@ -67,6 +67,20 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("optimizer rule folds self-similarity to a literal") {
+    GraftFunctions.register(spark)
+    val df = Seq(Array(1.0, 2.0)).toDF("a")
+      .select(col("a")) // non-nullable array attribute
+    val selfSim = df.select(
+      GraftFunctions.cosineSimilarity(col("a"), col("a")).as("c"))
+    val optimized = selfSim.queryExecution.optimizedPlan.toString
+    if (!df.schema("a").nullable) {
+      assert(optimized.contains("1.0"), optimized)
+      assert(!optimized.contains("cosine_similarity"), optimized)
+    }
+    assert(selfSim.collect().head.getDouble(0) === 1.0)
+  }
+
   test("usable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
