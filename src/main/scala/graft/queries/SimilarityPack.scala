@@ -220,6 +220,77 @@ object SimilarityPack extends QueryPack {
             ON q.vec_id < $numQueries AND q.bucket = c.bucket
            AND q.vec_id <> c.vec_id)
         WHERE rank <= $topK ORDER BY qid, rank"""
-      })
+      }),
+
+    // ── ANN quality: recall of the sign-LSH index vs the exact top-k ───
+    // The evaluation step every ANN deployment needs: join the
+    // approximate result against the exact baseline and measure
+    // per-query recall. Runs both pipelines (their relations are small
+    // rank lists) and compares on (qid, neighbor); recall emitted as a
+    // rounded scaled integer.
+    "s05_ann_recall" -> Q(
+      run = (s, d) => {
+        val exact = graft.SparkEntry.queries("s01_cosine_topk")(s, d)
+          .select(col("qid"), col("neighbor"))
+        val lsh = graft.SparkEntry.queries("s03_signlsh_ann")(s, d)
+          .select(col("qid").as("lqid"), col("neighbor").as("lneighbor"))
+        exact.join(lsh,
+          col("qid") === col("lqid") && col("neighbor") === col("lneighbor"),
+          "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("lneighbor")).as("n_hit"))
+          .select(col("qid"), col("n_exact"), col("n_hit"),
+            round(col("n_hit") * lit(10000.0) / col("n_exact"), 0)
+              .cast("long").as("recall_e4"))
+          .orderBy("qid")
+      },
+      oracle = Some {
+        val exactSql = s"""
+          SELECT qid, neighbor FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+            FROM n q JOIN n c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id)
+          WHERE rank <= $topK"""
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(list_zip(v,
+             |  list_transform(range(0, $dim),
+             |    c -> (('0x' || substr(md5($p || '_' || c), 1, 4))::INT - 32767.5) / 32767.5)),
+             |  s -> s[1]*s[2]), (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        val lshSql = s"""
+          SELECT qid, neighbor FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+            FROM nb q JOIN nb c
+              ON q.vec_id < $numQueries AND q.bucket = c.bucket
+             AND q.vec_id <> c.vec_id)
+          WHERE rank <= $topK"""
+        s"""
+        WITH $sqlVecs,
+        nb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+        exact AS ($exactSql),
+        lsh AS ($lshSql)
+        SELECT e.qid, count(*) AS n_exact, count(l.neighbor) AS n_hit,
+               CAST(round(count(l.neighbor) * 10000.0 / count(*)) AS BIGINT) AS recall_e4
+        FROM exact e LEFT JOIN lsh l
+          ON e.qid = l.qid AND e.neighbor = l.neighbor
+        GROUP BY e.qid ORDER BY e.qid"""
+      }),
+
+    // ── Deterministic seeded sampling (rows-only check by design) ──────
+    // Bernoulli sampling is engine-RNG-specific, so no cross-engine
+    // oracle exists; the driver records the weaker rows-only check.
+    // Seeded, so repeated runs within Spark are stable.
+    "s06_seeded_sample" -> Q(
+      run = (s, d) =>
+        Tables.embeddings(s, d)
+          .sample(withReplacement = false, fraction = 0.2, seed = 42L)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label"),
+      oracle = None)
   )
 }
