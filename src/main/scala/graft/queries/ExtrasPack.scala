@@ -210,6 +210,59 @@ object ExtrasPack extends QueryPack {
           ON c_custkey = o_custkey
         GROUP BY 1, 2, 3 ORDER BY no_pending, tag""")),
 
+    // ── String function breadth (pad/translate/repeat/reverse/left) ────
+    "q28_string_fns2" -> Q(
+      run = (s, d) =>
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            lpad(col("p_brand"), 12, "*").as("lp"),
+            rpad(col("p_brand"), 12, "-").as("rp"),
+            translate(col("p_type"), "AEO", "aeo").as("tr"),
+            repeat(substring(col("p_name"), 1, 2), 3).as("rep"),
+            reverse(col("p_name")).as("rev"),
+            expr("left(p_name, 3)").as("l3"),
+            expr("right(p_name, 2)").as("r2"))
+          .orderBy("p_partkey"),
+      oracle = Some("""
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*') AS lp,
+               rpad(p_brand, 12, '-') AS rp,
+               translate(p_type, 'AEO', 'aeo') AS tr,
+               repeat(substring(p_name, 1, 2), 3) AS rep,
+               reverse(p_name) AS rev,
+               left(p_name, 3) AS l3,
+               right(p_name, 2) AS r2
+        FROM part ORDER BY p_partkey""")),
+
+    // ── Array function breadth ─────────────────────────────────────────
+    // set-ish ops normalized with a sort since union/distinct ordering
+    // is engine-specific; array_position and list_position agree on
+    // 1-based indexing with 0 for absent
+    "q29_array_fns" -> Q(
+      run = (s, d) => {
+        val toks = split(col("p_name"), " ")
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            array_sort(toks).as("sorted"),
+            array_sort(array_union(toks, array(lit("widget")))).as("uni"),
+            array_position(toks, "ring").as("pos"),
+            reverse(toks).as("rev"),
+            slice(toks, 1, 1).as("first1"),
+            array_contains(toks, "bolt").as("has_bolt"),
+            flatten(array(toks, array(lit("x")))).as("flat"))
+          .orderBy("p_partkey")
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               list_sort(string_split(p_name, ' ')) AS sorted,
+               list_sort(list_distinct(list_concat(string_split(p_name, ' '), ['widget']))) AS uni,
+               list_position(string_split(p_name, ' '), 'ring') AS pos,
+               list_reverse(string_split(p_name, ' ')) AS rev,
+               string_split(p_name, ' ')[1:1] AS first1,
+               list_contains(string_split(p_name, ' '), 'bolt') AS has_bolt,
+               flatten([string_split(p_name, ' '), ['x']]) AS flat
+        FROM part ORDER BY p_partkey""")),
+
     // ── Date arithmetic ────────────────────────────────────────────────
     "q26_date_fns" -> Q(
       run = (s, d) =>
