@@ -125,6 +125,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file sink: readStream → transform → checkpointed parquet writeStream") {
+    val work = java.nio.file.Files.createTempDirectory("graft-fsink")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ckpt = s"$work/ckpt"
+    // seed the source dir with one batch of fixture events
+    val events = fixtureEvents(300)
+    events.take(150).toDF().write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(events.toDF().schema).parquet(inDir)
+    val q = StreamingOps.hourlyCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append outputs only finalized windows; restart with more data to
+    // verify the checkpoint resumes instead of reprocessing
+    events.drop(150).toDF().write.mode("append").parquet(inDir)
+    val q2 = StreamingOps.hourlyCounts(
+      spark.readStream.schema(events.toDF().schema).parquet(inDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val result = spark.read.parquet(outDir)
+    // every emitted (window, type) count matches the batch plan over all
+    // data for the windows that were finalized
+    val batch = StreamingOps.hourlyCounts(events.toDF())
+    val joined = result.as("s").join(batch.as("b"),
+      $"s.wstart" === $"b.wstart" && $"s.event_type" === $"b.event_type")
+    assert(result.count() > 0)
+    assert(joined.filter($"s.n" =!= $"b.n").count() === 0)
+  }
+
   test("watermark drops data later than the allowed lateness") {
     val stream = MemoryStream[RawEvent](spark)
     val base = 1700000000000L
