@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))))
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "jaccard_e4" -> (es => JaccardE4(es(0), es(1))))
 
   /** Idempotently register graft functions + optimizer rules on `spark`. */
   def register(spark: SparkSession): Unit = {
@@ -32,6 +33,10 @@ object GraftFunctions {
   /** Column-API sugar (requires [[register]] on the session first). */
   def cosineSimilarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
+
+  /** Column-API sugar (requires [[register]] on the session first). */
+  def jaccardE4(a: Column, b: Column): Column =
+    call_function("jaccard_e4", a, b)
 }
 
 /** `spark.sql.extensions` entry point injecting graft's functions,

@@ -155,9 +155,10 @@ object DedupPack extends QueryPack {
           .join(sig.select(col("doc_id"), col("s").as("sa")), col("da") === col("doc_id"))
           .drop("doc_id")
           .join(sig.select(col("doc_id"), col("s").as("sb")), col("db") === col("doc_id"))
-        val inter = size(array_intersect(col("sa"), col("sb")))
-        val jac = round(inter * lit(10000.0)
-          / (size(col("sa")) + size(col("sb")) - inter), 0).cast("long")
+        // native one-pass set kernel; same IEEE arithmetic as the SQL
+        // twin (see JaccardE4), so the oracle is unchanged
+        graft.functions.GraftFunctions.register(s)
+        val jac = graft.functions.GraftFunctions.jaccardE4(col("sa"), col("sb"))
         withSets
           .select(col("da"), col("db"), jac.as("jaccard_e4"))
           .filter(col("jaccard_e4") >= 3000)

@@ -89,3 +89,46 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r === 1.0)
   }
 }
+
+class JaccardE4Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def foldJaccard = {
+    val inter = size(array_intersect(array_distinct(col("a")), array_distinct(col("b"))))
+    round(inter * lit(10000.0)
+      / (size(array_distinct(col("a"))) + size(array_distinct(col("b"))) - inter), 0)
+      .cast("long")
+  }
+
+  test("matches the array_intersect formulation, including duplicates") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b")),   // duplicates collapse
+      (Seq("x"), Seq("y")),
+      (Seq("q", "r"), Seq("q", "r"))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.jaccardE4(col("a"), col("b")).as("native"),
+      foldJaccard.as("fold")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("null inputs and empty-empty yield null") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Seq("a")), None),
+      (None, Some(Seq("a"))),
+      (Some(Seq.empty[String]), Some(Seq.empty[String]))).toDF("a", "b")
+    val rows = df.select(GraftFunctions.jaccardE4(col("a"), col("b"))).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("usable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT jaccard_e4(array('a','b'), array('b','c')) AS j")
+      .collect().head.getLong(0)
+    assert(r === 3333L) // 1/3 → round(3333.33...)
+  }
+}
