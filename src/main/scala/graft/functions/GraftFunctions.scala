@@ -43,10 +43,13 @@ object GraftFunctions {
   * optimizer rules, and planner strategies. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    val exprClass = Map(
+      "cosine_similarity" -> classOf[CosineSimilarity].getName,
+      "jaccard_e4" -> classOf[JaccardE4].getName)
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        new ExpressionInfo(exprClass(name), name),
         builder))
     }
     e.injectOptimizerRule(_ => FoldSelfCosine)
