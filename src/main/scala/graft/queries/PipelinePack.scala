@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end training-data pipeline composition — the reason the
+  * individual operators exist: quality-filter the corpus, drop
+  * near-duplicates (MinHash+LSH pairs, keep the lower doc_id of each
+  * pair), and report what survives. One query, one oracle, exercising
+  * the t02 scoring and d03 dedup pipelines as stages of a single plan.
+  *
+  * Scale posture: quality scoring is a narrow map; the dedup-pair
+  * relation is the (materialized) d03 output, orders of magnitude
+  * smaller than the corpus; the drop is a broadcast-able anti-join on
+  * doc_id. This is the shape of a real corpus-preparation job at
+  * 100 TB: score → pair → anti-join → write.
+  */
+object PipelinePack extends QueryPack {
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private def sqlStop = stop.map(s => s"'$s'").mkString(", ")
+  private val qualityThreshold = 3000L
+
+  def queries: Seq[(String, Q)] = Seq(
+    "p01_corpus_pipeline" -> Q(
+      run = (s, d) => {
+        val toks = split(col("text"), " ")
+        val nStop = size(filter(toks, t => t.isin(stop: _*)))
+        val quality = round(nStop * lit(5000.0) / size(toks)
+          + least(col("n_chars"), lit(500)) * lit(5000.0) / lit(500.0), 0)
+          .cast("long")
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), size(toks).as("n_tokens"),
+            quality.as("quality_e4"))
+        // near-dup pairs from the d03 pipeline; drop the higher id
+        val dupDrop = graft.SparkEntry.queries("d03_minhash_lsh")(s, d)
+          .select(col("db").as("drop_id")).distinct()
+        val kept = scored
+          .filter(col("quality_e4") >= qualityThreshold)
+          .join(broadcast(dupDrop), col("doc_id") === col("drop_id"), "left_anti")
+        scored.agg(count(lit(1)).as("n_docs")).crossJoin(
+          kept.agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("kept_tokens")))
+          .crossJoin(scored.filter(col("quality_e4") < qualityThreshold)
+            .agg(count(lit(1)).as("n_low_quality")))
+          .crossJoin(dupDrop.agg(count(lit(1)).as("n_dup_docs")))
+          .select(col("n_docs"), col("n_kept"), col("n_low_quality"),
+            col("n_dup_docs"), col("kept_tokens"))
+      },
+      oracle = Some {
+        // reuse the d03 oracle verbatim as the pair CTE
+        val d03Sql = DedupPack.queries
+          .collectFirst { case ("d03_minhash_lsh", q) => q.oracle.get }.get
+        s"""
+        WITH scored AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                 CAST(round(len(list_filter(string_split(text, ' '),
+                        t -> t IN ($sqlStop))) * 5000.0
+                        / len(string_split(text, ' '))
+                      + least(n_chars, 500) * 5000.0 / 500.0) AS BIGINT) AS quality_e4
+          FROM documents),
+        pairs AS ($d03Sql),
+        dup_drop AS (SELECT DISTINCT db AS drop_id FROM pairs),
+        kept AS (SELECT * FROM scored
+                 WHERE quality_e4 >= $qualityThreshold
+                   AND doc_id NOT IN (SELECT drop_id FROM dup_drop))
+        SELECT (SELECT count(*) FROM scored) AS n_docs,
+               (SELECT count(*) FROM kept) AS n_kept,
+               (SELECT count(*) FROM scored WHERE quality_e4 < $qualityThreshold) AS n_low_quality,
+               (SELECT count(*) FROM dup_drop) AS n_dup_docs,
+               (SELECT sum(n_tokens) FROM kept) AS kept_tokens"""
+      },
+      bench = true)
+  )
+}
