@@ -237,30 +237,32 @@ object ExtrasPack extends QueryPack {
     // ── Array function breadth ─────────────────────────────────────────
     // set-ish ops normalized with a sort since union/distinct ordering
     // is engine-specific; array_position and list_position agree on
-    // 1-based indexing with 0 for absent
+    // 1-based indexing with 0 for absent. Array results are emitted as
+    // joined strings so the cross-engine value compare never depends on
+    // how each side's client represents list cells.
     "q29_array_fns" -> Q(
       run = (s, d) => {
         val toks = split(col("p_name"), " ")
         Tables.part(s, d)
           .select(col("p_partkey"),
-            array_sort(toks).as("sorted"),
-            array_sort(array_union(toks, array(lit("widget")))).as("uni"),
+            array_join(array_sort(toks), ",").as("sorted"),
+            array_join(array_sort(array_union(toks, array(lit("widget")))), ",").as("uni"),
             array_position(toks, "ring").as("pos"),
-            reverse(toks).as("rev"),
-            slice(toks, 1, 1).as("first1"),
+            array_join(reverse(toks), ",").as("rev"),
+            array_join(slice(toks, 1, 1), ",").as("first1"),
             array_contains(toks, "bolt").as("has_bolt"),
-            flatten(array(toks, array(lit("x")))).as("flat"))
+            array_join(flatten(array(toks, array(lit("x")))), ",").as("flat"))
           .orderBy("p_partkey")
       },
       oracle = Some("""
         SELECT p_partkey,
-               list_sort(string_split(p_name, ' ')) AS sorted,
-               list_sort(list_distinct(list_concat(string_split(p_name, ' '), ['widget']))) AS uni,
+               array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted,
+               array_to_string(list_sort(list_distinct(list_concat(string_split(p_name, ' '), ['widget']))), ',') AS uni,
                list_position(string_split(p_name, ' '), 'ring') AS pos,
-               list_reverse(string_split(p_name, ' ')) AS rev,
-               string_split(p_name, ' ')[1:1] AS first1,
+               array_to_string(list_reverse(string_split(p_name, ' ')), ',') AS rev,
+               array_to_string(string_split(p_name, ' ')[1:1], ',') AS first1,
                list_contains(string_split(p_name, ' '), 'bolt') AS has_bolt,
-               flatten([string_split(p_name, ' '), ['x']]) AS flat
+               array_to_string(flatten([string_split(p_name, ' '), ['x']]), ',') AS flat
         FROM part ORDER BY p_partkey""")),
 
     // ── Date arithmetic ────────────────────────────────────────────────
