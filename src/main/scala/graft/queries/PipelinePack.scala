@@ -37,17 +37,17 @@ object PipelinePack extends QueryPack {
         // near-dup pairs from the d03 pipeline; drop the higher id
         val dupDrop = graft.SparkEntry.queries("d03_minhash_lsh")(s, d)
           .select(col("db").as("drop_id")).distinct()
-        val kept = scored
-          .filter(col("quality_e4") >= qualityThreshold)
-          .join(broadcast(dupDrop), col("doc_id") === col("drop_id"), "left_anti")
-        scored.agg(count(lit(1)).as("n_docs")).crossJoin(
-          kept.agg(count(lit(1)).as("n_kept"),
-            sum(col("n_tokens")).as("kept_tokens")))
-          .crossJoin(scored.filter(col("quality_e4") < qualityThreshold)
-            .agg(count(lit(1)).as("n_low_quality")))
-          .crossJoin(dupDrop.agg(count(lit(1)).as("n_dup_docs")))
-          .select(col("n_docs"), col("n_kept"), col("n_low_quality"),
-            col("n_dup_docs"), col("kept_tokens"))
+        // one pass: flag each doc, aggregate every pipeline counter in a
+        // single job (vs. four separate aggregation jobs)
+        val keep = col("quality_e4") >= qualityThreshold && col("drop_id").isNull
+        scored
+          .join(broadcast(dupDrop), col("doc_id") === col("drop_id"), "left")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(keep, lit(1))).as("n_kept"),
+            count(when(col("quality_e4") < qualityThreshold, lit(1)))
+              .as("n_low_quality"),
+            count(col("drop_id")).as("n_dup_docs"),
+            sum(when(keep, col("n_tokens"))).as("kept_tokens"))
       },
       oracle = Some {
         // reuse the d03 oracle verbatim as the pair CTE
@@ -62,15 +62,13 @@ object PipelinePack extends QueryPack {
                       + least(n_chars, 500) * 5000.0 / 500.0) AS BIGINT) AS quality_e4
           FROM documents),
         pairs AS ($d03Sql),
-        dup_drop AS (SELECT DISTINCT db AS drop_id FROM pairs),
-        kept AS (SELECT * FROM scored
-                 WHERE quality_e4 >= $qualityThreshold
-                   AND doc_id NOT IN (SELECT drop_id FROM dup_drop))
-        SELECT (SELECT count(*) FROM scored) AS n_docs,
-               (SELECT count(*) FROM kept) AS n_kept,
-               (SELECT count(*) FROM scored WHERE quality_e4 < $qualityThreshold) AS n_low_quality,
-               (SELECT count(*) FROM dup_drop) AS n_dup_docs,
-               (SELECT sum(n_tokens) FROM kept) AS kept_tokens"""
+        dup_drop AS (SELECT DISTINCT db AS drop_id FROM pairs)
+        SELECT count(*) AS n_docs,
+               count(CASE WHEN quality_e4 >= $qualityThreshold AND drop_id IS NULL THEN 1 END) AS n_kept,
+               count(CASE WHEN quality_e4 < $qualityThreshold THEN 1 END) AS n_low_quality,
+               count(drop_id) AS n_dup_docs,
+               sum(CASE WHEN quality_e4 >= $qualityThreshold AND drop_id IS NULL THEN n_tokens END) AS kept_tokens
+        FROM scored LEFT JOIN dup_drop ON doc_id = drop_id"""
       },
       bench = true)
   )
