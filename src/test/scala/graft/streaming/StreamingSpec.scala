@@ -160,6 +160,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter($"s.n" =!= $"b.n").count() === 0)
   }
 
+  test("streaming word count over a reference-style text dir") {
+    // the reference's canonical job (wc over a directory of text files,
+    // reference submit.py:41-50) as a CONTINUOUS query: new files
+    // arriving in the input dir update the counts incrementally —
+    // inexpressible in the reference's batch-only model
+    val work = java.nio.file.Files.createTempDirectory("graft-swc")
+    val inDir = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def addFile(name: String, content: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inDir, name), content.getBytes("UTF-8"))
+    addFile("f1.txt", "the quick fox\nthe dog\n")
+    val counts = spark.readStream.text(inDir)
+      .select(explode(split($"value", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val q = counts.writeStream.format("memory").queryName("swc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("swc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(first === Map("the" -> 2L, "quick" -> 1L, "fox" -> 1L, "dog" -> 1L))
+      addFile("f2.txt", "the fox barks\n")
+      q.processAllAvailable()
+      val second = spark.table("swc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(second === Map("the" -> 3L, "quick" -> 1L, "fox" -> 2L,
+        "dog" -> 1L, "barks" -> 1L))
+    } finally q.stop()
+  }
+
   test("watermark drops data later than the allowed lateness") {
     val stream = MemoryStream[RawEvent](spark)
     val base = 1700000000000L
