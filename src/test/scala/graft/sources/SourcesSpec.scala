@@ -40,10 +40,10 @@ class SourcesSpec extends AnyFunSuite {
 
   test("hive-partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
-    Tables.orders(spark, sfDir)
-      .withColumn("order_year", year($"o_orderdate"))
-      .write.mode("overwrite").partitionBy("order_year")
-      .parquet(s"$dir/orders_by_year")
+    Layout.writePartitioned(
+      Tables.orders(spark, sfDir)
+        .withColumn("order_year", year($"o_orderdate")),
+      s"$dir/orders_by_year", "order_year")
 
     val pruned = spark.read.parquet(s"$dir/orders_by_year")
       .filter($"order_year" === 1996)
@@ -60,16 +60,11 @@ class SourcesSpec extends AnyFunSuite {
   test("bucketed tables join without a shuffle on either side") {
     val orders = Tables.orders(spark, sfDir)
     val lineitem = Tables.lineitem(spark, sfDir)
-    orders.write.mode("overwrite")
-      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("orders_bkt")
-    lineitem.write.mode("overwrite")
-      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("lineitem_bkt")
+    Layout.writeBucketed(orders, "orders_bkt", "o_orderkey", 4)
+    Layout.writeBucketed(lineitem, "lineitem_bkt", "l_orderkey", 4)
 
-    val joined = spark.table("orders_bkt")
-      .join(spark.table("lineitem_bkt"),
-        $"o_orderkey" === $"l_orderkey")
+    val joined = Layout.coLocatedJoin(spark, "orders_bkt", "lineitem_bkt",
+        "o_orderkey", "l_orderkey")
       .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
     joined.queryExecution.executedPlan.execute().count()
     val plan = joined.queryExecution.executedPlan.toString
