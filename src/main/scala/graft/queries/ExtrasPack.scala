@@ -265,6 +265,32 @@ object ExtrasPack extends QueryPack {
                array_to_string(flatten([string_split(p_name, ' '), ['x']]), ',') AS flat
         FROM part ORDER BY p_partkey""")),
 
+    // ── Correlated scalar subquery ─────────────────────────────────────
+    // each customer's most expensive order(s): the correlated max is
+    // decorrelated by Catalyst into an aggregate + join
+    "q30_correlated_subquery" -> Q(
+      run = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q30_orders")
+        s.sql("""
+          SELECT o_custkey, o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM q30_orders o
+          WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                                FROM q30_orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+            AND o_custkey < 300
+          ORDER BY o_custkey, o_orderkey""")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+          AND o_custkey < 300
+        ORDER BY o_custkey, o_orderkey""")),
+
     // ── Date arithmetic ────────────────────────────────────────────────
     "q26_date_fns" -> Q(
       run = (s, d) =>

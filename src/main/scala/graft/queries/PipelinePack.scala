@@ -70,6 +70,44 @@ object PipelinePack extends QueryPack {
                sum(CASE WHEN quality_e4 >= $qualityThreshold AND drop_id IS NULL THEN n_tokens END) AS kept_tokens
         FROM scored LEFT JOIN dup_drop ON doc_id = drop_id"""
       },
-      bench = true)
+      bench = true),
+
+    // ── Materialized deduped corpus: the surviving doc ids ─────────────
+    // the write-side twin of p01's counters — what a corpus-prep job
+    // actually emits (here the id list; at scale, the filtered rows to
+    // a partitioned sink via graft.sources.Layout)
+    "p02_kept_ids" -> Q(
+      run = (s, d) => {
+        val toks = split(col("text"), " ")
+        val nStop = size(filter(toks, t => t.isin(stop: _*)))
+        val quality = round(nStop * lit(5000.0) / size(toks)
+          + least(col("n_chars"), lit(500)) * lit(5000.0) / lit(500.0), 0)
+          .cast("long")
+        val dupDrop = graft.SparkEntry.queries("d03_minhash_lsh")(s, d)
+          .select(col("db").as("drop_id")).distinct()
+        Tables.documents(s, d)
+          .select(col("doc_id"), quality.as("quality_e4"))
+          .filter(col("quality_e4") >= qualityThreshold)
+          .join(broadcast(dupDrop), col("doc_id") === col("drop_id"), "left_anti")
+          .select(col("doc_id"), col("quality_e4"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val d03Sql = DedupPack.queries
+          .collectFirst { case ("d03_minhash_lsh", q) => q.oracle.get }.get
+        s"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(round(len(list_filter(string_split(text, ' '),
+                        t -> t IN ($sqlStop))) * 5000.0
+                        / len(string_split(text, ' '))
+                      + least(n_chars, 500) * 5000.0 / 500.0) AS BIGINT) AS quality_e4
+          FROM documents),
+        pairs AS ($d03Sql)
+        SELECT doc_id, quality_e4 FROM scored
+        WHERE quality_e4 >= $qualityThreshold
+          AND doc_id NOT IN (SELECT DISTINCT db FROM pairs)
+        ORDER BY doc_id"""
+      })
   )
 }
