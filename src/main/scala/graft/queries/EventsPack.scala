@@ -41,7 +41,7 @@ object EventsPack extends QueryPack {
       oracle = Some("""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, count(*) AS n,
-               sum(CAST(round((value)*100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
       bench = true),
 
@@ -96,8 +96,8 @@ object EventsPack extends QueryPack {
           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         sessions AS (
           SELECT user_id, us,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
           FROM flagged)
         SELECT user_id, sess_id, count(*) AS n_events,
                min(us) AS start_us, max(us) - min(us) AS dur_us
@@ -116,7 +116,7 @@ object EventsPack extends QueryPack {
       oracle = Some("""
         SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS kmod,
                count(*) AS n,
-               sum(CAST(round((value)*100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1 ORDER BY kmod""")),
 
     // ── As-of join: latest order at-or-before each event ───────────────

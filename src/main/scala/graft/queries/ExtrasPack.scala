@@ -65,9 +65,9 @@ object ExtrasPack extends QueryPack {
           .orderBy("l_linestatus"),
       oracle = Some("""
         SELECT l_linestatus,
-               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'A') AS "A",
-               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'N') AS "N",
-               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'R') AS "R"
+               CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'A') AS BIGINT) AS "A",
+               CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'N') AS BIGINT) AS "N",
+               CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'R') AS BIGINT) AS "R"
         FROM lineitem GROUP BY 1 ORDER BY l_linestatus""")),
 
     // ── SQL surface: scalar + IN subqueries ────────────────────────────
@@ -151,8 +151,8 @@ object ExtrasPack extends QueryPack {
                     WHEN ka IS NOT NULL THEN 'left_only'
                     ELSE 'right_only' END AS category,
                count(*) AS n_cust,
-               sum(coalesce(na, 0)) AS urgent_orders,
-               sum(coalesce(nb, 0)) AS low_orders
+               CAST(sum(coalesce(na, 0)) AS BIGINT) AS urgent_orders,
+               CAST(sum(coalesce(nb, 0)) AS BIGINT) AS low_orders
         FROM a FULL JOIN b ON ka = kb
         GROUP BY 1 ORDER BY category""")),
 
@@ -205,7 +205,7 @@ object ExtrasPack extends QueryPack {
                nullif(o_orderstatus, 'P') AS status_nulled,
                CASE WHEN o_orderkey IS NOT NULL THEN 'has' ELSE 'none' END AS tag,
                count(*) AS n,
-               sum(CASE WHEN coalesce(o_orderkey, -1) = -1 THEN 1 ELSE 0 END) AS n_defaulted
+               CAST(sum(CASE WHEN coalesce(o_orderkey, -1) = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
         FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
           ON c_custkey = o_custkey
         GROUP BY 1, 2, 3 ORDER BY no_pending, tag""")),

@@ -67,7 +67,7 @@ object PipelinePack extends QueryPack {
                count(CASE WHEN quality_e4 >= $qualityThreshold AND drop_id IS NULL THEN 1 END) AS n_kept,
                count(CASE WHEN quality_e4 < $qualityThreshold THEN 1 END) AS n_low_quality,
                count(drop_id) AS n_dup_docs,
-               sum(CASE WHEN quality_e4 >= $qualityThreshold AND drop_id IS NULL THEN n_tokens END) AS kept_tokens
+               CAST(sum(CASE WHEN quality_e4 >= $qualityThreshold AND drop_id IS NULL THEN n_tokens END) AS BIGINT) AS kept_tokens
         FROM scored LEFT JOIN dup_drop ON doc_id = drop_id"""
       },
       bench = true),

@@ -50,9 +50,9 @@ object RelationalPack extends QueryPack {
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS sum_base_cents,
-               sum(CAST(round((l_extendedprice*(1.0-l_discount))*10000) AS BIGINT)) AS sum_disc_price_e4,
-               sum(CAST(round((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*1000000) AS BIGINT)) AS sum_charge_e6,
+               CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round((l_extendedprice*(1.0-l_discount))*10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+               CAST(sum(CAST(round((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
                sum(l_quantity)/count(*) AS avg_qty,
                CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_price,
                count(*) AS count_order
@@ -74,7 +74,7 @@ object RelationalPack extends QueryPack {
             sum(e4(col("l_extendedprice") * col("l_discount"))).as("revenue_e4"),
             count(lit(1)).as("n_rows")),
       oracle = Some("""
-        SELECT sum(CAST(round((l_extendedprice*l_discount)*10000) AS BIGINT)) AS revenue_e4,
+        SELECT CAST(sum(CAST(round((l_extendedprice*l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -110,7 +110,7 @@ object RelationalPack extends QueryPack {
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority,
-               sum(CAST(round((l_extendedprice*(1.0-l_discount))*10000) AS BIGINT)) AS revenue_e4
+               CAST(sum(CAST(round((l_extendedprice*(1.0-l_discount))*10000) AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
@@ -139,7 +139,7 @@ object RelationalPack extends QueryPack {
       },
       oracle = Some("""
         SELECT r_name, count(*) AS n_cust,
-               sum(CAST(round((c_acctbal)*100) AS BIGINT)) AS acctbal_cents
+               CAST(sum(CAST(round((c_acctbal)*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         FROM customer, nation, region
         WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""")),
@@ -234,7 +234,7 @@ object RelationalPack extends QueryPack {
         SELECT coalesce(r_name, 'ALL') AS region,
                coalesce(n_name, 'ALL') AS nation,
                count(*) AS n_cust,
-               sum(CAST(round((c_acctbal)*100) AS BIGINT)) AS acctbal_cents
+               CAST(sum(CAST(round((c_acctbal)*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         FROM customer, nation, region
         WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
@@ -255,7 +255,7 @@ object RelationalPack extends QueryPack {
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n,
-               sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY status, priority""")),
@@ -363,7 +363,7 @@ object RelationalPack extends QueryPack {
       oracle = Some("""
         SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q,
                count(*) AS n,
-               sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders GROUP BY 1, 2 ORDER BY y, q""")),
 
     // ── Conditional aggregation (CASE WHEN inside agg) ─────────────────
@@ -380,9 +380,9 @@ object RelationalPack extends QueryPack {
           .orderBy("l_returnflag"),
       oracle = Some("""
         SELECT l_returnflag,
-               sum(CASE WHEN l_discount > 0.05
+               CAST(sum(CASE WHEN l_discount > 0.05
                         THEN CAST(round((l_extendedprice*(1.0-l_discount))*10000) AS BIGINT)
-                        ELSE 0 END) AS hi_disc_rev_e4,
+                        ELSE 0 END) AS BIGINT) AS hi_disc_rev_e4,
                count(CASE WHEN l_quantity >= 30 THEN 1 END) AS n_bulk,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
@@ -407,7 +407,7 @@ object RelationalPack extends QueryPack {
       },
       oracle = Some("""
         SELECT bucket, count(*) AS n,
-               sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         JOIN (VALUES ('b0_lt10k', 0.0, 10000.0), ('b1_10k_50k', 10000.0, 50000.0),
                      ('b2_50k_100k', 50000.0, 100000.0), ('b3_100k_200k', 100000.0, 200000.0),

@@ -57,7 +57,7 @@ object TypedPack extends QueryPack {
       },
       oracle = Some("""
         SELECT l_returnflag, count(*) AS n,
-               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS price_cents
+               CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS price_cents
         FROM lineitem WHERE l_quantity > 10
         GROUP BY 1 ORDER BY l_returnflag""")),
 
@@ -76,7 +76,7 @@ object TypedPack extends QueryPack {
       },
       oracle = Some("""
         SELECT l_returnflag,
-               sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS price_cents
+               CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS price_cents
         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

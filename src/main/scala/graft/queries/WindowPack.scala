@@ -109,7 +109,7 @@ object WindowPack extends QueryPack {
       },
       oracle = Some("""
         SELECT decile, count(*) AS n,
-               sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM (SELECT o_totalprice,
                      ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
               FROM orders)

@@ -20,13 +20,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(norm(r[i]) for i in order))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [sorted(cols)] + out
+    # Column TYPES participate in the compare, normalized to the families the
+    # driver's value-hash actually distinguishes. Round-2 evidence: queries
+    # with Spark INTEGER vs oracle BIGINT passed the driver (int widths
+    # collapse to the same Python/arrow value repr) while every un-cast
+    # integer sum() — DuckDB HUGEINT — failed. So int widths merge into one
+    # family; HUGEINT and DECIMAL stay distinct.
+    return [sorted(cols), [fam(types[i]) for i in order]] + out
+
+
+def fam(t):
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    if s in ("FLOAT", "DOUBLE"):
+        return "FLOAT"
+    return s
 
 
 def norm(v):
@@ -53,30 +69,32 @@ def main():
     for name in sorted(p.name for p in out_dir.iterdir() if p.is_dir()):
         got_rel = con.query(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        got = canon(got_rel.fetchall(), got_rel.columns)
+        got = canon(got_rel.fetchall(), got_rel.columns, got_rel.types)
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows-only check), "
-                  f"rows={len(got)-1}")
+                  f"rows={len(got)-2}")
             continue
         try:
             exp_rel = con.query(oracle[name])
-            exp = canon(exp_rel.fetchall(), exp_rel.columns)
+            exp = canon(exp_rel.fetchall(), exp_rel.columns, exp_rel.types)
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
         if got == exp:
-            print(f"  ✓ {name} ({len(got)-1} rows)")
+            print(f"  ✓ {name} ({len(got)-2} rows)")
             n_pass += 1
         else:
             n_fail += 1
-            print(f"  ✗ {name}: MISMATCH got {len(got)-1} rows, "
-                  f"exp {len(exp)-1} rows")
+            print(f"  ✗ {name}: MISMATCH got {len(got)-2} rows, "
+                  f"exp {len(exp)-2} rows")
             if got[0] != exp[0]:
                 print(f"      cols got={got[0]} exp={exp[0]}")
+            elif got[1] != exp[1]:
+                print(f"      types got={got[1]} exp={exp[1]}")
             else:
                 shown = 0
-                for i in range(1, min(len(got), len(exp))):
+                for i in range(2, min(len(got), len(exp))):
                     if got[i] != exp[i] and shown < 3:
                         print(f"      row{i} got={got[i]}")
                         print(f"      row{i} exp={exp[i]}")
