@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -98,4 +98,73 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** `cosine_similarity(x, x)` collapsed to one array read and one
+  * accumulator — the target of [[FoldSelfCosine]].
+  *
+  * Bit-exactness: in `CosineSimilarity(x, x)` all three accumulators
+  * (dot, ‖a‖², ‖b‖²) run the identical IEEE sequence `s += xi*xi` in
+  * index order, so dot == na == nb == s exactly and the result is
+  * `s/√s/√s` — which is what this computes. That preserves every edge
+  * case of the binary form: zero vector or empty array → 0/0 = NaN,
+  * NaN/∞ elements propagate, null input → null. (A fold to literal 1.0
+  * would be wrong in all those cases — and even for ordinary vectors,
+  * `s/√s/√s` is 1-ulp below 1.0 about half the time.)
+  */
+case class SelfCosine(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "self_cosine"
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val t = elemType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = t match {
+        case FloatType => x.getFloat(i).toDouble
+        case _         => x.getDouble(i)
+      }
+      s += xi * xi
+      i += 1
+    }
+    s / math.sqrt(s) / math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = elemType match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _         => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        final int $n = $a.numElements();
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          final double x = ${get(a, i)};
+          $s += x * x;
+        }
+        ${ev.value} = $s / Math.sqrt($s) / Math.sqrt($s);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SelfCosine =
+    copy(child = newChild)
 }

@@ -22,8 +22,9 @@ import graft.Tables
   *     shingles blow up quadratically at scale — d03 (MinHash+LSH) is
   *     the scale path: candidate pairs only within equal (band, key)
   *     buckets, tunable false-positive rate, one shuffle per stage.
-  *   - d04 SimHash reduces each doc to one 16-bit int; at scale the
-  *     pair stage joins on bucket prefixes instead of all-pairs.
+  *   - d04 SimHash reduces each doc to one 32-bit int; the pair stage
+  *     equi-joins on 3 pigeonhole bands (hamming ≤ 2 ⇒ ≥1 equal band),
+  *     never all-pairs.
   *   - d05 is the brute-force O(n²) baseline over embeddings; the
   *     bucketed ANN in SimilarityPack (s03) is its scale path.
   */
@@ -207,9 +208,27 @@ object DedupPack extends QueryPack {
           when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _)
         val sh = bits.select(col("doc_id"), h.as("h"))
-        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        // Banded candidate generation (pigeonhole): split the 32-bit hash
+        // into 3 disjoint bands (11+11+10 bits). A pair within hamming ≤ 2
+        // differs in at most 2 bands, so it MUST agree exactly on at least
+        // one — candidates are an equi-join on (band, key), a plain
+        // shuffle join, not the all-pairs cartesian the naive a.id < b.id
+        // formulation plans (BroadcastNestedLoop over n²/2 — the textbook
+        // scale-killer at 100 TB). Exact hamming then verifies.
+        val bandExprs = Seq((0, 11), (11, 11), (22, 10)).zipWithIndex.map {
+          case ((off, len), i) =>
+            struct(lit(i).as("band"),
+              shiftright(col("h"), off).bitwiseAND(lit((1L << len) - 1))
+                .as("key"))
+        }
+        val bands = sh.select(col("doc_id"), col("h"),
+          explode(array(bandExprs: _*)).as("bk"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
             expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
+          .distinct()
           .filter(col("hamming") <= 2)
           .orderBy("da", "db")
       },

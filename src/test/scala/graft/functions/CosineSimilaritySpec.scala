@@ -67,18 +67,51 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(0)))
   }
 
-  test("optimizer rule folds self-similarity to a literal") {
+  test("optimizer rule rewrites self-similarity to the unary kernel") {
     GraftFunctions.register(spark)
-    val df = Seq(Array(1.0, 2.0)).toDF("a")
-      .select(col("a")) // non-nullable array attribute
+    // spark.range (not a LocalRelation) so ConvertToLocalRelation can't
+    // eagerly evaluate the rewritten expression out of the plan
+    val df = spark.range(3)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"))
     val selfSim = df.select(
       GraftFunctions.cosineSimilarity(col("a"), col("a")).as("c"))
     val optimized = selfSim.queryExecution.optimizedPlan.toString
-    if (!df.schema("a").nullable) {
-      assert(optimized.contains("1.0"), optimized)
-      assert(!optimized.contains("cosine_similarity"), optimized)
+    assert(optimized.contains("self_cosine"), optimized)
+    assert(!optimized.contains("cosine_similarity"), optimized)
+  }
+
+  test("self-similarity rewrite is bit-identical to the binary form") {
+    GraftFunctions.register(spark)
+    // block the rule on one side by aliasing through a trivial transform,
+    // so we compare rewritten vs un-rewritten evaluations of the same data
+    val df = Seq(
+      Array(1.0, 2.0, 3.0),
+      Array(0.3, -0.7, 1e-8),
+      Array(1e154, 1e154),          // na overflows to Inf → Inf/Inf = NaN
+      Array(0.0, 0.0, 0.0),         // zero norm → 0/0 = NaN
+      Array.empty[Double],          // empty → 0/0 = NaN
+      Array(Double.NaN, 1.0)).toDF("a")
+    val rewritten = df.select(
+      GraftFunctions.cosineSimilarity(col("a"), col("a")).as("c")).collect()
+    val unrewritten = df
+      .select(col("a"), transform(col("a"), x => x).as("b"))
+      .select(GraftFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+      .collect()
+    rewritten.zip(unrewritten).foreach { case (r, u) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(u.getDouble(0)))
     }
-    assert(selfSim.collect().head.getDouble(0) === 1.0)
+    // zero-norm, empty, and NaN-element vectors must all be NaN, not 1.0
+    assert(rewritten.drop(2).forall(r => r.getDouble(0).isNaN))
+  }
+
+  test("self-similarity of a null vector stays null after the rewrite") {
+    GraftFunctions.register(spark)
+    val df = Seq(Some(Array(1.0, 2.0)), None).toDF("a")
+    val rows = df.select(
+      GraftFunctions.cosineSimilarity(col("a"), col("a")).as("c")).collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
   }
 
   test("usable from SQL after registration") {

@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final HashAggregate pair")
   }
 
+  test("d04: simhash pair stage is a banded equi-join, not a cartesian") {
+    val p = planOf("d04_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "d04 candidate stage degraded to all-pairs BNLJ")
+    assert(!p.contains("CartesianProduct"),
+      "d04 candidate stage degraded to a cartesian product")
+  }
+
   test("s04: native cosine expression sits inside whole-stage codegen") {
     val p = planOf("s04_cosine_topk_native")
     assert(p.contains("cosine_similarity"), p.take(500))
