@@ -14,12 +14,12 @@ import graft.Tables
   * there. Here each is a Catalyst `WindowExec` over an explicit
   * partition/order spec.
   *
-  * Scale posture: every window below is partitioned by a high-cardinality
-  * key (custkey/suppkey/partkey), so the shuffle distributes evenly and
-  * no executor materializes more than one key group's frame; the two
-  * global-order windows (ntile/percent_rank) are single-partition by
-  * nature and documented as such — at 100 TB those would move to a
-  * range-partitioned two-pass rank.
+  * Scale posture: every per-key window below is partitioned by a
+  * high-cardinality key (custkey/suppkey/partkey), so the shuffle
+  * distributes evenly and no executor materializes more than one key
+  * group's frame; the two global-order queries (ntile/percent_rank) go
+  * through [[graft.operators.GlobalRank]] — the range-partitioned
+  * two-pass rank — so no stage anywhere in this pack is single-partition.
   *
   * Oracle parity: deterministic total orderings everywhere (ties broken
   * by unique keys); money as scaled ints; window frames written
@@ -97,16 +97,17 @@ object WindowPack extends QueryPack {
         ORDER BY o_custkey, o_orderkey""")),
 
     // ── ntile deciles over a global order ──────────────────────────────
+    // via the range-partitioned two-pass rank (graft.operators.GlobalRank)
+    // — a bare Window.orderBy here would plan a single-partition
+    // WindowExec, the one stage that cannot scale past one executor
     "w04_ntile_deciles" -> Q(
-      run = (s, d) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables.orders(s, d)
-          .withColumn("decile", ntile(10).over(w))
+      run = (s, d) =>
+        graft.operators.GlobalRank.withNtile(Tables.orders(s, d),
+            Seq(col("o_totalprice"), col("o_orderkey")), 10, "decile")
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"),
             sum(cents(col("o_totalprice"))).as("total_cents"))
-          .orderBy("decile")
-      },
+          .orderBy("decile"),
       oracle = Some("""
         SELECT decile, count(*) AS n,
                CAST(sum(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
@@ -140,16 +141,16 @@ object WindowPack extends QueryPack {
         ORDER BY l_partkey""")),
 
     // ── percent_rank / cume_dist ───────────────────────────────────────
+    // two-pass global rank again: pr/cd are arithmetic on (rank, n) under
+    // a duplicate-free ordering, identical to WindowExec's own formulas
     "w06_percentiles" -> Q(
-      run = (s, d) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        Tables.customer(s, d)
-          .filter(col("c_custkey") < 300)
-          .select(col("c_custkey"),
-            percent_rank().over(w).as("pr"),
-            cume_dist().over(w).as("cd"))
-          .orderBy("c_custkey")
-      },
+      run = (s, d) =>
+        graft.operators.GlobalRank.withPercentiles(
+            Tables.customer(s, d).filter(col("c_custkey") < 300),
+            Seq(col("c_acctbal"), col("c_custkey")),
+            percentRankCol = Some("pr"), cumeDistCol = Some("cd"))
+          .select(col("c_custkey"), col("pr"), col("cd"))
+          .orderBy("c_custkey"),
       oracle = Some("""
         SELECT c_custkey,
                percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr,
