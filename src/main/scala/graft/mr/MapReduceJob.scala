@@ -68,13 +68,43 @@ object MapReduceJob {
       .repartitionAndSortWithinPartitions(new Md5Partitioner(numReducers))
       .map(_._1)
 
-  /** Full executable-contract job (the reference CLI's semantics). */
+  /** O1 variant — one RDD partition per input file (sorted by name), so
+    * `pipe` spawns the mapper executable exactly once per file: the
+    * reference's invocation granularity (worker/__main__.py:126-133).
+    * The default [[inputRdd]] pipes once per PARTITION — identical output
+    * only for line-stateless mappers (a big file split across partitions
+    * would run a stateful mapper more than once; two small files in one
+    * partition would run it once for both). Use this mode when the
+    * mapper carries cross-line state (e.g. `awk END{...}` counters). */
+  def inputRddPerFile(spark: SparkSession, inputDir: String): RDD[String] = {
+    val files = listSorted(Paths.get(inputDir))
+    if (files.isEmpty) spark.sparkContext.emptyRDD[String]
+    else spark.sparkContext.union(
+      files.map(f => spark.sparkContext.textFile(f.toString).coalesce(1)))
+  }
+
+  /** Full executable-contract job (the reference CLI's semantics).
+    *
+    * @param perFileMapper spawn the mapper once per input file
+    *                      ([[inputRddPerFile]]) instead of once per
+    *                      partition — exact reference granularity for
+    *                      stateful mappers
+    * @param committerSink commit output through Hadoop's
+    *                      FileOutputCommitter ([[writePartFilesCommitter]])
+    *                      instead of the local/shared-FS move sink
+    */
   def runExe(spark: SparkSession, inputDir: String, outputDir: String,
       mapperExe: String, reducerExe: String,
-      numMappers: Int = 2, numReducers: Int = 2): Unit = {
-    val mapped = inputRdd(spark, inputDir, numMappers).pipe(mapperExe)
+      numMappers: Int = 2, numReducers: Int = 2,
+      perFileMapper: Boolean = false,
+      committerSink: Boolean = false): Unit = {
+    val input =
+      if (perFileMapper) inputRddPerFile(spark, inputDir)
+      else inputRdd(spark, inputDir, numMappers)
+    val mapped = input.pipe(mapperExe)
     val reduced = shuffleSort(mapped, numReducers).pipe(reducerExe)
-    writePartFiles(reduced, outputDir)
+    if (committerSink) writePartFilesCommitter(reduced, outputDir)
+    else writePartFiles(reduced, outputDir)
   }
 
   /** Typed twin: per-line mapper + sorted-run reducer, no shell needed.
@@ -112,6 +142,27 @@ object MapReduceJob {
       val p = out.resolve(f"part-$i%05d")
       if (!Files.exists(p)) Files.createFile(p)
     }
+  }
+
+  /** O7, cluster-safe mode — write through Hadoop's FileOutputCommitter
+    * (`saveAsTextFile`): each task writes under `_temporary/<attempt>/`
+    * and the committer renames into place on task commit, which is
+    * correct on ANY Hadoop filesystem with speculative/retried tasks.
+    * The local-move sink above mirrors the reference's driver-side
+    * move-into-place (manager/__main__.py:358-361; worker/__main__.py:
+    * 183-185) and is only valid when driver and executors share a
+    * filesystem — fine on local[n], wrong on a real cluster.
+    *
+    * Hadoop's TextOutputFormat already names outputs `part-%05d`, the
+    * reference's exact naming; the `_SUCCESS` marker is removed so the
+    * output dir layout matches the reference's (part files only). */
+  def writePartFilesCommitter(reduced: RDD[String], outputDir: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(outputDir)
+    val fs = hPath.getFileSystem(reduced.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) fs.delete(hPath, true) // O7 overwrite semantics
+    fs.setWriteChecksum(false) // no .crc sidecars in the output layout
+    reduced.saveAsTextFile(outputDir)
+    fs.delete(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"), false)
   }
 
   private def listSorted(dir: Path): Seq[Path] =

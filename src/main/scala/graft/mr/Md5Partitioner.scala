@@ -21,6 +21,19 @@ import org.apache.spark.Partitioner
   * while sorting (done by `repartitionAndSortWithinPartitions` with the
   * natural String ordering) uses the full line — exactly the reference's
   * split: md5 on the key field, `sort`/`heapq.merge` on whole lines.
+  *
+  * Byte-parity caveats (placement parity is exact; whole-FILE parity has
+  * two edge cases): the reference worker iterates mapper stdout with the
+  * trailing newline still attached, so a TAB-LESS line hashes
+  * `line + "\n"` there but `line` here — such lines can land in a
+  * different part file (tabbed lines are unaffected: the key stops at
+  * the TAB either way). And the reference sorts lines WITH their
+  * trailing newline, so when one line is a strict prefix of another and
+  * the longer one continues with a char below '\n' — i.e. a TAB, as in
+  * "a" vs "a\tb" — the reference orders "a\tb\n" < "a\n" ('\t' < '\n')
+  * while we order "a" < "a\tb". Both cases require tab-less mapper
+  * output, outside the wordcount-style `key\tvalue` contract; content
+  * equivalence holds regardless.
   */
 class Md5Partitioner(override val numPartitions: Int) extends Partitioner {
   require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")

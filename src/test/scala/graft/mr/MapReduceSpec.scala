@@ -191,4 +191,130 @@ class MapReduceJobSpec extends AnyFunSuite {
     val parts = readPartFiles(out)
     assert(parts.keySet === Set("part-00000", "part-00001"))
   }
+
+  test("committer sink: identical output to the local sink, reference layout") {
+    val in = tmpDir("mr-cmt-in")
+    writeFile(in, "f1.txt", "the quick brown fox\nthe lazy dog\n")
+    writeFile(in, "f2.txt", "the dog barks\n")
+    val exeDir = tmpDir("mr-cmt-exe")
+    val mapExe = writeExe(exeDir, "wc_map.sh", wcMap)
+    val redExe = writeExe(exeDir, "wc_reduce.sh", wcReduce)
+
+    val outLocal = tmpDir("mr-cmt-local")
+    val outCommit = tmpDir("mr-cmt-fs")
+    writeFile(outCommit, "stale-file", "leftover\n") // overwrite semantics too
+    MapReduceJob.runExe(spark, in.toString, outLocal.toString, mapExe, redExe,
+      numMappers = 2, numReducers = 3)
+    MapReduceJob.runExe(spark, in.toString, outCommit.toString, mapExe, redExe,
+      numMappers = 2, numReducers = 3, committerSink = true)
+
+    // byte-identical part files, no _SUCCESS/_temporary/crc residue
+    assert(readPartFiles(outCommit) === readPartFiles(outLocal))
+    val names = Files.list(outCommit).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names === Set("part-00000", "part-00001", "part-00002"))
+  }
+
+  test("per-file mapper mode runs a stateful mapper once per input file") {
+    // a mapper with cross-line state: emits ONE line-count line per
+    // invocation — under the reference contract (one process per input
+    // file, worker/__main__.py:126-133) that's one count per file
+    val in = tmpDir("mr-pf-in")
+    writeFile(in, "a.txt", "l1\nl2\nl3\n")
+    writeFile(in, "b.txt", "l1\n")
+    writeFile(in, "c.txt", "l1\nl2\n")
+    val exeDir = tmpDir("mr-pf-exe")
+    val countExe = writeExe(exeDir, "count.sh",
+      "#!/bin/sh\nawk 'END { print \"files\\t\" NR }'\n")
+
+    val perFile = MapReduceJob.inputRddPerFile(spark, in.toString)
+      .pipe(countExe).collect().sorted
+    assert(perFile === Seq("files\t1", "files\t2", "files\t3"))
+
+    // the divergence the mode exists for: pipe granularity is otherwise
+    // the PARTITION — the same single file split across 3 partitions
+    // runs the stateful mapper 3 times (impossible under the reference)
+    val big = tmpDir("mr-pf-big")
+    writeFile(big, "big.txt", (1 to 90).map(i => s"line$i").mkString("", "\n", "\n"))
+    val split = spark.sparkContext
+      .textFile(big.resolve("big.txt").toString, 3)
+      .pipe(countExe).collect()
+    assert(split.length === 3, "expected the split file to pipe per partition")
+    assert(split.map(_.split("\t")(1).toInt).sum === 90)
+    // whereas per-file mode keeps it one invocation
+    val whole = MapReduceJob.inputRddPerFile(spark, big.toString)
+      .pipe(countExe).collect()
+    assert(whole === Array("files\t90"))
+  }
+}
+
+class MapReduceDriverSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def tmpDir(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  def writeFile(dir: Path, name: String, content: String): Unit =
+    Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+
+  def writeExe(dir: Path, name: String, script: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, script.getBytes(StandardCharsets.UTF_8))
+    p.toFile.setExecutable(true)
+    p.toString
+  }
+
+  val identityExe = "#!/bin/sh\ncat\n"
+
+  test("FIFO queue: monotonic ids, serial in-order execution, job chaining") {
+    val exeDir = tmpDir("drv-exe")
+    val cat = writeExe(exeDir, "cat.sh", identityExe)
+    val upper = writeExe(exeDir, "upper.sh", "#!/bin/sh\ntr 'a-z' 'A-Z'\n")
+
+    val in = tmpDir("drv-in")
+    writeFile(in, "f.txt", "b\ta\na\tb\n")
+    val mid = tmpDir("drv-mid").resolve("out")
+    val out = tmpDir("drv-out").resolve("out")
+
+    val driver = new MapReduceDriver(spark)
+    // job 1 reads job 0's output — only correct under FIFO serial order
+    val id0 = driver.submit(MrJob(in.toString, mid.toString, cat, cat,
+      numReducers = 2))
+    val id1 = driver.submit(MrJob(mid.toString, out.toString, upper, cat,
+      numReducers = 2))
+    assert((id0, id1) === ((0, 1)))
+    assert(driver.pending === Seq(0, 1))
+
+    assert(driver.runPending() === Seq(0, 1))
+    assert(driver.completed === Seq(0, 1))
+    assert(driver.failed.isEmpty)
+    assert(driver.pending.isEmpty)
+
+    val lines = Files.list(out).iterator().asScala.toSeq
+      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
+    assert(lines.sorted === Seq("A\tB", "B\tA"))
+
+    // ids keep increasing across drains (reference job_id counter)
+    val id2 = driver.submit(MrJob(in.toString,
+      tmpDir("drv-out2").resolve("o").toString, cat, cat))
+    assert(id2 === 2)
+    assert(driver.runPending() === Seq(2))
+  }
+
+  test("a failing job reports failed and does not block later jobs") {
+    val exeDir = tmpDir("drv-f-exe")
+    val cat = writeExe(exeDir, "cat.sh", identityExe)
+    val boom = writeExe(exeDir, "boom.sh", "#!/bin/sh\nexit 3\n")
+
+    val in = tmpDir("drv-f-in")
+    writeFile(in, "f.txt", "x\t1\n")
+
+    val driver = new MapReduceDriver(spark)
+    val bad = driver.submit(MrJob(in.toString,
+      tmpDir("drv-f-o1").resolve("o").toString, boom, cat))
+    val good = driver.submit(MrJob(in.toString,
+      tmpDir("drv-f-o2").resolve("o").toString, cat, cat))
+    driver.runPending()
+    assert(driver.failed.map(_._1) === Seq(bad))
+    assert(driver.completed === Seq(good))
+  }
 }
