@@ -30,22 +30,31 @@ object Bench {
     val names = SparkEntry.benchQueries
     // Warm-up: JVM JIT / codegen / parquet-footer startup, untimed —
     // each query shape pays 1-3s of Janino+JIT on first execution.
+    // Failures are tolerated here; the measured loop reports them.
     names.foreach(n => try force(n) catch { case _: Throwable => () })
 
     // min of three measured runs: the box hosting local[32] sees external
-    // load spikes; min is the steady-state number.
+    // load spikes; min is the steady-state number. A query that throws is
+    // reported as -1, excluded from the total, and named in "failed" —
+    // never silently timed as a fast "success".
     val results = names.map { name =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try force(name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { force(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    if (results.exists(_._2 < 0)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

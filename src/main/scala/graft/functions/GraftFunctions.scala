@@ -19,11 +19,15 @@ object GraftFunctions {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "jaccard_e4" -> (es => JaccardE4(es(0), es(1))))
 
-  /** Idempotently register graft functions + optimizer rules on `spark`. */
+  /** Idempotently register graft functions + optimizer rules on `spark`.
+    * Quiet on re-entry: query packs call this per invocation, and
+    * re-replacing an already-present function spams a
+    * `SimpleFunctionRegistry ... replaced` warning per call. */
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      val registry = spark.sessionState.functionRegistry
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(FoldSelfCosine))
