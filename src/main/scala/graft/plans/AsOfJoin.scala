@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    maxLag: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,8 +53,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, lag) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, lag) :: Nil
     case _ => Nil
   }
 }
@@ -61,7 +62,8 @@ object AsOfJoinStrategy extends Strategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    maxLag: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -93,6 +95,11 @@ case class AsOfJoinExec(
 
       var cand: InternalRow = null
       var candKey = 0L
+      var candTs = 0L
+      // interval mode: a candidate older than maxLag below the left ts
+      // does not match (the latest right row ≤ ts is the ONLY possible
+      // in-window match, so one lag check decides)
+      val lag = maxLag.getOrElse(Long.MaxValue)
 
       lIt.map { l =>
         val k = lk.eval(l).asInstanceOf[Long]
@@ -104,10 +111,14 @@ case class AsOfJoinExec(
           val hk = rk.eval(head).asInstanceOf[Long]
           if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] <= ts)) {
             val r = rb.next()
-            if (hk == k) { cand = r.copy(); candKey = hk }
+            if (hk == k) {
+              cand = r.copy(); candKey = hk
+              candTs = rt.eval(cand).asInstanceOf[Long]
+            }
           } else advancing = false
         }
-        project(joined(l, if (cand != null) cand else nullRight))
+        val matched = cand != null && ts - candTs <= lag
+        project(joined(l, if (matched) cand else nullRight))
       }
     }
   }
@@ -128,10 +139,15 @@ object AsOfJoinOps {
 
   /** As-of join `left` with `right`: equal `key`, greatest right `ts`
     * ≤ left `ts`. Columns are named (resolved against each side's
-    * analyzed output) and must be long-typed. */
+    * analyzed output) and must be long-typed.
+    *
+    * `maxLag` (same unit as the ts columns) switches to the INTERVAL
+    * as-of: a right row only matches within `[ts - maxLag, ts]` — the
+    * tolerance form of pandas `merge_asof` / DuckDB's windowed as-of. */
   def asof(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      maxLag: Option[Long] = None): DataFrame = {
     register(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
@@ -141,6 +157,6 @@ object AsOfJoinOps {
           s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
     GraftSqlBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTs), attr(rPlan, rightTs)))
+      attr(lPlan, leftTs), attr(rPlan, rightTs), maxLag))
   }
 }

@@ -187,6 +187,39 @@ object EventsPack extends QueryPack {
         ASOF LEFT JOIN o2
           ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
         ORDER BY e.event_id"""),
-      bench = true)
+      bench = true),
+
+    // ── Interval as-of: match only within a 90-day lookback ────────────
+    // The native operator's maxLag mode (SURVEY §2.2 "as-of / interval"):
+    // the latest order ≤ the event time counts only if it is at most 90
+    // days old. Oracle: plain ASOF join + lag post-filter — equivalent,
+    // since the latest row ≤ ts is the only possible in-window match.
+    "e07_asof_interval" -> Q(
+      run = (s, d) => {
+        val lagUs = 90L * 86400L * 1000000L
+        val o2 = Tables.orders(s, d)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("ok"))
+          .select(col("o_custkey").as("rk"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("rts"),
+            col("ok"))
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id").as("lk"),
+            unix_micros(col("ts")).as("lts"))
+        graft.plans.AsOfJoinOps.asof(s, ev, o2, "lk", "rk", "lts", "rts",
+            maxLag = Some(lagUs))
+          .select(col("event_id"), col("ok").as("matched_orderkey"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH o2 AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+                    FROM orders GROUP BY 1, 2)
+        SELECT e.event_id,
+               CASE WHEN epoch_us(e.ts) - epoch_us(CAST(o2.o_orderdate AS TIMESTAMP))
+                         <= 7776000000000 THEN o2.ok END AS matched_orderkey
+        FROM events e
+        ASOF LEFT JOIN o2
+          ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        ORDER BY e.event_id"""))
   )
 }

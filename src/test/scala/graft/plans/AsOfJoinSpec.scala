@@ -34,6 +34,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("interval mode (maxLag) rejects matches older than the window") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 21L, "c"))
+      .toDF("lk", "lts", "tag")
+    val right = Seq((1L, 5L, 100L), (1L, 20L, 102L)).toDF("rk", "rts", "payload")
+    val out = AsOfJoinOps.asof(spark, left, right, "lk", "rk", "lts", "rts",
+        maxLag = Some(3L))
+      .select($"tag", $"payload").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out === Map(
+      "a" -> -1L,   // latest ≤ 10 is ts=5, lag 5 > 3 → no match
+      "b" -> -1L,   // latest ≤ 25 is ts=20, lag 5 > 3 → no match
+      "c" -> 102L)) // latest ≤ 21 is ts=20, lag 1 ≤ 3 → match
+  }
+
   test("empty right side leaves every left row unmatched") {
     val left = Seq((1L, 10L)).toDF("lk", "lts")
     val right = Seq.empty[(Long, Long, Long)].toDF("rk", "rts", "payload")
