@@ -85,6 +85,33 @@ object DedupPack extends QueryPack {
   private val bandSize = 3
   private val numBands = numHashes / bandSize
 
+  /** d03's oracle SQL — shared with d06 (cluster CTE) and PipelinePack. */
+  private[queries] val d03OracleSql: String = {
+    val sigSql = (0 until numHashes).map { i =>
+      s"list_aggregate(list_transform(s, x -> md5('$i|' || x)), 'min') AS sig$i"
+    }.mkString(",\n               ")
+    val bandSql = (0 until numBands).map { b =>
+      val ks = (0 until bandSize).map(j => s"sig${b * bandSize + j}")
+      s"SELECT doc_id, $b AS band, ${ks.mkString(" || '|' || ")} AS key FROM sig"
+    }.mkString("\n          UNION ALL ")
+    s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        sig AS (SELECT doc_id, s,
+               $sigSql
+               FROM sh),
+        bands AS ($bandSql),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT da, db,
+               CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
+                    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS BIGINT) AS jaccard_e4
+        FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+        WHERE CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
+                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS BIGINT) >= 3000
+        ORDER BY da, db"""
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ── Exact dedup (content hash) ─────────────────────────────────────
@@ -165,31 +192,7 @@ object DedupPack extends QueryPack {
           .filter(col("jaccard_e4") >= 3000)
           .orderBy("da", "db")
       },
-      oracle = Some {
-        val sigSql = (0 until numHashes).map { i =>
-          s"list_aggregate(list_transform(s, x -> md5('$i|' || x)), 'min') AS sig$i"
-        }.mkString(",\n               ")
-        val bandSql = (0 until numBands).map { b =>
-          val ks = (0 until bandSize).map(j => s"sig${b * bandSize + j}")
-          s"SELECT doc_id, $b AS band, ${ks.mkString(" || '|' || ")} AS key FROM sig"
-        }.mkString("\n          UNION ALL ")
-        s"""
-        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
-        sig AS (SELECT doc_id, s,
-               $sigSql
-               FROM sh),
-        bands AS ($bandSql),
-        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-        SELECT da, db,
-               CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
-                    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS BIGINT) AS jaccard_e4
-        FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
-        WHERE CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
-                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS BIGINT) >= 3000
-        ORDER BY da, db"""
-      },
+      oracle = Some(d03OracleSql),
       bench = true),
 
     // ── SimHash near-dup (32-bit, hamming ≤ 2) ─────────────────────────
@@ -253,6 +256,32 @@ object DedupPack extends QueryPack {
         WHERE bit_count(xor(a.h, b.h)) <= 2
         ORDER BY da, db"""
       }),
+
+    // ── Duplicate clusters: connected components over d03's pair graph ─
+    // A pair list alone over- or under-drops: a~b, b~c means {a,b,c} is
+    // ONE duplicate cluster even if a and c never paired. Min-label
+    // components (operators.ConnectedComponents, one shuffle per round,
+    // rounds = cluster diameter) resolve the transitive groups; keep
+    // policy = lowest doc_id per cluster. Oracle: DuckDB recursive CTE
+    // transitive closure over the same pairs.
+    "d06_dup_clusters" -> Q(
+      run = (s, d) => {
+        val pairs = graft.SparkEntry.queries("d03_minhash_lsh")(s, d)
+          .select(col("da"), col("db"))
+        graft.operators.ConnectedComponents.minLabel(pairs)
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS ($d03OracleSql),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        SELECT n AS doc_id, min(m) AS cluster_id
+        FROM reach GROUP BY n ORDER BY doc_id""")),
 
     // ── Embedding-cosine near-dup (brute-force baseline) ───────────────
     "d05_embedding_neardup" -> Q(

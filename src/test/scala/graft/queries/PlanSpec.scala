@@ -51,6 +51,12 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final HashAggregate pair")
   }
 
+  test("w04: global ntile runs without any WindowExec or single partition") {
+    val p = planOf("w04_ntile_deciles")
+    assert(!p.contains("Window"), "w04 regressed to a WindowExec global sort")
+    assert(!p.contains("SinglePartition"), "w04 has a single-partition exchange")
+  }
+
   test("d04: simhash pair stage is a banded equi-join, not a cartesian") {
     val p = planOf("d04_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin"),
