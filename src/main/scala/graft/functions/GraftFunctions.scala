@@ -17,7 +17,10 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
-    "jaccard_e4" -> (es => JaccardE4(es(0), es(1))))
+    "jaccard_e4" -> (es => JaccardE4(es(0), es(1))),
+    // second argument must be a foldable int literal (hash-family count)
+    "minhash_sigs" -> (es =>
+      MinHashSigs(es(0), es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotently register graft functions + optimizer rules on `spark`.
     * Quiet on re-entry: query packs call this per invocation, and
@@ -41,6 +44,11 @@ object GraftFunctions {
   /** Column-API sugar (requires [[register]] on the session first). */
   def jaccardE4(a: Column, b: Column): Column =
     call_function("jaccard_e4", a, b)
+
+  /** Column-API sugar (requires [[register]] on the session first). */
+  def minhashSigs(s: Column, numHashes: Int): Column =
+    call_function("minhash_sigs", s,
+      org.apache.spark.sql.functions.lit(numHashes))
 }
 
 /** `spark.sql.extensions` entry point injecting graft's functions,
@@ -49,7 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     val exprClass = Map(
       "cosine_similarity" -> classOf[CosineSimilarity].getName,
-      "jaccard_e4" -> classOf[JaccardE4].getName)
+      "jaccard_e4" -> classOf[JaccardE4].getName,
+      "minhash_sigs" -> classOf[MinHashSigs].getName)
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),

@@ -61,18 +61,22 @@ object DedupPack extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** doc_id → (shingles, 12 min-hash signatures), persisted+memoized:
-    * the signature expressions are interpreted higher-order functions
-    * (5M+ md5 calls at sf0.1) and MUST be computed once, not once per
-    * join branch. */
+    * signatures MUST be computed once, not once per join branch. The
+    * native one-pass [[graft.functions.MinHashSigs]] kernel replaces 12
+    * interpreted higher-order traversals (5M+ md5 calls at sf0.1 plus a
+    * concat + hex-string allocation per element×family) — bit-identical
+    * output, so the DuckDB oracle is unchanged. */
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def signatures(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((s, d), {
+      graft.functions.GraftFunctions.register(s)
+      val sigs = graft.functions.GraftFunctions.minhashSigs(col("s"), numHashes)
       val sigCols = (0 until numHashes).map { i =>
-        array_min(transform(col("s"),
-          x => md5(concat(lit(s"$i|"), x)))).as(s"sig$i")
+        element_at(col("sigs"), i + 1).as(s"sig$i")
       }
       shingled(s, d)
+        .select(col("doc_id"), col("s"), sigs.as("sigs"))
         .select(col("doc_id") +: col("s") +: sigCols: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
