@@ -291,6 +291,49 @@ object ExtrasPack extends QueryPack {
           AND o_custkey < 300
         ORDER BY o_custkey, o_orderkey""")),
 
+    // ── from_json + map functions ──────────────────────────────────────
+    // the schema-full twin of e04's get_json_object path: parse props
+    // into MapType, then map_keys/element_at — SURVEY §2.2's "map/json"
+    // scalar row. Keys emitted as a sorted joined string so map ordering
+    // can't leak into the compare.
+    "q31_json_map" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("m", from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+          .select(element_at(col("m"), "k").as("kval"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys"))
+          .groupBy((col("kval") % 10).as("kmod"), col("keys"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("kmod"),
+      oracle = Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS kmod,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys,
+               count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY kmod""")),
+
+    // ── Unpivot (stack): wide → long, the inverse of q20 ───────────────
+    "q32_unpivot" -> Q(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(cents(col("l_extendedprice"))))
+          .select(col("l_linestatus"),
+            expr("stack(3, 'A', `A`, 'N', `N`, 'R', `R`) AS (flag, cents)"))
+          .orderBy("l_linestatus", "flag"),
+      oracle = Some("""
+        WITH w AS (
+          SELECT l_linestatus,
+                 CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'A') AS BIGINT) AS a,
+                 CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'N') AS BIGINT) AS n_,
+                 CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) FILTER (l_returnflag = 'R') AS BIGINT) AS r
+          FROM lineitem GROUP BY 1)
+        SELECT l_linestatus, 'A' AS flag, a AS cents FROM w
+        UNION ALL SELECT l_linestatus, 'N', n_ FROM w
+        UNION ALL SELECT l_linestatus, 'R', r FROM w
+        ORDER BY l_linestatus, flag""")),
+
     // ── Date arithmetic ────────────────────────────────────────────────
     "q26_date_fns" -> Q(
       run = (s, d) =>
