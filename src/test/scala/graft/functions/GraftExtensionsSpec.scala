@@ -29,6 +29,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().head.getDouble(0) === 1.0)
       assert(s2.sql("SELECT jaccard_e4(array('a'), array('a')) AS j")
         .collect().head.getLong(0) === 10000L)
+      assert(s2.sql("SELECT size(minhash_sigs(array('a','b'), 4)) AS n")
+        .collect().head.getInt(0) === 4)
       // injected planner strategy: build the logical node directly (no
       // AsOfJoinOps.register) and execute
       val left = Seq((1L, 10L)).toDF("lk", "lts")

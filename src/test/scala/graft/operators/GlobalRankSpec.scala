@@ -67,6 +67,12 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("empty input yields an empty ranked frame, not a crash") {
+    val empty = spark.range(0).select(col("id").as("v"), col("id").as("k"))
+    assert(GlobalRank.withRowNumber(empty, Seq(col("v")), "rn").count() === 0L)
+    assert(GlobalRank.withNtile(empty, Seq(col("v")), 4, "b").count() === 0L)
+  }
+
   test("single-row input: percent_rank 0.0, cume_dist 1.0") {
     val one = spark.range(1).select(col("id").as("v"), col("id").as("k"))
     val r = GlobalRank.withPercentiles(one, Seq(col("v"), col("k")),
