@@ -185,6 +185,53 @@ object TextPack extends QueryPack {
           SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
           FROM documents)
-        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""))
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
+
+    // ── TF-IDF top terms per document ──────────────────────────────────
+    // The classic corpus-weighting operator: tf over the doc, idf over
+    // the whole corpus (df from one shuffle on term; N broadcast from a
+    // one-row aggregate), per-doc top-3 by a keyed window. The ln() is
+    // the one transcendental in the oracle surface — scores are rounded
+    // scaled ints, and the fixed fixtures hash-match at all three SFs
+    // (an ulp flip at a .5 rounding boundary never materialized; a new
+    // corpus would need re-validation).
+    "t08_tfidf_topterms" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+        val tf = tok.groupBy(col("doc_id"), col("t"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tok.groupBy(col("t"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_e4").desc, col("t"))
+        tf.join(dfreq, "t").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("t"),
+            round(col("tf") * log(col("n").cast("double") / col("df"))
+              * lit(10000), 0).cast("long").as("score_e4"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3 && col("doc_id") < 500)
+          .select(col("doc_id"), col("rnk"), col("t").as("term"),
+            col("score_e4"))
+          .orderBy("doc_id", "rnk")
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (SELECT doc_id, t,
+                          CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 10000) AS BIGINT) AS score_e4
+                   FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+        ranked AS (SELECT doc_id, t, score_e4,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_e4 DESC, t) AS rnk
+                   FROM scored)
+        SELECT doc_id, rnk, t AS term, score_e4
+        FROM ranked WHERE rnk <= 3 AND doc_id < 500
+        ORDER BY doc_id, rnk"""))
   )
 }
