@@ -291,6 +291,31 @@ object SimilarityPack extends QueryPack {
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"))
           .orderBy("label"),
-      oracle = None)
+      oracle = None),
+
+    // ── Per-label centroids (the training half of IVF) ─────────────────
+    // s02 searches within label cells; this computes the cell centroids:
+    // posexplode to (label, dim, x), one hash aggregate. Per-element
+    // values are rounded to scaled ints BEFORE summing so the sum is
+    // order-independent under any partitioning (a raw float mean would
+    // hash-differ run to run); the final mean divides two exact ints in
+    // IEEE doubles — deterministic in both engines.
+    "s07_label_centroids" -> Q(
+      run = (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), (col("pos") + 1).as("dim"))
+          .agg(sum(round(col("x").cast("double") * 1000000, 0).cast("long"))
+            .as("sum_e6"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            round(col("sum_e6").cast("double") / col("n"), 0).cast("long")
+              .as("centroid_e6"))
+          .orderBy("label", "dim"),
+      oracle = Some("""
+        SELECT label, i AS dim,
+               CAST(round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS centroid_e6
+        FROM embeddings, range(1, 65) AS r(i)
+        GROUP BY 1, 2 ORDER BY label, dim"""))
   )
 }
