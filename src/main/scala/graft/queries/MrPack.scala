@@ -86,8 +86,11 @@ object MrPack extends QueryPack {
           "#!/bin/sh\nawk -F'\\t' '{ if ($1 != prev) { if (NR > 1) print prev \"\\t\" sum;\n" +
             "  prev = $1; sum = 0 } sum += $2 } END { if (NR > 0) print prev \"\\t\" sum }'\n")
         val outDir = s"$work/out"
+        // committer sink: the oracle gate exercises the cluster-safe
+        // FileOutputCommitter path, not just the local-move fast path
+        // (byte-equality of the two is additionally spec-pinned)
         MapReduceJob.runExe(s, inDir, outDir, mapExe, redExe,
-          numMappers = 3, numReducers = 4)
+          numMappers = 3, numReducers = 4, committerSink = true)
         import s.implicits._
         s.read.textFile(outDir)
           .map { l =>

@@ -53,4 +53,20 @@ class MinHashSigsSpec extends AnyFunSuite {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("property: matches a driver-side reference on random unicode sets") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abc XYZ 词héü0\t9"
+    def randomSet(): Seq[String] = Seq.fill(1 + rnd.nextInt(12)) {
+      Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val sets = Seq.fill(60)(randomSet())
+    val rows = sets.toDF("s")
+      .select(GraftFunctions.minhashSigs(col("s"), n)).collect()
+    sets.zip(rows).foreach { case (set, row) =>
+      val want = (0 until n).map(i => set.map(x => md5Hex(s"$i|" + x)).min)
+      assert(row.getSeq[String](0) === want)
+    }
+  }
 }
