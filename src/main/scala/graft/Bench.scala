@@ -33,21 +33,28 @@ object Bench {
     // Failures are tolerated here; the measured loop reports them.
     names.foreach(n => try force(n) catch { case _: Throwable => () })
 
-    // min of three measured runs: the box hosting local[32] sees external
-    // load spikes; min is the steady-state number. A query that throws is
-    // reported as -1, excluded from the total, and named in "failed" —
+    // min of three measured runs, ROUND-ROBIN over the whole set: the box
+    // hosting local[32] sees multi-second external load spikes; running a
+    // query's three repetitions back-to-back lets one spike poison all of
+    // them, while interleaving puts each query's repetitions minutes apart
+    // so the per-query min survives any single spike. A query that throws
+    // is reported as -1, excluded from the total, and named in "failed" —
     // never silently timed as a fast "success".
-    val results = names.map { name =>
-      val times = (1 to 3).flatMap { _ =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to 3).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
-        try { force(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          force(name)
+          samples(name) ::= (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
         }
       }
-      name -> times.minOption.getOrElse(-1.0)
     }
+    val results = names.map(name =>
+      name -> samples(name).minOption.getOrElse(-1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
