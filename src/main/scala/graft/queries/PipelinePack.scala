@@ -108,6 +108,39 @@ object PipelinePack extends QueryPack {
         WHERE quality_e4 >= $qualityThreshold
           AND doc_id NOT IN (SELECT DISTINCT db FROM pairs)
         ORDER BY doc_id"""
-      })
+      }),
+
+    // ── Deterministic train/val/test split by content-stable hash ──────
+    // The standard reproducible-split technique: bucket = md5(doc_id)
+    // mod 100 → 80/10/10. Hash-based (not RNG-based) so the assignment
+    // is stable across engines, runs, partitionings, and re-shards —
+    // exactly why real pipelines split this way (and why this is
+    // oracle-checkable while s06's Bernoulli sample is not).
+    "p03_hash_split" -> Q(
+      run = (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 100
+        val split = when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test")
+        Tables.documents(s, d)
+          .select(split.as("split"), col("n_chars"),
+            size(org.apache.spark.sql.functions.split(col("text"), " "))
+              .as("n_tokens"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            sum(col("n_chars").cast("long")).as("total_chars"))
+          .orderBy("split")
+      },
+      oracle = Some("""
+        SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+                     len(string_split(text, ' ')) AS n_tokens, n_chars
+              FROM documents)
+        GROUP BY 1 ORDER BY split"""))
   )
 }
