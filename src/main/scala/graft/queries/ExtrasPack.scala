@@ -291,6 +291,27 @@ object ExtrasPack extends QueryPack {
           AND o_custkey < 300
         ORDER BY o_custkey, o_orderkey""")),
 
+    // ── Approximate quantile, sanity-banded vs exact (q18 pattern) ─────
+    // approx_percentile's sketch is engine-specific, so the oracle
+    // asserts the deterministic "within 2% of the exact median" flag
+    // rather than the estimate itself.
+    "q33_approx_quantile" -> Q(
+      run = (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)")
+              .as("exact_med"),
+            expr("approx_percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5, 1000)")
+              .as("approx_med"))
+          .select(col("o_orderpriority"),
+            (abs(col("approx_med") - col("exact_med"))
+              <= col("exact_med") * 0.02).as("approx_ok"))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority, TRUE AS approx_ok
+        FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
+
     // ── from_json + map functions ──────────────────────────────────────
     // the schema-full twin of e04's get_json_object path: parse props
     // into MapType, then map_keys/element_at — SURVEY §2.2's "map/json"

@@ -22,6 +22,10 @@ object TypedPack extends QueryPack {
   final case class Li(l_orderkey: Long, l_quantity: Double,
       l_returnflag: String, l_extendedprice: Double)
 
+  final case class Ord(o_orderkey: Long, o_custkey: Long, o_orderstatus: String)
+  final case class Li2(l_orderkey: Long, l_quantity: Double,
+      l_returnflag: String, l_extendedprice: Double)
+
   /** Custom typed aggregator: exact cents sum of extended price. */
   object CentsSum extends Aggregator[Li, Long, Long] {
     override def zero: Long = 0L
@@ -77,6 +81,39 @@ object TypedPack extends QueryPack {
       oracle = Some("""
         SELECT l_returnflag,
                CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS price_cents
-        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ── typed joinWith: Dataset[(L, R)] tuple join ─────────────────────
+    // the typed twin of the relational equi-join: both sides stay
+    // case-class typed through the join, the projection happens on the
+    // tuple fields
+    "ty03_typed_joinwith" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val ords = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .as[Ord]
+        val lis = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"), col("l_extendedprice"))
+          .withColumnRenamed("l_orderkey", "l_orderkey")
+          .as[Li2]
+        ords.joinWith(lis, ords("o_orderkey") === lis("l_orderkey"))
+          .filter((t: (Ord, Li2)) => t._2.l_quantity >= 45)
+          .map { case (o, l) =>
+            (o.o_orderstatus, l.l_returnflag,
+              math.round(l.l_extendedprice * 100)) }
+          .toDF("status", "flag", "cents")
+          .groupBy(col("status"), col("flag"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .orderBy("status", "flag")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus AS status, l_returnflag AS flag,
+               count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_quantity >= 45
+        GROUP BY 1, 2 ORDER BY status, flag"""))
   )
 }
