@@ -18,10 +18,12 @@ import graft.Tables
   *
   * Scale posture (100 TB):
   *   - d01 is one hash-aggregate: fully parallel, no skew risk.
-  *   - d02's shared-shingle candidate join is the exact method; its hot
-  *     shingles blow up quadratically at scale — d03 (MinHash+LSH) is
-  *     the scale path: candidate pairs only within equal (band, key)
-  *     buckets, tunable false-positive rate, one shuffle per stage.
+  *   - d02 is the EXACT similarity join: one self-equi-join on the
+  *     shingle with a lossless length-filter residual, Jaccard computed
+  *     from carried (shared, sza, szb) — no lookup joins, no per-row
+  *     set intersection. Hot shingles are still quadratic at scale —
+  *     d03 (MinHash+LSH) is the approximate scale path: candidate
+  *     pairs only within equal (band, key) buckets.
   *   - d04 SimHash reduces each doc to one 32-bit int; the pair stage
   *     equi-joins on 3 pigeonhole bands (hamming ≤ 2 ⇒ ≥1 equal band),
   *     never all-pairs.
@@ -134,21 +136,39 @@ object DedupPack extends QueryPack {
         FROM documents""")),
 
     // ── Exact n-gram Jaccard near-dup (shared-shingle candidates) ──────
+    // Exact set-similarity join: count shared shingles per doc pair via
+    // a self-equi-join on the shingle, carrying both set sizes THROUGH
+    // the join and the group-by (sz is functionally dependent on doc_id,
+    // so adding it to the grouping keys changes nothing) — the Jaccard
+    // is then computable from (shared, sza, szb) alone, with no lookup
+    // joins and no per-row array intersection anywhere.
+    // The join carries the lossless length-filter residual
+    // (J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)); t = 0.2999
+    // under-approximates the real cut (jaccard_e4 ≥ 3000 ⇔
+    // J ≥ 0.29995), so no qualifying pair can be pruned.
+    // A rare-first prefix filter (PPJoin) was measured here and LOST:
+    // on this corpus's small shingle vocabulary it trims the pair
+    // multiset < 2× while forcing a set-verification pass that costs
+    // 10× the join it saves — the count-based join IS the fast exact
+    // path; d03 (MinHash+LSH) is the approximate scale path when even
+    // shared-shingle buckets are too hot.
     "d02_ngram_jaccard" -> Q(
       run = (s, d) => {
+        val t = 0.2999
         val sh = shingled(s, d)
-        val sz = sh.select(col("doc_id"), size(col("s")).as("sz"))
-        val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+        val ex = sh.select(col("doc_id"), size(col("s")).as("sz"),
+          explode(col("s")).as("g"))
         val cand = ex.as("a")
           .join(ex.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
+              && col("a.sz") >= col("b.sz") * t
+              && col("b.sz") >= col("a.sz") * t)
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.sz").as("sza"), col("b.sz").as("szb"))
           .agg(count(lit(1)).as("shared"))
         val jac = round(col("shared") * lit(10000.0)
-          / (col("x.sz") + col("y.sz") - col("shared")), 0).cast("long")
+          / (col("sza") + col("szb") - col("shared")), 0).cast("long")
         cand
-          .join(sz.as("x"), col("da") === col("x.doc_id"))
-          .join(sz.as("y"), col("db") === col("y.doc_id"))
           .select(col("da"), col("db"), col("shared"), jac.as("jaccard_e4"))
           .filter(col("jaccard_e4") >= 3000)
           .orderBy("da", "db")
