@@ -117,6 +117,34 @@ object MapReduceJob {
     shuffleSort(input.flatMap(mapper), numReducers)
       .mapPartitions(reducer)
 
+  /** Typed twin with a map-side combiner (Hadoop's `Combiner`
+    * contract, absent from the reference but the canonical MapReduce
+    * optimization): each map task's output is locally sorted into
+    * key-contiguous runs and pre-folded by `combiner` BEFORE the
+    * shuffle, so the wire carries one line per (map task × key)
+    * instead of one per record — at 100 TB this is the difference
+    * between shuffling the corpus and shuffling the dictionary.
+    *
+    * `combiner` sees exactly the reducer's contract (sorted lines,
+    * same keys contiguous) over one map task's output, so any
+    * associative+commutative reducer (e.g. [[graft.queries.MrPack.sumRuns]])
+    * is a valid combiner and the final output is identical to
+    * [[typed]] — spec-pinned byte equality. The local sort buffers one
+    * map task's output in memory, the same unit Hadoop's spill buffer
+    * holds; input splits bound its size. */
+  def typedWithCombiner(spark: SparkSession, input: RDD[String],
+      mapper: String => IterableOnce[String],
+      combiner: Iterator[String] => Iterator[String],
+      reducer: Iterator[String] => Iterator[String],
+      numReducers: Int): RDD[String] = {
+    val combined = input.flatMap(mapper).mapPartitions { it =>
+      val arr = it.toArray
+      java.util.Arrays.sort(arr, implicitly[Ordering[String]])
+      combiner(arr.iterator)
+    }
+    shuffleSort(combined, numReducers).mapPartitions(reducer)
+  }
+
   /** O7 — clear the output dir, then write partition i as
     * `part-{i:05d}` (reference naming). Local/shared-FS sink mirroring
     * the reference's move-into-place commit; at cluster scale the same

@@ -376,6 +376,57 @@ object ExtrasPack extends QueryPack {
                strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
                datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
-        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
+    // ── Statistical aggregates (corr / covar / stddev) ─────────────────
+    // Raw corr()/stddev() emit reassociated double sums — order-
+    // dependent, so never hash-stable across engines (QueryPack rules).
+    // Instead the co-moments are accumulated as EXACT integer sums
+    // (quantity and discount-% are integer-valued; every sum and product
+    // here stays ≤ 2^53, so even after the implicit double promotion the
+    // values are exact) and the statistics are derived by an identical
+    // fixed sequence of IEEE ops in both engines. A spec separately pins
+    // Spark's native corr/covar_samp/stddev_samp to these formulas
+    // within 1e-9 (StatsAggSpec).
+    "q34_stats_agg" -> Q(
+      run = (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            round(col("l_quantity"), 0).cast("long").as("x"),
+            round(col("l_discount") * 100, 0).cast("long").as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+        val dyy = col("n") * col("syy") - col("sy") * col("sy")
+        val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+        val nn1 = col("n") * (col("n") - 1)
+        m.select(col("l_returnflag"), col("n"),
+          round(dxy / sqrt(dxx) / sqrt(dyy) * 1000000, 0).cast("long").as("corr_e6"),
+          round(dxy / nn1 * 1000000, 0).cast("long").as("covar_e6"),
+          round(sqrt(dxx / nn1) * 1000000, 0).cast("long").as("stddev_x_e6"),
+          round(sqrt(dyy / nn1) * 1000000, 0).cast("long").as("stddev_y_e6"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH b AS (SELECT l_returnflag,
+                          CAST(round(l_quantity) AS BIGINT) AS x,
+                          CAST(round(l_discount*100) AS BIGINT) AS y
+                   FROM lineitem),
+        m AS (SELECT l_returnflag, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x*x) AS BIGINT) AS sxx,
+                     CAST(sum(y*y) AS BIGINT) AS syy,
+                     CAST(sum(x*y) AS BIGINT) AS sxy
+              FROM b GROUP BY 1)
+        SELECT l_returnflag, n,
+               CAST(round((n*sxy - sx*sy) / sqrt(n*sxx - sx*sx) / sqrt(n*syy - sy*sy) * 1000000) AS BIGINT) AS corr_e6,
+               CAST(round((n*sxy - sx*sy) / (n*(n-1)) * 1000000) AS BIGINT) AS covar_e6,
+               CAST(round(sqrt((n*sxx - sx*sx) / (n*(n-1))) * 1000000) AS BIGINT) AS stddev_x_e6,
+               CAST(round(sqrt((n*syy - sy*sy) / (n*(n-1))) * 1000000) AS BIGINT) AS stddev_y_e6
+        FROM m ORDER BY l_returnflag"""))
   )
 }

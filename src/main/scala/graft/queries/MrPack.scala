@@ -103,6 +103,35 @@ object MrPack extends QueryPack {
       oracle = Some("""
         SELECT t AS word, count(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t ORDER BY word""")),
+
+    // Same word count with a MAP-SIDE COMBINER: sumRuns is associative
+    // and commutative, so running it per map task before the shuffle
+    // (MapReduceJob.typedWithCombiner) pre-folds each task's counts —
+    // the shuffle moves one line per (task × word), not one per token —
+    // and the final reduce over combined partials is provably the same
+    // word count (same oracle as mr01).
+    "mr03_wordcount_combiner" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val lines = Tables.documents(s, d).select(col("text")).as[String]
+          .rdd.repartition(s.sparkContext.defaultParallelism)
+        val counted = MapReduceJob.typedWithCombiner(s, lines,
+          mapper = line => line.split(" ").iterator.map(w => s"$w\t1"),
+          combiner = sumRuns,
+          reducer = sumRuns,
+          numReducers = 8)
+        counted
+          .map { l =>
+            val tab = l.indexOf('\t')
+            (l.substring(0, tab), l.substring(tab + 1).toLong)
+          }
+          .toDF("word", "cnt")
+          .orderBy("word")
+      },
+      oracle = Some("""
+        SELECT t AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         GROUP BY t ORDER BY word"""))
   )
 }

@@ -316,6 +316,38 @@ object SimilarityPack extends QueryPack {
                CAST(round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
                     / count(*)) AS BIGINT) AS centroid_e6
         FROM embeddings, range(1, 65) AS r(i)
-        GROUP BY 1, 2 ORDER BY label, dim"""))
+        GROUP BY 1, 2 ORDER BY label, dim""")),
+
+    // ── Unit-normalize + int8 quantize (storage/serving path) ──────────
+    // The standard embedding-store compaction: L2-normalize, then map
+    // each coordinate to round(x/‖v‖·127) ∈ [-127,127] — int8 storage is
+    // 4× smaller and dot products stay within ~1% of float. Norm is a
+    // sequential left-fold of exact float→double squares (the same
+    // deterministic pattern d05/s01 rely on), so both engines quantize
+    // identically. Narrow map + explode — embarrassingly parallel.
+    "s08_embed_quantize" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("nrm", sqrt(aggregate(
+            transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)))
+        e.select(col("vec_id"), col("nrm"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"),
+            round(col("x") / col("nrm") * 127, 0).cast("int").as("q8"))
+          .orderBy("vec_id", "dim")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          sqrt(list_reduce(list_transform(
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                            x -> x * x), (a, b) -> a + b)) AS nrm
+                   FROM embeddings)
+        SELECT vec_id, i AS dim,
+               CAST(round(v[i] / nrm * 127) AS INT) AS q8
+        FROM n, range(1, 65) AS r(i)
+        ORDER BY vec_id, dim"""))
   )
 }

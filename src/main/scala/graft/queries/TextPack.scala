@@ -232,6 +232,65 @@ object TextPack extends QueryPack {
                    FROM scored)
         SELECT doc_id, rnk, t AS term, score_e4
         FROM ranked WHERE rnk <= 3 AND doc_id < 500
-        ORDER BY doc_id, rnk"""))
+        ORDER BY doc_id, rnk""")),
+
+    // ── Repetition / diversity signals (Gopher-style quality rules) ────
+    // Per-doc: unique-token fraction, the share of tokens taken by the
+    // single most frequent token, and the share of bigram slots taken by
+    // the most repeated bigram — the "repetitious document" filters a
+    // corpus pipeline cuts on. All counts are exact integers; fractions
+    // are scaled-e4 ints. Two narrow explode→count branches joined on
+    // doc_id; everything partial-aggregates map-side.
+    "t09_repetition" -> Q(
+      run = (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_uniq"),
+            max(col("c")).as("top_tok_n"))
+        val bigramExpr = expr(
+          """transform(sequence(1, size(bt) - 1),
+            |  i -> concat_ws(' ', element_at(bt, i), element_at(bt, i + 1)))"""
+            .stripMargin)
+        val big = Tables.documents(s, d)
+          .withColumn("bt", toks)
+          .select(col("doc_id"), explode(bigramExpr).as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+        tok.join(big, "doc_id")
+          .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+            round(col("n_uniq") * lit(10000.0) / col("n_toks"), 0)
+              .cast("long").as("uniq_frac_e4"),
+            round(col("top_tok_n") * lit(10000.0) / col("n_toks"), 0)
+              .cast("long").as("top_tok_frac_e4"),
+            round(col("top_bigram_n") * lit(10000.0) / col("n_bigrams"), 0)
+              .cast("long").as("top_bigram_frac_e4"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tc AS (SELECT doc_id, t, count(*) AS c FROM
+                      (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                       FROM documents)
+                    GROUP BY 1, 2),
+        tok AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+                       count(*) AS n_uniq, max(c) AS top_tok_n
+                FROM tc GROUP BY 1),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM
+                 (SELECT doc_id,
+                         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS b
+                  FROM documents)
+               GROUP BY 1, 2),
+        big AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       max(c) AS top_bigram_n
+                FROM bc GROUP BY 1)
+        SELECT doc_id, n_toks, n_uniq,
+               CAST(round(n_uniq * 10000.0 / n_toks) AS BIGINT) AS uniq_frac_e4,
+               CAST(round(top_tok_n * 10000.0 / n_toks) AS BIGINT) AS top_tok_frac_e4,
+               CAST(round(top_bigram_n * 10000.0 / n_bigrams) AS BIGINT) AS top_bigram_frac_e4
+        FROM tok JOIN big USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -156,6 +156,39 @@ object WindowPack extends QueryPack {
                percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr,
                cume_dist()    OVER (ORDER BY c_acctbal, c_custkey) AS cd
         FROM customer WHERE c_custkey < 300
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ── RANGE frame: rolling 7-day spend per customer ──────────────────
+    // A true VALUE-range frame (RANGE BETWEEN 6 PRECEDING AND CURRENT
+    // ROW over a day number), not a row count: all orders within the
+    // trailing week enter the frame, ties on the same day are peers and
+    // see the same aggregate in both engines. Partitioned by customer —
+    // one even shuffle, frames bounded per key.
+    "w07_range_rolling" -> Q(
+      run = (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).as("day"),
+            cents(col("o_totalprice")).as("price_cents"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-6, 0)
+        base
+          .select(col("o_custkey"), col("o_orderkey"), col("day"),
+            sum(col("price_cents")).over(w).as("spend_7d_cents"),
+            count(lit(1)).over(w).as("n_orders_7d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, day,
+               CAST(sum(price_cents) OVER w AS BIGINT) AS spend_7d_cents,
+               count(*) OVER w AS n_orders_7d
+        FROM (SELECT o_custkey, o_orderkey,
+                     date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                     CAST(round((o_totalprice)*100) AS BIGINT) AS price_cents
+              FROM orders)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }

@@ -135,6 +135,36 @@ class MapReduceJobSpec extends AnyFunSuite {
     assert(result === Set("x\t2", "y\t3", "z\t1"))
   }
 
+  test("map-side combiner output is byte-identical to the plain typed path") {
+    val in = tmpDir("mr-in-comb")
+    writeFile(in, "a.txt", "x y z x x y\n" * 50)
+    writeFile(in, "b.txt", "y y w\n" * 30)
+    writeFile(in, "c.txt", "z\n")
+    val mapper = (line: String) =>
+      line.split(" ").iterator.filter(_.nonEmpty).map(w => s"$w\t1")
+    def run(withCombiner: Boolean): Seq[(Int, Seq[String])] = {
+      val input = MapReduceJob.inputRdd(spark, in.toString, 3)
+      val out =
+        if (withCombiner)
+          MapReduceJob.typedWithCombiner(spark, input, mapper,
+            combiner = graft.queries.MrPack.sumRuns,
+            reducer = graft.queries.MrPack.sumRuns, numReducers = 3)
+        else
+          MapReduceJob.typed(spark, input, mapper,
+            graft.queries.MrPack.sumRuns, numReducers = 3)
+      out.mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.toSeq))
+        .collect().toSeq.sortBy(_._1)
+    }
+    val plain = run(withCombiner = false)
+    val combined = run(withCombiner = true)
+    // identical content AND identical partition placement/order: the
+    // combiner only pre-folds per map task, the shuffle contract is
+    // untouched
+    assert(combined === plain)
+    assert(plain.flatMap(_._2).toSet ===
+      Set("x\t150", "y\t160", "z\t51", "w\t30"))
+  }
+
   test("same-key lines always land in one partition and arrive contiguously") {
     val lines = (1 to 100).map(i => s"k${i % 7}\tv$i")
     val rdd = spark.sparkContext.parallelize(lines, 5)
