@@ -427,6 +427,41 @@ object ExtrasPack extends QueryPack {
                CAST(round((n*sxy - sx*sy) / (n*(n-1)) * 1000000) AS BIGINT) AS covar_e6,
                CAST(round(sqrt((n*sxx - sx*sx) / (n*(n-1))) * 1000000) AS BIGINT) AS stddev_x_e6,
                CAST(round(sqrt((n*syy - sy*sy) / (n*(n-1))) * 1000000) AS BIGINT) AS stddev_y_e6
-        FROM m ORDER BY l_returnflag"""))
+        FROM m ORDER BY l_returnflag""")),
+
+    // ── Higher-order array functions (exists/forall/filter/fold/zip) ───
+    // Lambdas over a collected-per-group array — the codegen-friendly
+    // alternative to a UDF for per-group sequence logic. collect_list
+    // order is nondeterministic under parallel merge, so the array is
+    // sort_array'd first (same rule as q25); the fold is over exact
+    // longs. DuckDB expresses exists/forall through list_filter
+    // emptiness — semantically identical.
+    "q35_higher_order" -> Q(
+      run = (s, d) =>
+        Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(round(col("l_quantity"), 0)
+            .cast("long"))).as("qs"))
+          .select(col("l_orderkey"),
+            size(col("qs")).as("n_lines"),
+            exists(col("qs"), x => x > 40).as("any_gt_40"),
+            forall(col("qs"), x => x <= 45).as("all_le_45"),
+            size(filter(col("qs"), x => x < 10)).as("n_small"),
+            aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("total_qty"),
+            element_at(zip_with(col("qs"), reverse(col("qs")),
+              (a, b) => a + b), 1).as("first_plus_last"))
+          .orderBy("l_orderkey"),
+      oracle = Some("""
+        WITH a AS (SELECT l_orderkey,
+                          list_sort(list(CAST(round(l_quantity) AS BIGINT))) AS qs
+                   FROM lineitem WHERE l_orderkey < 200 GROUP BY 1)
+        SELECT l_orderkey,
+               len(qs) AS n_lines,
+               len(list_filter(qs, x -> x > 40)) > 0 AS any_gt_40,
+               len(list_filter(qs, x -> NOT (x <= 45))) = 0 AS all_le_45,
+               len(list_filter(qs, x -> x < 10)) AS n_small,
+               CAST(list_reduce(qs, (a, b) -> a + b) AS BIGINT) AS total_qty,
+               CAST(qs[1] + list_reverse(qs)[1] AS BIGINT) AS first_plus_last
+        FROM a ORDER BY l_orderkey"""))
   )
 }

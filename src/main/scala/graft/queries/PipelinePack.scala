@@ -110,6 +110,62 @@ object PipelinePack extends QueryPack {
         ORDER BY doc_id"""
       }),
 
+    // ── Bloom-pruned anti-join (drop list too large to broadcast) ──────
+    // p02 broadcasts its drop list — right whenever the list fits in
+    // executor memory. At 100 TB a dedup pass can drop billions of ids,
+    // and the classic fix is a Bloom filter built FROM the drop side:
+    // a Bloom filter has no false negatives, so every row it rejects is
+    // provably not in the drop list and is kept outright, never touching
+    // a join; only the "maybe" sliver (true drops + fpp · rest) goes
+    // through the exact anti-join to resolve false positives. The
+    // output is therefore EXACTLY the anti-join's — same oracle shape
+    // as p02 — while the join input shrinks from the corpus to the
+    // sliver. The filter is built with Spark's distributed BloomFilter
+    // aggregate (partial filters OR-merged at the driver, then
+    // broadcast); the per-row probe is one UDF'd hash — the one place a
+    // UDF carries its weight, since the broadcast filter object has no
+    // Column-function equivalent.
+    "p04_bloom_prune" -> Q(
+      run = (s, d) => {
+        val toks = split(col("text"), " ")
+        val nStop = size(filter(toks, t => t.isin(stop: _*)))
+        val quality = round(nStop * lit(5000.0) / size(toks)
+          + least(col("n_chars"), lit(500)) * lit(5000.0) / lit(500.0), 0)
+          .cast("long")
+        val dupDrop = graft.SparkEntry.queries("d03_minhash_lsh")(s, d)
+          .select(col("db").as("drop_id")).distinct()
+        val bloom = dupDrop.stat.bloomFilter("drop_id",
+          expectedNumItems = 100000, fpp = 0.01)
+        val bloomB = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((id: Long) => bloomB.value.mightContain(id))
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), quality.as("quality_e4"))
+          .filter(col("quality_e4") >= qualityThreshold)
+        val definitelyKept = scored.filter(!mightContain(col("doc_id")))
+        val resolved = scored.filter(mightContain(col("doc_id")))
+          .join(dupDrop, col("doc_id") === col("drop_id"), "left_anti")
+        definitelyKept.union(resolved)
+          .select(col("doc_id"), col("quality_e4"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val d03Sql = DedupPack.queries
+          .collectFirst { case ("d03_minhash_lsh", q) => q.oracle.get }.get
+        s"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(round(len(list_filter(string_split(text, ' '),
+                        t -> t IN ($sqlStop))) * 5000.0
+                        / len(string_split(text, ' '))
+                      + least(n_chars, 500) * 5000.0 / 500.0) AS BIGINT) AS quality_e4
+          FROM documents),
+        pairs AS ($d03Sql)
+        SELECT doc_id, quality_e4 FROM scored
+        WHERE quality_e4 >= $qualityThreshold
+          AND doc_id NOT IN (SELECT DISTINCT db FROM pairs)
+        ORDER BY doc_id"""
+      }),
+
     // ── Deterministic train/val/test split by content-stable hash ──────
     // The standard reproducible-split technique: bucket = md5(doc_id)
     // mod 100 → 80/10/10. Hash-based (not RNG-based) so the assignment
@@ -141,6 +197,39 @@ object PipelinePack extends QueryPack {
         FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
                      len(string_split(text, ' ')) AS n_tokens, n_chars
               FROM documents)
-        GROUP BY 1 ORDER BY split"""))
+        GROUP BY 1 ORDER BY split""")),
+
+    // ── Stratified deterministic sampling (per-language rates) ─────────
+    // Corpus rebalancing: keep English-heavy strata at a low rate and
+    // upweight rare languages — per-stratum Bernoulli by CONTENT-STABLE
+    // hash, not RNG (same technique as p03, same reason it is
+    // reproducible across engines, runs, and re-shards; Spark's own
+    // sampleBy is RNG-seeded and NOT cross-engine checkable, which is
+    // exactly why pipelines prefer hash gates). One narrow map + one
+    // aggregate; no shuffle before the final tiny agg.
+    "p05_stratified_sample" -> Q(
+      run = (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 100
+        val rate = when(col("lang") === "en", 25)
+          .when(col("lang") === "zh", 80)
+          .otherwise(60)
+        Tables.documents(s, d)
+          .filter(bucket < rate)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars").cast("long")).as("sampled_chars"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang, count(*) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        FROM (SELECT lang, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+                     CASE WHEN lang = 'en' THEN 25
+                          WHEN lang = 'zh' THEN 80 ELSE 60 END AS rate
+              FROM documents)
+        WHERE b < rate
+        GROUP BY 1 ORDER BY lang"""))
   )
 }

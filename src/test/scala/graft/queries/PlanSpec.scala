@@ -71,4 +71,26 @@ class PlanSpec extends AnyFunSuite {
     // tree strings mark codegen'd spans with "*(n)" prefixes
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, "plan lost codegen entirely")
   }
+
+  test("d02: exact-jaccard candidates come from an equi-join, no set ops in plan") {
+    val p = planOf("d02_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "d02 candidate stage degraded to all-pairs")
+    assert(!p.contains("array_intersect"),
+      "d02 regressed to per-row set intersection (the 10x-slower verify path)")
+  }
+
+  test("w07: RANGE-frame window stays partitioned by customer") {
+    val p = planOf("w07_range_rolling")
+    assert(p.contains("Window"), p.take(300))
+    assert(!p.contains("SinglePartition"),
+      "w07 window collapsed to a single partition")
+  }
+
+  test("q34: statistics aggregate in one two-phase pass, no window, no join") {
+    val p = planOf("q34_stats_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+    assert(!p.contains("Join"), "q34 should be a single-pass aggregation")
+  }
 }
