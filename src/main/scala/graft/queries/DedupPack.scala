@@ -91,15 +91,18 @@ object DedupPack extends QueryPack {
   private val bandSize = 3
   private val numBands = numHashes / bandSize
 
+  /** SQL fragments of the MinHash pipeline, shared by d03/d06/d07 and
+    * PipelinePack oracles. */
+  private val sigSql = (0 until numHashes).map { i =>
+    s"list_aggregate(list_transform(s, x -> md5('$i|' || x)), 'min') AS sig$i"
+  }.mkString(",\n               ")
+  private val bandSql = (0 until numBands).map { b =>
+    val ks = (0 until bandSize).map(j => s"sig${b * bandSize + j}")
+    s"SELECT doc_id, $b AS band, ${ks.mkString(" || '|' || ")} AS key FROM sig"
+  }.mkString("\n          UNION ALL ")
+
   /** d03's oracle SQL — shared with d06 (cluster CTE) and PipelinePack. */
   private[queries] val d03OracleSql: String = {
-    val sigSql = (0 until numHashes).map { i =>
-      s"list_aggregate(list_transform(s, x -> md5('$i|' || x)), 'min') AS sig$i"
-    }.mkString(",\n               ")
-    val bandSql = (0 until numBands).map { b =>
-      val ks = (0 until bandSize).map(j => s"sig${b * bandSize + j}")
-      s"SELECT doc_id, $b AS band, ${ks.mkString(" || '|' || ")} AS key FROM sig"
-    }.mkString("\n          UNION ALL ")
     s"""
         WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
         sig AS (SELECT doc_id, s,
@@ -306,6 +309,70 @@ object DedupPack extends QueryPack {
           SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
         SELECT n AS doc_id, min(m) AS cluster_id
         FROM reach GROUP BY n ORDER BY doc_id""")),
+
+    // ── Incremental (delta) near-dup: new docs vs the whole corpus ─────
+    // The operation a production pipeline actually runs: yesterday's
+    // corpus is already deduped, today's DELTA must be checked against
+    // corpus ∪ delta — without re-running corpus × corpus. One join
+    // side is restricted to the delta's band keys, so candidate volume
+    // is corpus × delta (at 100 TB: the whole point; the corpus side's
+    // signatures are a materialized table that is never recomputed).
+    // "New" docs are a content-stable 20% hash bucket (p03's technique),
+    // so the oracle sees the same split. Output orientation: db is
+    // always the new doc; a new-new pair appears once (da < db).
+    "d07_incremental_dedup" -> Q(
+      run = (s, d) => {
+        val sig = signatures(s, d)
+        val bandKeys = (0 until numBands).map { b =>
+          concat_ws("|",
+            (0 until bandSize).map(j => col(s"sig${b * bandSize + j}")): _*)
+        }
+        val isNew = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 100 < 20
+        val bands = sig.select(col("doc_id"), isNew.as("is_new"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        val cand = bands.as("a")
+          .join(bands.filter(col("is_new")).as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key")
+              && col("a.doc_id") =!= col("b.doc_id")
+              && (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val withSets = cand
+          .join(sig.select(col("doc_id"), col("s").as("sa")),
+            col("da") === col("doc_id")).drop("doc_id")
+          .join(sig.select(col("doc_id"), col("s").as("sb")),
+            col("db") === col("doc_id"))
+        graft.functions.GraftFunctions.register(s)
+        val jac = graft.functions.GraftFunctions.jaccardE4(col("sa"), col("sb"))
+        withSets
+          .select(col("da"), col("db"), jac.as("jaccard_e4"))
+          .filter(col("jaccard_e4") >= 3000)
+          .orderBy("da", "db")
+      },
+      oracle = Some(s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        sig AS (SELECT doc_id, s,
+               $sigSql
+               FROM sh),
+        bands AS ($bandSql),
+        flags AS (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20 AS is_new
+                  FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a
+                 JOIN flags fa ON a.doc_id = fa.doc_id
+                 JOIN bands b ON a.band = b.band AND a.key = b.key
+                 JOIN flags fb ON b.doc_id = fb.doc_id
+                 WHERE fb.is_new AND a.doc_id != b.doc_id
+                   AND (NOT fa.is_new OR a.doc_id < b.doc_id))
+        SELECT da, db,
+               CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
+                    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS BIGINT) AS jaccard_e4
+        FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+        WHERE CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
+                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS BIGINT) >= 3000
+        ORDER BY da, db""")),
 
     // ── Embedding-cosine near-dup (brute-force baseline) ───────────────
     "d05_embedding_neardup" -> Q(

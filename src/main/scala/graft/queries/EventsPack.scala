@@ -220,6 +220,25 @@ object EventsPack extends QueryPack {
         FROM events e
         ASOF LEFT JOIN o2
           ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // ── Skew-safe exact count-distinct (two-level aggregation) ─────────
+    // event_type has a handful of HOT groups over millions of users —
+    // the textbook distinct-skew case. The two-level formulation first
+    // shuffles on the full (event_type, user_id) pair — high
+    // cardinality, spreads every hot group across the cluster — then
+    // counts the tiny per-type result; no single reducer ever owns a
+    // whole hot group's distinct set. Identical answer to
+    // COUNT(DISTINCT ...), which is the oracle.
+    "e08_skewsafe_distinct" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"), col("user_id")).distinct()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY event_type"""))
   )
 }
