@@ -20,7 +20,10 @@ object GraftFunctions {
     "jaccard_e4" -> (es => JaccardE4(es(0), es(1))),
     // second argument must be a foldable int literal (hash-family count)
     "minhash_sigs" -> (es =>
-      MinHashSigs(es(0), es(1).eval().asInstanceOf[Number].intValue())))
+      MinHashSigs(es(0), es(1).eval().asInstanceOf[Number].intValue())),
+    // second argument must be a foldable int literal (k)
+    "topk_longs" -> (es => new TopKLongs(es(0), es(1))
+      .toAggregateExpression()))
 
   /** Idempotently register graft functions + optimizer rules on `spark`.
     * Quiet on re-entry: query packs call this per invocation, and
@@ -49,6 +52,10 @@ object GraftFunctions {
   def minhashSigs(s: Column, numHashes: Int): Column =
     call_function("minhash_sigs", s,
       org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Column-API sugar (requires [[register]] on the session first). */
+  def topkLongs(c: Column, k: Int): Column =
+    call_function("topk_longs", c, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions` entry point injecting graft's functions,
@@ -58,7 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val exprClass = Map(
       "cosine_similarity" -> classOf[CosineSimilarity].getName,
       "jaccard_e4" -> classOf[JaccardE4].getName,
-      "minhash_sigs" -> classOf[MinHashSigs].getName)
+      "minhash_sigs" -> classOf[MinHashSigs].getName,
+      "topk_longs" -> classOf[TopKLongs].getName)
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),

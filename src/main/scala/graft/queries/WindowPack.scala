@@ -189,6 +189,36 @@ object WindowPack extends QueryPack {
               FROM orders)
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ── Per-group top-k via the native partial-aggregating UDAF ────────
+    // w01's row_number() formulation must shuffle EVERY fact row to
+    // sort each group; graft.functions.TopKLongs keeps a bounded
+    // k-element min-heap per group, so each map task ships ≤ k values
+    // per group into the exchange (ObjectHashAggregate partial+final —
+    // PlanSpec-pinned). Same answer as the window: the multiset top-k,
+    // emitted sorted descending (heap insert/merge are order-
+    // insensitive, so this is partitioning-independent). Ranks over
+    // tied values emit the same value either way, so the oracle's
+    // row_number() tie order cannot diverge.
+    "w08_topk_agg_native" -> Q(
+      run = (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), cents(col("o_totalprice")).as("pc"))
+          .groupBy(col("o_custkey"))
+          .agg(graft.functions.GraftFunctions.topkLongs(col("pc"), 3).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "price_cents")))
+          .select(col("o_custkey"), (col("pos") + 1).as("rn"), col("price_cents"))
+          .orderBy("o_custkey", "rn")
+      },
+      oracle = Some("""
+        SELECT o_custkey, rn, price_cents FROM (
+          SELECT o_custkey,
+                 CAST(round((o_totalprice)*100) AS BIGINT) AS price_cents,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY CAST(round((o_totalprice)*100) AS BIGINT) DESC) AS rn
+          FROM orders)
+        WHERE rn <= 3 ORDER BY o_custkey, rn"""))
   )
 }

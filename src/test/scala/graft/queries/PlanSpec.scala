@@ -87,6 +87,14 @@ class PlanSpec extends AnyFunSuite {
       "w07 window collapsed to a single partition")
   }
 
+  test("w08: native top-k agg runs as partial+final ObjectHashAggregate, no window") {
+    val p = planOf("w08_topk_agg_native")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final ObjectHashAggregate pair for topk_longs")
+    assert(!p.contains("Window"),
+      "w08 regressed to the full-shuffle window formulation")
+  }
+
   test("q34: statistics aggregate in one two-phase pass, no window, no join") {
     val p = planOf("q34_stats_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
