@@ -462,6 +462,64 @@ object ExtrasPack extends QueryPack {
                len(list_filter(qs, x -> x < 10)) AS n_small,
                CAST(list_reduce(qs, (a, b) -> a + b) AS BIGINT) AS total_qty,
                CAST(qs[1] + list_reverse(qs)[1] AS BIGINT) AS first_plus_last
-        FROM a ORDER BY l_orderkey"""))
+        FROM a ORDER BY l_orderkey""")),
+
+    // ── LATERAL correlated subquery (top-1-per-row apply) ──────────────
+    // The SQL-surface twin of a per-key argmax: for each order, the
+    // heaviest line via a correlated LATERAL derived table with its own
+    // ORDER BY/LIMIT. Catalyst decorrelates this into a ranked join —
+    // no per-row re-execution survives in the physical plan.
+    "q36_lateral_topline" -> Q(
+      run = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q36_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("q36_lineitem")
+        s.sql("""
+          SELECT o.o_orderkey, l.l_linenumber, l.qty
+          FROM q36_orders o,
+               LATERAL (SELECT l_linenumber,
+                               CAST(round(l_quantity) AS BIGINT) AS qty
+                        FROM q36_lineitem
+                        WHERE l_orderkey = o.o_orderkey
+                        ORDER BY l_quantity DESC, l_linenumber
+                        LIMIT 1) l
+          WHERE o.o_orderkey < 300
+          ORDER BY o.o_orderkey""")
+      },
+      oracle = Some("""
+        SELECT o.o_orderkey, l.l_linenumber, l.qty
+        FROM orders o,
+             LATERAL (SELECT l_linenumber,
+                             CAST(round(l_quantity) AS BIGINT) AS qty
+                      FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey
+                      ORDER BY l_quantity DESC, l_linenumber
+                      LIMIT 1) l
+        WHERE o.o_orderkey < 300
+        ORDER BY o.o_orderkey""")),
+
+    // ── try_* null-safe scalar functions ───────────────────────────────
+    // Fallible arithmetic/parsing that yields NULL instead of failing
+    // the job — at 100 TB one malformed row must not kill a stage.
+    // DuckDB twins: TRY_CAST is 1:1; try_divide is CASE-emulated (its
+    // division on exact ints is the same deterministic IEEE op).
+    "q37_try_fns" -> Q(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("try_divide(CAST(round(l_extendedprice*100) AS BIGINT), " +
+              "CAST(round(l_quantity) AS BIGINT) - 25)").as("div_maybe"),
+            expr("try_cast(CASE WHEN l_linenumber % 2 = 0 THEN '123' " +
+              "ELSE l_returnflag END AS INT)").as("parsed_maybe"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN CAST(round(l_quantity) AS BIGINT) - 25 = 0 THEN NULL
+                    ELSE CAST(round(l_extendedprice*100) AS BIGINT)
+                         / (CAST(round(l_quantity) AS BIGINT) - 25) END AS div_maybe,
+               TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN '123'
+                             ELSE l_returnflag END AS INT) AS parsed_maybe
+        FROM lineitem WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 }
