@@ -13,7 +13,9 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = args(0)
-    val names = args(1).split(",").toSeq
+    val names =
+      if (args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -22,7 +24,20 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (n <- names; r <- 1 to reps) {
+    if (sys.env.contains("SCRATCH_EXPLAIN")) {
+      // plan-smell audit: flag the shapes that do not survive scale-up
+      for (n <- names) {
+        val df = SparkEntry.queries(n)(spark, d)
+        df.queryExecution.executedPlan.execute().count()
+        val p = df.queryExecution.executedPlan.toString
+        val smells = Seq(
+          "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
+          "CartesianProduct" -> p.contains("CartesianProduct"),
+          "SinglePartition" -> p.contains("SinglePartition"))
+          .collect { case (s, true) => s }
+        println(s"[scratch] $n smells=${if (smells.isEmpty) "none" else smells.mkString(",")}")
+      }
+    } else for (n <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, d)
         .queryExecution.toRdd.count()
