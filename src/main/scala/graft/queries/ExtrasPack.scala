@@ -520,6 +520,41 @@ object ExtrasPack extends QueryPack {
                TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN '123'
                              ELSE l_returnflag END AS INT) AS parsed_maybe
         FROM lineitem WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── NULLS FIRST / NULLS LAST ordering semantics ────────────────────
+    // The engines DISAGREE by default (Spark sorts nulls first
+    // ascending, DuckDB last), so portable SQL must say which it wants —
+    // and because the driver's compare sorts rows before hashing, plain
+    // ORDER BY output can't test placement. The placement is therefore
+    // ENCODED INTO VALUES: per-order ranks under v ASC NULLS FIRST and
+    // under v DESC NULLS LAST — wrong placement shifts every rank.
+    "q38_null_ordering" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = nullif(round(col("l_quantity"), 0).cast("long"), lit(25L))
+        val base = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"), v.as("v"))
+        val wf = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("v").asc_nulls_first, col("l_linenumber"))
+        val wl = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("v").desc_nulls_last, col("l_linenumber"))
+        base
+          .select(col("l_orderkey"), col("l_linenumber"), col("v"),
+            row_number().over(wf).as("rn_nulls_first"),
+            row_number().over(wl).as("rn_nulls_last"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, v,
+               row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY v ASC NULLS FIRST, l_linenumber) AS rn_nulls_first,
+               row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY v DESC NULLS LAST, l_linenumber) AS rn_nulls_last
+        FROM (SELECT l_orderkey, l_linenumber,
+                     nullif(CAST(round(l_quantity) AS BIGINT), 25) AS v
+              FROM lineitem WHERE l_orderkey < 100)
         ORDER BY l_orderkey, l_linenumber"""))
   )
 }

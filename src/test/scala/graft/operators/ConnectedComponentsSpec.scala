@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.Random
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.mr.SparkTestSession
@@ -9,51 +11,43 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.minLabel(edges.toDF("src", "dst"))
-      .as[(Long, Long)].collect().toMap
+    ConnectedComponents.minLabel(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("transitive chains collapse to one component labeled by the min") {
-    // a~b, b~c, c~d: one cluster {1,2,3,4} even though 1 and 4 never pair
-    val got = components(Seq((2L, 1L), (2L, 3L), (3L, 4L)))
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  test("chain, clique, and isolated pair resolve to min-id components") {
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    val got = components(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)))
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
   }
 
-  test("disjoint clusters keep separate labels") {
-    val got = components(Seq((1L, 2L), (10L, 11L), (11L, 12L), (20L, 20L)))
-    assert(got === Map(1L -> 1L, 2L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
-  }
-
-  test("long path needs diameter rounds and still converges") {
-    // path 0-1-2-...-9: diameter 9, worst case for min-label propagation
-    val edges = (0L until 9L).map(i => (i, i + 1))
-    val got = components(edges)
-    assert(got === (0L to 9L).map(_ -> 0L).toMap)
-  }
-
-  test("star and cycle shapes") {
-    // star centered at 7 with leaves 8,9,10 plus cycle 1-2-3-1
-    val got = components(Seq((7L, 8L), (7L, 9L), (7L, 10L),
-      (1L, 2L), (2L, 3L), (3L, 1L)))
-    assert(got === Map(7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L,
-      1L -> 1L, 2L -> 1L, 3L -> 1L))
-  }
-
-  test("agrees with a driver-side union-find on a random graph") {
-    val rnd = new scala.util.Random(42)
-    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
-    val got = components(edges)
-    // oracle: classic union-find
-    val parent = scala.collection.mutable.Map((0L until 120L).map(i => i -> i): _*)
-    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+  test("matches a reference union-find on random graphs") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      // min-label invariant: union-find roots ARE the min ids here
+      // because unions always point the larger root at the smaller
+      assert(components(edges) === expected, s"trial $trial")
     }
-    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      .map(n => n -> find(n)).toMap
-    // find() roots are the min id of each component because unions always
-    // point the larger root at the smaller
-    assert(got === want)
   }
 }
