@@ -219,6 +219,31 @@ object WindowPack extends QueryPack {
                  row_number() OVER (PARTITION BY o_custkey
                                     ORDER BY CAST(round((o_totalprice)*100) AS BIGINT) DESC) AS rn
           FROM orders)
-        WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ── Cumulative DISTINCT count over a window (rewrite) ──────────────
+    // Spark does not allow DISTINCT inside window aggregates; the exact
+    // standard rewrite is dense_rank(): under ORDER BY x with the
+    // default RANGE frame, count(DISTINCT x) up to the current row's
+    // peer group IS the dense rank of x. DuckDB supports the DISTINCT
+    // window natively, so the oracle states the original intent and the
+    // rewrite is verified against it — expressing a missing engine
+    // feature through an equivalent plan instead of giving up on it.
+    "w09_window_distinct_rewrite" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 300)
+          .select(col("o_custkey"), col("o_orderkey"),
+            dense_rank().over(w).as("n_distinct_days_so_far"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               count(DISTINCT o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate) AS n_distinct_days_so_far
+        FROM orders WHERE o_custkey < 300
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }
