@@ -407,6 +407,72 @@ object DedupPack extends QueryPack {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE CAST(round(list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]),
                          (acc, x) -> acc + x) / sqrt(a.nrm) / sqrt(b.nrm) * 1000000) AS BIGINT) >= 450000
-        ORDER BY da, db"""))
+        ORDER BY da, db""")),
+
+    // ── Duplicated-passage removal (chunk-level dedup) ─────────────────
+    // The CCNet/RefinedWeb passage filter: documents are segmented into
+    // consecutive 10-token chunks; any chunk whose hash occurs in ≥2
+    // DISTINCT documents is boilerplate and is dropped from every
+    // document; the survivors are reassembled in order. Unlike d01–d05
+    // (whole-document verdicts) this rewrites document CONTENT — the
+    // other half of what a production dedup stage does.
+    // Scale shape: one hash-aggregate over chunks builds the dup-hash
+    // list, then a LEFT ANTI join removes them — both keyed on md5
+    // hashes (uniformly distributed, no skew). The reassembly groupBy
+    // shuffles each doc's surviving chunks once, keyed by doc_id.
+    "d08_chunk_dedup" -> Q(
+      run = (s, d) => {
+        val W = 10
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), expr(
+            s"""transform(sequence(0, cast(ceil(size(toks) / $W.0) as int) - 1),
+               |  i -> array_join(slice(toks, i * $W + 1, $W), ' '))""".stripMargin)
+            .as("chunks"))
+        val ch = docs
+          .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+            posexplode(col("chunks")).as(Seq("pos", "chunk")))
+          .withColumn("h", md5(col("chunk")))
+        val dup = ch.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val re = ch.join(dup, Seq("h"), "left_anti")
+          .groupBy("doc_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+              x => x.getField("chunk")), " ").as("clean_text"),
+            count(lit(1)).as("n_kept"))
+          .withColumnRenamed("doc_id", "rdoc")
+        docs.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+          .join(re, col("doc_id") === col("rdoc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"),
+            col("n_chunks").cast("long").as("n_chunks"),
+            (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).cast("long")
+              .as("n_dropped"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        c AS (SELECT doc_id,
+                     list_transform(range(CAST(ceil(len(toks)/10.0) AS BIGINT)),
+                                    i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS chunks
+              FROM t),
+        ch AS (SELECT doc_id, unnest(chunks) AS chunk,
+                      generate_subscripts(chunks, 1) AS pos FROM c),
+        dup AS (SELECT md5(chunk) AS h FROM ch
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (SELECT doc_id, pos, chunk FROM ch
+                 WHERE md5(chunk) NOT IN (SELECT h FROM dup)),
+        re AS (SELECT doc_id AS rdoc,
+                      string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+                      count(*) AS n_kept
+               FROM kept GROUP BY doc_id)
+        SELECT c.doc_id, coalesce(re.clean_text, '') AS clean_text,
+               CAST(len(c.chunks) AS BIGINT) AS n_chunks,
+               CAST(len(c.chunks) - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM c LEFT JOIN re ON c.doc_id = re.rdoc
+        ORDER BY doc_id"""))
   )
 }
