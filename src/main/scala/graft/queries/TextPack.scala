@@ -291,6 +291,52 @@ object TextPack extends QueryPack {
                CAST(round(top_tok_n * 10000.0 / n_toks) AS BIGINT) AS top_tok_frac_e4,
                CAST(round(top_bigram_n * 10000.0 / n_bigrams) AS BIGINT) AS top_bigram_frac_e4
         FROM tok JOIN big USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── Sketch-prefiltered exact heavy hitters ─────────────────────────
+    // φ-heavy-hitters (count ≥ N/800) over corpus bigrams via the
+    // classic two-pass Count-Min pattern: pass 1 folds the whole corpus
+    // into one ~100 KB CMS (partial-merged map-side, near-zero shuffle)
+    // plus the exact total N; pass 2 re-streams the bigrams and drops
+    // the long tail MAP-SIDE using the broadcast sketch — CMS only ever
+    // OVER-estimates, so survivors are a strict superset of the true
+    // heavy hitters and the final exact recount + HAVING makes the
+    // output deterministic regardless of sketch error. At 100 TB the
+    // win is that tail keys (the overwhelming majority) never enter the
+    // group-by shuffle; only sketch-candidate keys do.
+    "t10_sketch_heavy_hitters" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.util.sketch.CountMinSketch
+        import java.io.ByteArrayInputStream
+        def bigrams = Tables.documents(s, d)
+          .select(explode(zip_with(
+            expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"),
+            expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
+            (x, y) => concat(x, lit(" "), y))).as("big"))
+        val head = bigrams
+          .agg(expr("count_min_sketch(big, 0.001d, 0.99d, 42)").as("cms"),
+            count(lit(1)).as("n"))
+          .head()
+        val thr = head.getLong(1) / 800.0
+        val bcSketch = s.sparkContext.broadcast(head.getAs[Array[Byte]](0))
+        import s.implicits._
+        val survivors = bigrams.as[String].mapPartitions { it =>
+          val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bcSketch.value))
+          it.filter(b => cms.estimateCount(b) >= thr)
+        }.toDF("big")
+        survivors.groupBy("big").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= lit(thr))
+          .orderBy(col("cnt").desc, col("big"))
+      },
+      oracle = Some("""
+        WITH bg AS (
+          SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS big
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM bg)
+        SELECT big, CAST(count(*) AS BIGINT) AS cnt
+        FROM bg, tot GROUP BY big, tot.n
+        HAVING count(*) >= tot.n / 800.0
+        ORDER BY cnt DESC, big"""))
   )
 }
