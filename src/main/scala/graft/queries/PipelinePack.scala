@@ -230,6 +230,46 @@ object PipelinePack extends QueryPack {
                           WHEN lang = 'zh' THEN 80 ELSE 60 END AS rate
               FROM documents)
         WHERE b < rate
-        GROUP BY 1 ORDER BY lang"""))
+        GROUP BY 1 ORDER BY lang""")),
+
+    // ── Benchmark decontamination (n-gram overlap) ─────────────────────
+    // The eval-set hygiene pass every training pipeline runs before a
+    // model sees the corpus: flag any training doc sharing ≥1 distinct
+    // 8-gram with a held-out benchmark set (GPT-3/PaLM-style n-gram
+    // decontamination; 8 fits the fixture's 10–100-token docs). The
+    // "benchmark" here is the deterministic doc_id % 50 == 0 slice so
+    // the oracle can recompute it. Scale posture: real benchmark suites
+    // are tiny and FIXED-size while the corpus grows — so the benchmark
+    // n-gram dictionary is distinct-ed and BROADCAST, the corpus makes
+    // one narrow map-side pass against it, and the only shuffle is the
+    // per-doc overlap count on the (rare) hits. No corpus-sized join
+    // state anywhere.
+    "p06_decontaminate" -> Q(
+      run = (s, d) => {
+        val grams = expr(
+          """transform(sequence(1, size(split(text, ' ')) - 7),
+            |  i -> array_join(slice(split(text, ' '), i, 8), ' '))""".stripMargin)
+        def flat = Tables.documents(s, d)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"), explode(grams).as("g"))
+        val bench = flat.filter(col("doc_id") % 50 === 0)
+          .select("g").distinct()
+        flat.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), "g")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_overlap"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        flat AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(w) - 6),
+                          i -> array_to_string(w[i:i+7], ' '))) AS g
+                 FROM w),
+        bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 50 = 0)
+        SELECT f.doc_id, count(DISTINCT f.g) AS n_overlap
+        FROM flat f JOIN bench b ON f.g = b.g
+        WHERE f.doc_id % 50 <> 0
+        GROUP BY f.doc_id ORDER BY f.doc_id"""))
   )
 }
