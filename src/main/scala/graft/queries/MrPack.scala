@@ -132,6 +132,61 @@ object MrPack extends QueryPack {
       oracle = Some("""
         SELECT t AS word, count(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t ORDER BY word""")),
+
+    // The OTHER canonical MapReduce job: an inverted index
+    // (word → sorted distinct posting list), run through the same
+    // typed map → md5-partition → sort → reduce pipeline. The mapper
+    // emits `word\tdoc_id` per token; the reducer streams each sorted
+    // run, dedups and sorts the postings numerically, and emits one
+    // `word\tid,id,...` line. Postings here are bounded by the tiny
+    // fixture vocab; at 100 TB a posting list for a stopword is
+    // corpus-sized, so a real deployment shards the key space
+    // ((word, docid % S) composite keys) — the pipeline shape is
+    // unchanged, which is why this query documents rather than
+    // implements the shard split.
+    "mr04_inverted_index" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val lines = Tables.documents(s, d)
+          .select(concat_ws("\t", col("doc_id"), col("text")))
+          .as[String].rdd.repartition(s.sparkContext.defaultParallelism)
+        val postings = MapReduceJob.typed(s, lines,
+          mapper = { line =>
+            val tab = line.indexOf('\t')
+            val id = line.substring(0, tab)
+            line.substring(tab + 1).split(" ").iterator.map(w => s"$w\t$id")
+          },
+          reducer = { it =>
+            val b = it.buffered
+            new Iterator[String] {
+              override def hasNext: Boolean = b.hasNext
+              override def next(): String = {
+                val key = b.head.takeWhile(_ != '\t')
+                val ids = scala.collection.mutable.SortedSet.empty[Long]
+                while (b.hasNext && b.head.takeWhile(_ != '\t') == key) {
+                  val line = b.next()
+                  ids += line.substring(line.indexOf('\t') + 1).toLong
+                }
+                s"$key\t${ids.mkString(",")}"
+              }
+            }
+          },
+          numReducers = 8)
+        postings
+          .map { l =>
+            val tab = l.indexOf('\t')
+            val docs = l.substring(tab + 1)
+            (l.substring(0, tab), docs.count(_ == ',') + 1L, docs)
+          }
+          .toDF("word", "n_docs", "docs")
+          .orderBy("word")
+      },
+      oracle = Some("""
+        SELECT t AS word,
+               CAST(len(list_sort(list_distinct(list(doc_id)))) AS BIGINT) AS n_docs,
+               array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
         GROUP BY t ORDER BY word"""))
   )
 }
