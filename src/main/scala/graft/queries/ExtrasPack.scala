@@ -555,6 +555,57 @@ object ExtrasPack extends QueryPack {
         FROM (SELECT l_orderkey, l_linenumber,
                      nullif(CAST(round(l_quantity) AS BIGINT), 25) AS v
               FROM lineitem WHERE l_orderkey < 100)
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── Recursive CTE (Spark 4.1 WITH RECURSIVE) ───────────────────────
+    // A month spine generated by recursion — the standard way to report
+    // over a gapless calendar when the fact table may skip periods.
+    // Spark 4.1 recursion only admits UNION ALL, so the recursion must
+    // be acyclic: the anchor row carries the END bound as a column
+    // (avoiding a subquery in the recursive term, which neither engine
+    // allows) and each step adds one month until it reaches it. Depth =
+    // #months (~80 here), well under Spark's recursion-level limit of
+    // 100; the spine is a handful of rows, so the recursive part is
+    // driver-trivial and the real work stays in the one hash aggregate
+    // over orders that the spine LEFT JOINs (broadcast — the spine side
+    // is tiny) — the shape survives any corpus scale.
+    "q39_recursive_cte" -> Q(
+      run = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q39_orders")
+        s.sql("""
+          WITH RECURSIVE spine(m, mx) AS (
+            SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE),
+                   CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE)
+            FROM q39_orders
+            UNION ALL
+            SELECT add_months(m, 1), mx FROM spine WHERE m < mx),
+          agg AS (
+            SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                   count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM q39_orders GROUP BY 1)
+          SELECT date_format(spine.m, 'yyyy-MM') AS ym,
+                 coalesce(agg.n, CAST(0 AS BIGINT)) AS n,
+                 coalesce(agg.cents, CAST(0 AS BIGINT)) AS total_cents
+          FROM spine LEFT JOIN agg ON spine.m = agg.m
+          ORDER BY ym""")
+      },
+      oracle = Some("""
+        WITH RECURSIVE spine(m, mx) AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+                 CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+          FROM orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx),
+        agg AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 count(*) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1)
+        SELECT strftime(spine.m, '%Y-%m') AS ym,
+               coalesce(agg.n, CAST(0 AS BIGINT)) AS n,
+               coalesce(agg.cents, CAST(0 AS BIGINT)) AS total_cents
+        FROM spine LEFT JOIN agg ON spine.m = agg.m
+        ORDER BY ym"""))
   )
 }
