@@ -80,6 +80,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (state API v2) matches the v1 running stats") {
+    // the v2 arbitrary-state operator requires the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.runningUserStatsV2(stream.toDS())
+      .writeStream.format("memory").queryName("running_v2")
+      .outputMode("append").start()
+    try {
+      stream.addData(StreamingOps.Event(1, 7, "click", 1.50))
+      q.processAllAvailable()
+      stream.addData(StreamingOps.Event(2, 7, "view", 2.25),
+        StreamingOps.Event(3, 8, "click", 10.00))
+      q.processAllAvailable()
+      val rows = spark.table("running_v2").as[StreamingOps.UserStats]
+        .collect().groupBy(_.user_id).map { case (u, xs) =>
+          u -> xs.maxBy(_.n_events)
+        }
+      // identical to the flatMapGroupsWithState (v1) expectations
+      assert(rows(7L) === StreamingOps.UserStats(7, 2, 375))
+      assert(rows(8L) === StreamingOps.UserStats(8, 1, 1000))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join matches purchases within the window") {
     val clicks = MemoryStream[RawEvent](spark)
     val purchases = MemoryStream[RawEvent](spark)
