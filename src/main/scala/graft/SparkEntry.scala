@@ -15,7 +15,7 @@ object SparkEntry {
   /** Registered packs. Order only affects listing, names must be unique. */
   val packs: Seq[QueryPack] = Seq(
     RelationalPack, ExtrasPack, WindowPack, EventsPack, TextPack, DedupPack,
-    SimilarityPack, MrPack, MultimodalPack, TypedPack, PipelinePack)
+    SimilarityPack, MrPack, MultimodalPack, TypedPack, PipelinePack, GraphPack)
 
   lazy val all: Seq[(String, Q)] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over relational data: PageRank on the bipartite
+  * supplier↔customer trade graph (an edge per distinct pair that traded,
+  * both directions so every node has out-degree and no rank mass
+  * dangles).
+  *
+  * Fixed 3-iteration damped PageRank in EXACT integer arithmetic
+  * (ranks scaled 1e6; every divide is integer division) so DuckDB can
+  * replay it bit-for-bit as unrolled CTE iterations — floating-point
+  * PageRank is merge-order-dependent and never hash-stable across
+  * engines. Complements `operators.ConnectedComponents` (d06): that is
+  * the reachability resolver, this is the iterative-scoring shape.
+  *
+  * Scale posture: the edge list is `localCheckpoint`ed once and every
+  * iteration is one shuffle keyed by the destination node (partial-
+  * aggregated map-side); rank state is one row per node. Rounds are a
+  * fixed constant, and each round's result is eagerly checkpointed so
+  * the plan stays constant-size instead of compounding per iteration
+  * (the classic iterative-DataFrame trap).
+  */
+object GraphPack extends QueryPack {
+
+  /** One DuckDB PageRank step from CTE `prev` into CTE `out`. */
+  private def duckStep(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT e.v AS node,
+       |         CAST(150000 + (85 * sum(p.r // dg.d)) // 100 AS BIGINT) AS r
+       |  FROM edges e
+       |  JOIN deg dg ON e.u = dg.u
+       |  JOIN $prev p ON p.node = e.u
+       |  GROUP BY e.v)""".stripMargin
+
+  def queries: Seq[(String, Q)] = Seq(
+    "g01_pagerank" -> Q(
+      run = (s, d) => {
+        val e0 = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("u"),
+            (col("o_custkey") + lit(1000000L)).as("v"))
+          .distinct()
+        val edges = e0
+          .union(e0.select(col("v").as("u"), col("u").as("v")))
+        graft.operators.PageRank.ranks(edges, 3)
+          .select(col("node"), col("r").as("rank_e6")).orderBy("node")
+      },
+      oracle = Some(s"""
+        WITH e0 AS (SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        ${duckStep("r0", "i1")},
+        ${duckStep("i1", "i2")},
+        ${duckStep("i2", "i3")}
+        SELECT node, r AS rank_e6 FROM i3 ORDER BY node"""))
+  )
+}

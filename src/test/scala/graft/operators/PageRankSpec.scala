@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mr.SparkTestSession
+
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.ranks(edges.toDF("u", "v"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // star a(1)-b(2), a(1)-c(3), symmetrized; hand-computed integer steps:
+  //   i1: b=c=150000+85*(1000000 div 2) div 100 = 575000
+  //       a  =150000+85*(1000000+1000000) div 100 = 1850000
+  //   i2: b=c=150000+85*(1850000 div 2) div 100 = 936250
+  //       a  =150000+85*(575000+575000)  div 100 = 1127500
+  //   i3: b=c=150000+85*(1127500 div 2) div 100 = 629187 (floor)
+  //       a  =150000+85*(936250+936250)  div 100 = 1741625
+  private val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+
+  test("hand-computed integer steps on a 3-node star") {
+    assert(ranks(star, 1) === Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    assert(ranks(star, 2) === Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+    assert(ranks(star, 3) === Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
+  }
+
+  test("symmetric ring is rank-uniform at every iteration") {
+    // 1-2-3-1 bidirectional: perfect symmetry must stay exactly uniform
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+    val got = ranks(ring, 3)
+    assert(got.values.toSet.size === 1)
+    // each node: r' = 150000 + 85*(2*(r div 2)) div 100, from r0=1000000:
+    // i1: 1000000 → 150000+850000 = 1000000 (fixed point)
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("results are partitioning-independent") {
+    val df = star.toDF("u", "v").repartition(7)
+    val got = PageRank.ranks(df, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
+  }
+}
