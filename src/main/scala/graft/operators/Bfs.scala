@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded breadth-first hop distance over a directed edge list:
+  * frontier expansion with a min-hop merge each round — the other
+  * canonical iterative graph primitive next to [[PageRank]] (scoring)
+  * and [[ConnectedComponents]] (reachability labels).
+  *
+  * Exact by construction (integer hops, min-merge is order-insensitive)
+  * so an external oracle can replay it as a recursive CTE. Only the
+  * CURRENT frontier joins the edge list each round (rows discovered
+  * last round), so per-round work is frontier × out-degree, not
+  * nodes × edges; the running distance table (one row per reached
+  * node) is eagerly checkpointed per round to keep the plan
+  * constant-size.
+  */
+object Bfs {
+
+  /** @param edges   long columns `u` (src) and `v` (dst)
+    * @param sources long column `node` — hop-0 seed set
+    * @return columns `node`, `hop` (min hops from any source, ≤ maxHops) */
+  def hops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var dist = sources.select(col("node"), lit(0L).as("hop"))
+      .distinct().localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hop") === (h - 1))
+      val next = frontier.join(e, frontier("node") === e("u"))
+        .select(e("v").as("node"), lit(h.toLong).as("hop"))
+      dist = dist.union(next)
+        .groupBy("node").agg(min("hop").as("hop"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+}

@@ -59,6 +59,42 @@ object GraphPack extends QueryPack {
         ${duckStep("r0", "i1")},
         ${duckStep("i1", "i2")},
         ${duckStep("i2", "i3")}
-        SELECT node, r AS rank_e6 FROM i3 ORDER BY node"""))
+        SELECT node, r AS rank_e6 FROM i3 ORDER BY node""")),
+
+    // ── Bounded BFS hop distance ───────────────────────────────────────
+    // Min-hop distance from supplier 1 over the same symmetrized trade
+    // graph, 4 rounds of frontier expansion (operators.Bfs). The DuckDB
+    // oracle is the equivalent recursive CTE with a distinct UNION
+    // (DuckDB admits it; Spark's recursive CTE does not yet, which is
+    // exactly why the Spark side is the iterative operator — the same
+    // division of labor as d06's connected components).
+    "g02_bfs_hops" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val e0 = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("u"),
+            (col("o_custkey") + lit(1000000L)).as("v"))
+          .distinct()
+        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        val sources = Seq(1L).toDF("node")
+        graft.operators.Bfs.hops(edges, sources, 4)
+          .orderBy("node")
+      },
+      oracle = Some("""
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        reach(node, hop) AS (
+          SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+          UNION
+          SELECT e.v, r.hop + 1
+          FROM reach r JOIN edges e ON e.u = r.node
+          WHERE r.hop < 4)
+        SELECT node, CAST(min(hop) AS BIGINT) AS hop
+        FROM reach GROUP BY node ORDER BY node"""))
   )
 }

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mr.SparkTestSession
+
+class BfsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hops(edges: Seq[(Long, Long)], sources: Seq[Long],
+      maxHops: Int): Map[Long, Long] =
+    Bfs.hops(edges.toDF("u", "v"), sources.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // chain 1→2→3→4→5 plus a shortcut 1→4
+  private val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+
+  test("min-hop wins when multiple paths reach a node") {
+    assert(hops(chain, Seq(1L), 4) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("maxHops bounds the reach") {
+    assert(hops(chain, Seq(1L), 1) === Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("multiple sources take the nearest one; cycles terminate") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(hops(ring, Seq(1L, 3L), 4) ===
+      Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+  }
+}
