@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.2 "Streaming").
   *
@@ -130,5 +131,64 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class ClosedSession(user_id: Long, n_events: Long)
+
+  /** Session timeout via EVENT-TIME TIMERS (state API v2): each input
+    * batch re-arms a per-key timer at lastSeen + gap; when the
+    * watermark passes it, [[handleExpiredTimer]] emits the closed
+    * session and clears state. This is the custom-session-semantics
+    * shape `session_window` can't express (emit-on-close with arbitrary
+    * per-key payload), and the timer surface the v1 API only
+    * approximated with GroupStateTimeout. State per key is two longs;
+    * timers are store-backed and survive restarts with the checkpoint. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+    @transient private var count: ValueState[Long] = _
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count",
+        Encoders.scalaLong, TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[TimedEvent],
+        timers: TimerValues): Iterator[ClosedSession] = {
+      var n = if (count.exists()) count.get() else 0L
+      var lastTs = 0L
+      rows.foreach { e =>
+        n += 1
+        lastTs = math.max(lastTs, e.ts.getTime)
+      }
+      count.update(n)
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      val target = lastTs + gapMs
+      getHandle.registerTimer(target)
+      timerAt.update(target)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val n = if (count.exists()) count.get() else 0L
+      count.clear(); timerAt.clear()
+      Iterator.single(ClosedSession(uid, n))
+    }
+  }
+
+  /** Sessions closed by event-time timeout; `lateness` is the watermark
+    * delay, `gapMinutes` the inactivity that closes a session. */
+  def sessionTimeouts(events: Dataset[TimedEvent], gapMinutes: Long = 30,
+      lateness: String = "10 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

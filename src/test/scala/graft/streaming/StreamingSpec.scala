@@ -112,6 +112,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers close sessions after the gap (state API v2)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[StreamingOps.TimedEvent](spark)
+    val base = 1700000000000L
+    val mk = (uid: Long, offMin: Long) =>
+      StreamingOps.TimedEvent(uid, new Timestamp(base + offMin * 60000))
+    val q = StreamingOps.sessionTimeouts(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("timeouts")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 10 min apart → one session of 2
+      stream.addData(mk(7, 0), mk(7, 10))
+      q.processAllAvailable()
+      assert(spark.table("timeouts").isEmpty) // gap not yet passed
+      // far-future event advances the watermark past 7's timer (00:40)
+      stream.addData(mk(8, 600))
+      q.processAllAvailable()
+      // timers fire once the watermark (set at batch end) is applied
+      stream.addData(mk(8, 601))
+      q.processAllAvailable()
+      val closed = spark.table("timeouts").as[StreamingOps.ClosedSession]
+        .collect().map(c => c.user_id -> c.n_events).toMap
+      assert(closed === Map(7L -> 2L)) // user 8 is still active
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join matches purchases within the window") {
     val clicks = MemoryStream[RawEvent](spark)
     val purchases = MemoryStream[RawEvent](spark)
