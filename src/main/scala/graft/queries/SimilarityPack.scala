@@ -348,6 +348,95 @@ object SimilarityPack extends QueryPack {
         SELECT vec_id, i AS dim,
                CAST(round(v[i] / nrm * 127) AS INT) AS q8
         FROM n, range(1, 65) AS r(i)
-        ORDER BY vec_id, dim"""))
+        ORDER BY vec_id, dim""")),
+
+    // ── Integer-exact k-means (corpus clustering for curation) ─────────
+    // Lloyd's algorithm, k = 8, 2 iterations, over the s08 int8
+    // quantization SHIFTED to [0, 254] — with non-negative values,
+    // centroid averaging by integer division is floor in both engines
+    // (negatives would truncate differently), distances are unchanged
+    // by the shift, and every step is exact integer arithmetic, so
+    // DuckDB replays the whole clustering bit-for-bit as unrolled CTEs.
+    // Seeds = the 8 lowest vec_ids; argmin ties break by centroid id.
+    // Scale posture: this is THE k-means shape at 100 TB — only the
+    // k×64 centroid table moves (broadcast each round); the quantized
+    // long-format relation is checkpointed once; per-round work is one
+    // map-side-partial groupBy(vec, cid) and one groupBy(cid, dim).
+    // Empty clusters would simply drop out (deterministic both sides).
+    "s09_int_kmeans" -> Q(
+      run = (s, d) => {
+        val base = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("nrm", sqrt(aggregate(
+            transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)))
+        val q = base
+          .select(col("vec_id"), col("nrm"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"),
+            (round(col("x") / col("nrm") * 127, 0).cast("int") + lit(127))
+              .as("u8"))
+          .localCheckpoint(true)
+        val ids = q.select("vec_id").distinct().orderBy("vec_id").limit(8)
+          .withColumn("cid",
+            row_number().over(Window.orderBy("vec_id")).cast("int"))
+        var cent = q.join(broadcast(ids), "vec_id")
+          .select(col("cid"), col("dim"), col("u8").as("cu8"))
+        var assign: DataFrame = null
+        for (_ <- 1 to 2) {
+          val dists = q.join(broadcast(cent), "dim")
+            .groupBy(col("vec_id"), col("cid"))
+            .agg(sum((col("u8") - col("cu8")).cast("long")
+              * (col("u8") - col("cu8"))).as("dist"))
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("dist"), col("cid"))
+          assign = dists.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid"), col("dist"))
+            .localCheckpoint(true)
+          cent = q.join(assign.select("vec_id", "cid"), "vec_id")
+            .groupBy(col("cid"), col("dim"))
+            .agg(expr("CAST(sum(u8) div count(1) AS INT)").as("cu8"))
+        }
+        assign
+          .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 x -> x * x), (a, b) -> a + b)) AS nrm
+             FROM embeddings),
+        q AS (SELECT vec_id, i AS dim,
+                     CAST(round(v[i] / nrm * 127) AS INT) + 127 AS u8
+              FROM base, range(1, 65) AS r(i)),
+        ids AS (SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid
+                FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 8)),
+        c0 AS (SELECT ids.cid, q.dim, q.u8 AS cu8
+               FROM q JOIN ids USING (vec_id)),
+        a1d AS (SELECT q.vec_id, c.cid,
+                       sum(CAST(q.u8 - c.cu8 AS BIGINT) * (q.u8 - c.cu8)) AS dist
+                FROM q JOIN c0 c USING (dim) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM
+                 (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, cid) AS rn
+                  FROM a1d) WHERE rn = 1),
+        c1 AS (SELECT a1.cid, q.dim,
+                      CAST(sum(q.u8) // count(*) AS INT) AS cu8
+               FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2),
+        a2d AS (SELECT q.vec_id, c.cid,
+                       sum(CAST(q.u8 - c.cu8 AS BIGINT) * (q.u8 - c.cu8)) AS dist
+                FROM q JOIN c1 c USING (dim) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid, dist FROM
+                 (SELECT vec_id, cid, dist,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, cid) AS rn
+                  FROM a2d) WHERE rn = 1)
+        SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist
+        FROM a2 ORDER BY vec_id"""))
   )
 }
