@@ -32,6 +32,10 @@ import graft.Tables
   */
 object DedupPack extends QueryPack {
 
+  /** Stopword list shared with the t02 quality score (d09 keep policy). */
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private def sqlStop = stop.map(s => s"'$s'").mkString(", ")
+
   // token 3-gram shingles, distinct, as an array column (docs are
   // single-space tokenized; every fixture doc has ≥3 tokens).
   // `toks` is bound as its own column first: nesting `split(text)` inside
@@ -473,6 +477,56 @@ object DedupPack extends QueryPack {
                CAST(len(c.chunks) AS BIGINT) AS n_chunks,
                CAST(len(c.chunks) - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped
         FROM c LEFT JOIN re ON c.doc_id = re.rdoc
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── Canonical-document selection per duplicate cluster ─────────────
+    // The keep policy a curation pipeline actually wants: within each
+    // duplicate cluster (d06's transitive components) keep the
+    // HIGHEST-QUALITY member (t02's score; ties → lowest doc_id), not
+    // blindly the lowest id. One keyed window over the (tiny) cluster
+    // relation joined with per-doc scores — the cluster table is
+    // orders of magnitude smaller than the corpus, so this decision
+    // step is never the scale bottleneck.
+    "d09_canonical_keep" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val clusters = graft.SparkEntry.queries("d06_dup_clusters")(s, d)
+        val quality = graft.SparkEntry.queries("t02_quality_score")(s, d)
+          .select(col("doc_id"), col("quality_e4"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("quality_e4").desc, col("doc_id"))
+        clusters.join(quality, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+            max(when(col("rn") === 1, col("quality_e4"))).as("kept_quality_e4"))
+          .orderBy("cluster_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS ($d03OracleSql),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+                 FROM reach GROUP BY n),
+        qual AS (SELECT doc_id,
+                        CAST(round(len(list_filter(string_split(text, ' '),
+                                   t -> t IN ($sqlStop))) * 5000.0
+                                   / len(string_split(text, ' '))
+                             + least(n_chars, 500) * 5000.0 / 500.0) AS BIGINT)
+                          AS quality_e4
+                 FROM documents),
+        ranked AS (SELECT c.cluster_id, c.doc_id, q.quality_e4,
+                          row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_e4 DESC, c.doc_id) AS rn
+                   FROM comp c JOIN qual q USING (doc_id))
+        SELECT cluster_id, count(*) AS n_members,
+               max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+               max(CASE WHEN rn = 1 THEN quality_e4 END) AS kept_quality_e4
+        FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""))
   )
 }
