@@ -33,4 +33,28 @@ object Layout {
       rightTable: String, leftKey: String, rightKey: String): DataFrame =
     spark.table(leftTable)
       .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+
+  /** Compact a directory of (many small) parquet files into
+    * ceil(totalBytes / targetBytes) outputs — the routine maintenance
+    * op every long-lived 100 TB table needs: streaming/incremental
+    * writers fragment a table into files far below the scan-efficient
+    * size, and every downstream scan then pays per-file open/footer
+    * cost and tiny-split scheduling overhead. Sizing from the ACTUAL
+    * on-disk byte total (not row counts) keeps output files near the
+    * target regardless of schema width or compression ratio.
+    * Round-robin repartition spreads rows evenly; writes go to a new
+    * directory (swap-in is the caller's atomic rename).
+    *
+    * @return the number of output files chosen */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(path).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

@@ -87,4 +87,27 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.textFile(s"$dir/in").collect().sorted
     assert(back === Array("line a", "line b", "line c"))
   }
+
+  test("compaction folds a fragmented table into size-targeted files") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val orders = Tables.orders(spark, sfDir)
+    // fragment: 40 small files, the streaming-writer failure mode
+    orders.repartition(40).write.mode("overwrite").parquet(s"$dir/frag")
+    val fragFiles = new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles === 40)
+    val fragBytes = new java.io.File(s"$dir/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target ~quarter of the total → expect ceil(total/target) = 4 files
+    val n = Layout.compact(spark, s"$dir/frag", s"$dir/out",
+      targetBytes = (fragBytes + 3) / 4)
+    val outFiles = new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n >= 2 && n <= 5 && outFiles === n,
+      s"expected ~4 compacted files, got n=$n outFiles=$outFiles")
+    // content survives byte-for-byte at the row level
+    val a = spark.read.parquet(s"$dir/out").collect().map(_.toSeq).toSet
+    val b = orders.collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
