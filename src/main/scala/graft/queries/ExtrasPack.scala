@@ -606,6 +606,71 @@ object ExtrasPack extends QueryPack {
                coalesce(agg.n, CAST(0 AS BIGINT)) AS n,
                coalesce(agg.cents, CAST(0 AS BIGINT)) AS total_cents
         FROM spine LEFT JOIN agg ON spine.m = agg.m
-        ORDER BY ym"""))
+        ORDER BY ym""")),
+
+    // ── CDC upsert / MERGE-INTO semantics as composition ───────────────
+    // The warehouse maintenance op parquet alone can't do natively:
+    // merge a change stream into a keyed snapshot, classifying each
+    // output key as insert (new key), update (existing key touched by
+    // the delta) or carry (untouched). The split point is the midpoint
+    // of the event-time range, computed PLAN-SIDE (1-row aggregate,
+    // broadcast cross join — no driver action) with integer division
+    // so both engines pick the identical cutoff. Latest-per-key =
+    // row_number over (us DESC, event_id DESC) — the unique tiebreak
+    // makes the merge deterministic under any partitioning. Scale
+    // shape: one keyed window per side + two left joins, all shuffled
+    // on user_id; nothing global.
+    "q40_cdc_upsert" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            Cents.cents(col("value")).as("value_cents"))
+        val bounds = ev.agg(expr("(min(us) + max(us)) div 2").as("cutoff"))
+        val evc = ev.crossJoin(broadcast(bounds))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val base = latest(evc.filter(col("us") < col("cutoff")))
+          .select(col("user_id"), col("us").as("base_us"))
+        val fin = latest(evc)
+          .select(col("user_id"), col("us"), col("value_cents"))
+        val delta = evc.filter(col("us") >= col("cutoff"))
+          .select("user_id").distinct().withColumn("has_delta", lit(1))
+        fin.join(base, Seq("user_id"), "left")
+          .join(delta, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("base_us").isNull, "insert")
+              .when(col("has_delta").isNull, "carry")
+              .otherwise("update").as("action"),
+            col("us").as("last_us"), col("value_cents"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           CAST(round((value)*100) AS BIGINT) AS value_cents
+                    FROM events),
+        c AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM ev),
+        base AS (SELECT user_id, us FROM (
+                   SELECT user_id, us, row_number() OVER (PARTITION BY user_id
+                     ORDER BY us DESC, event_id DESC) AS rn
+                   FROM ev, c WHERE us < cutoff) WHERE rn = 1),
+        fin AS (SELECT user_id, us, value_cents FROM (
+                  SELECT user_id, us, value_cents,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY us DESC, event_id DESC) AS rn
+                  FROM ev) WHERE rn = 1),
+        del AS (SELECT DISTINCT user_id FROM ev, c WHERE us >= cutoff)
+        SELECT f.user_id,
+               CASE WHEN b.user_id IS NULL THEN 'insert'
+                    WHEN d.user_id IS NULL THEN 'carry'
+                    ELSE 'update' END AS action,
+               f.us AS last_us, f.value_cents
+        FROM fin f
+        LEFT JOIN base b ON f.user_id = b.user_id
+        LEFT JOIN del d ON f.user_id = d.user_id
+        ORDER BY f.user_id"""))
   )
 }
