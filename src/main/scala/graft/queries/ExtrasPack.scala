@@ -671,6 +671,47 @@ object ExtrasPack extends QueryPack {
         FROM fin f
         LEFT JOIN base b ON f.user_id = b.user_id
         LEFT JOIN del d ON f.user_id = d.user_id
-        ORDER BY f.user_id"""))
+        ORDER BY f.user_id""")),
+
+    // ── SCD Type-2 history from a change stream ────────────────────────
+    // The other half of warehouse temporality next to q40's snapshot
+    // merge: every change becomes a VERSION with a half-open validity
+    // interval [valid_from, valid_to); the latest version per key stays
+    // open (NULL valid_to, is_current=1). One keyed window (lead +
+    // row_number on the unique (us, event_id) order) — shuffled on
+    // user_id only, no global ops, versions stream out per key.
+    "q41_scd2_history" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            Cents.cents(col("value")).as("value_cents"))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("version"),
+            col("us").as("valid_from_us"), col("valid_to_us"),
+            when(col("valid_to_us").isNull, 1L).otherwise(0L)
+              .as("is_current"),
+            col("value_cents"))
+          .filter(col("user_id") < 30)
+          .orderBy("user_id", "version")
+      },
+      oracle = Some("""
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               us AS valid_from_us,
+               lead(us, 1) OVER w AS valid_to_us,
+               CASE WHEN lead(us, 1) OVER w IS NULL
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current,
+               value_cents
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CAST(round((value)*100) AS BIGINT) AS value_cents
+              FROM events)
+        WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ORDER BY user_id, version"""))
   )
 }

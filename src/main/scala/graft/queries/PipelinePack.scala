@@ -270,6 +270,71 @@ object PipelinePack extends QueryPack {
         SELECT f.doc_id, count(DISTINCT f.g) AS n_overlap
         FROM flat f JOIN bench b ON f.g = b.g
         WHERE f.doc_id % 50 <> 0
-        GROUP BY f.doc_id ORDER BY f.doc_id"""))
+        GROUP BY f.doc_id ORDER BY f.doc_id""")),
+
+    // ── Data-quality constraint gate (Deequ-style checks) ──────────────
+    // The validation stage a pipeline runs before promoting a batch:
+    // each check is one declarative aggregate (uniqueness, referential
+    // integrity, null fraction, range) emitting (rows checked,
+    // violations) — the job fails downstream iff any violations > 0.
+    // Every check is its own scan+aggregate unioned into one result;
+    // at 100 TB each is embarrassingly parallel (two-phase aggs, one
+    // anti-join for the FK check) and the union is 5 one-row branches.
+    "p07_quality_checks" -> Q(
+      run = (s, d) => {
+        val orders = Tables.orders(s, d)
+        val lineitem = Tables.lineitem(s, d)
+        val events = Tables.events(s, d)
+        def shape(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(name).as("check"),
+            col("n_checked").cast("long"), col("violations").cast("long"))
+        val pk = shape("orders_pk_unique",
+          orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+            .agg(sum(col("c")).as("n_checked"),
+              sum(when(col("c") > 1, col("c")).otherwise(0L)).as("violations")))
+        // n_checked = -1: "not a row-fraction check" sentinel (the FK
+        // check counts orphans, the denominator lives in other checks)
+        val fk = shape("lineitem_fk_orders",
+          lineitem.join(orders,
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("violations"))
+            .withColumn("n_checked", lit(-1L)))
+        val nn = shape("orders_custkey_nonnull",
+          orders.agg(count(lit(1)).as("n_checked"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+              .as("violations")))
+        val rng = shape("lineitem_qty_range",
+          lineitem.agg(count(lit(1)).as("n_checked"),
+            sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+              .otherwise(0L)).as("violations")))
+        val ev = shape("events_value_nonneg",
+          events.agg(count(lit(1)).as("n_checked"),
+            sum(when(col("value") < 0, 1L).otherwise(0L)).as("violations")))
+        pk.union(fk).union(nn).union(rng).union(ev).orderBy("check")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'orders_pk_unique' AS check,
+                 CAST(sum(c) AS BIGINT) AS n_checked,
+                 CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS violations
+          FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+          UNION ALL
+          SELECT 'lineitem_fk_orders', -1,
+                 CAST(count(*) AS BIGINT)
+          FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+          UNION ALL
+          SELECT 'orders_custkey_nonnull', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem_qty_range', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                          THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'events_value_nonneg', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM events)
+        ORDER BY "check""""))
   )
 }
