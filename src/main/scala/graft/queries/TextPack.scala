@@ -337,6 +337,54 @@ object TextPack extends QueryPack {
         SELECT big, CAST(count(*) AS BIGINT) AS cnt
         FROM bg, tot GROUP BY big, tot.n
         HAVING count(*) >= tot.n / 800.0
-        ORDER BY cnt DESC, big"""))
+        ORDER BY cnt DESC, big""")),
+
+    // ── Bigram LM familiarity score (LM-based quality gating) ─────────
+    // The integer-exact stand-in for perplexity filtering: train bigram
+    // conditional frequencies on the corpus itself (c2(w1,w2)/c1(w1)),
+    // score each doc by the mean scaled conditional frequency of its
+    // bigrams. Every step is integer division ((1e6*c2) div c1, then
+    // div n_bigrams), so the score is partitioning-independent and the
+    // oracle replays it exactly — a real perplexity's float log-sums
+    // never are. Scale posture: the two count tables are VOCAB-sized
+    // (broadcastable); the corpus makes one narrow pass emitting
+    // bigrams, one keyed join against each count table, one per-doc
+    // aggregate — the exact shape of KenLM-style scoring at 100 TB
+    // with the model table broadcast.
+    "t11_bigram_lm_score" -> Q(
+      run = (s, d) => {
+        val bigrams = Tables.documents(s, d)
+          .select(col("doc_id"), explode(zip_with(
+            expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"),
+            expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
+            (x, y) => concat(x, lit(" "), y))).as("big"))
+          .withColumn("w1", substring_index(col("big"), " ", 1))
+        val c2 = bigrams.groupBy("big").agg(count(lit(1)).as("c2"))
+        val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bigrams
+          .join(broadcast(c2), "big")
+          .join(broadcast(c1), "w1")
+          .withColumn("f_e6", expr("(1000000 * c2) div c1"))
+          .groupBy("doc_id")
+          .agg(expr("CAST(sum(f_e6) div count(1) AS BIGINT)")
+            .as("lm_score_e6"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS big
+          FROM documents),
+        b AS (SELECT doc_id, big, string_split(big, ' ')[1] AS w1 FROM bg),
+        c2 AS (SELECT big, count(*) AS c2 FROM b GROUP BY 1),
+        c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1)
+        SELECT b.doc_id,
+               CAST(sum((1000000 * c2.c2) // c1.c1) // count(*) AS BIGINT)
+                 AS lm_score_e6,
+               count(*) AS n_bigrams
+        FROM b JOIN c2 USING (big) JOIN c1 USING (w1)
+        GROUP BY b.doc_id ORDER BY b.doc_id"""))
   )
 }
