@@ -712,6 +712,33 @@ object ExtrasPack extends QueryPack {
               FROM events)
         WHERE user_id < 30
         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        ORDER BY user_id, version"""))
+        ORDER BY user_id, version""")),
+
+    // ── Z-order (Morton) clustering key ────────────────────────────────
+    // The data-skipping layout key (Delta/Iceberg OPTIMIZE ZORDER):
+    // interleave the bits of two dimensions so rows close in BOTH land
+    // close in the sort order; written range-partitioned on this key,
+    // per-file min/max stats prune 2-D box predicates (locality is
+    // asserted in SourcesSpec). Pure integer bit arithmetic — the
+    // oracle computes the identical key. The key itself is a narrow
+    // map; the write path (`Layout.zOrderWrite`) adds one range
+    // repartition, the same cost class as any global sort-by-key.
+    "q42_zorder_key" -> Q(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 200)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey") % 4096).as("x"),
+            (col("l_suppkey") % 4096).as("y"))
+          .withColumn("z",
+            graft.sources.Layout.zValue(col("x"), col("y")))
+          .orderBy("l_orderkey", "l_linenumber"),
+      oracle = Some(s"""
+        SELECT l_orderkey, l_linenumber,
+               l_partkey % 4096 AS x, l_suppkey % 4096 AS y,
+               ${graft.sources.Layout.zValueSql("l_partkey % 4096",
+                 "l_suppkey % 4096")} AS z
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout helpers — the two write-side techniques that decide read
@@ -57,4 +57,36 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /** 32-bit Z-order (Morton) key: interleave the low 16 bits of two
+    * columns — bit b of `x` lands at 2b, bit b of `y` at 2b+1. Pure
+    * integer arithmetic (shift/mod/scale), so external engines compute
+    * the identical key. */
+  def zValue(x: Column, y: Column): Column =
+    (0 until 16).map { b =>
+      (shiftright(x, b) % 2).cast("long") * lit(1L << (2 * b)) +
+        (shiftright(y, b) % 2).cast("long") * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+
+  /** The SQL twin of [[zValue]] for an external oracle. */
+  def zValueSql(x: String, y: String): String =
+    (0 until 16).map { b =>
+      s"((($x) // ${1L << b}) % 2) * ${1L << (2 * b)}" +
+        s" + ((($y) // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
+
+  /** Write `df` range-partitioned and sorted by the Z-order key of
+    * (xCol, yCol): rows close in BOTH dimensions land in the same few
+    * files, so per-file min/max statistics prune 2-D box predicates —
+    * the data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) that a
+    * plain sort on either single column cannot give. Verified in
+    * SourcesSpec: a small 2-D box query touches a fraction of the
+    * z-ordered files but nearly all randomly-laid-out ones. */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      numFiles: Int): Unit =
+    df.withColumn("__z", zValue(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

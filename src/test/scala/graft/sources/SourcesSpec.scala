@@ -110,4 +110,32 @@ class SourcesSpec extends AnyFunSuite {
     val b = orders.collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("z-order layout confines a 2-D box query to few files") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    // two well-spread, independent dimensions (the tiny-SF part/supp
+    // keys are near-constant and would degenerate the 2-D space)
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_orderkey" % 1024).as("x"),
+        ($"l_extendedprice".cast("long") % 1024).as("y"))
+    val nFiles = 16
+    // naive layout: round-robin over unrelated order — box rows scatter
+    li.repartition(nFiles).write.mode("overwrite").parquet(s"$dir/naive")
+    Layout.zOrderWrite(li, "x", "y", s"$dir/z", nFiles)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter($"x" < 128 && $"y" < 128)
+        .select(input_file_name()).distinct().count()
+    val naive = filesTouched(s"$dir/naive")
+    val z = filesTouched(s"$dir/z")
+    // same rows either way
+    assert(spark.read.parquet(s"$dir/z")
+      .filter($"x" < 128 && $"y" < 128).count() ===
+      spark.read.parquet(s"$dir/naive")
+        .filter($"x" < 128 && $"y" < 128).count())
+    assert(z < naive,
+      s"z-order should confine the box: z=$z naive=$naive")
+    assert(z <= nFiles / 4, s"box rows spread over $z of $nFiles z-files")
+  }
 }
