@@ -239,6 +239,49 @@ object EventsPack extends QueryPack {
           .orderBy("event_type"),
       oracle = Some("""
         SELECT event_type, count(DISTINCT user_id) AS n_users
-        FROM events GROUP BY 1 ORDER BY event_type"""))
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // ── Native session_window (batch) ──────────────────────────────────
+    // e03 builds sessions by hand (lag + running flag-sum); this is the
+    // same 30-minute-gap semantics through Spark's built-in
+    // `session_window`, which plans as a single SessionWindowing +
+    // aggregate — one shuffle on user_id, windows merged per key with
+    // NO global sort and no window function. A new session starts when
+    // the gap is ≥ the timeout (a session's end is last_event + gap,
+    // exclusive), so the oracle flags `diff >= gap` — note e03's
+    // hand-rolled variant uses `>`, the two differ only for a gap of
+    // exactly 1800.000000 s. window.end = max(ts) + gap by definition;
+    // both ends are emitted as epoch micros (ts is ns in parquet, µs
+    // in Spark — see Tables.events).
+    "e09_session_window_fn" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("start_us"),
+            unix_micros(col("w.end")).as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us, 1) OVER w IS NULL
+                        OR us - lag(us, 1) OVER w >= 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM t
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sessions AS (
+          SELECT user_id, us,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM flagged)
+        SELECT user_id, min(us) AS start_us,
+               max(us) + 1800 * 1000000 AS end_us,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sess_id
+        ORDER BY user_id, start_us"""))
   )
 }

@@ -739,6 +739,38 @@ object ExtrasPack extends QueryPack {
                ${graft.sources.Layout.zValueSql("l_partkey % 4096",
                  "l_suppkey % 4096")} AS z
         FROM lineitem WHERE l_orderkey < 200
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── Equi-width histogram ───────────────────────────────────────────
+    // Fixed-bucket value histogram (the profiling / ANALYZE shape). The
+    // bucket edges derive from the data's max — ONE tiny agg broadcast
+    // back into a narrow map (no width_bucket: its double-division
+    // rounding is engine-specific; `(c*B) div hi` on non-negative
+    // integer cents is floor in both engines, see Cents). Two shuffles
+    // total (global max + 10-row groupBy) regardless of input size.
+    "q43_histogram" -> Q(
+      run = (s, d) => {
+        val c = Tables.orders(s, d)
+          .select(cents(col("o_totalprice")).as("c"))
+        val hi = c.agg(max(col("c")).as("hi"))
+        c.crossJoin(broadcast(hi))
+          .select(least(expr("(c * 10) div (hi + 1)"), lit(9L)).as("bucket"),
+            col("c"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("c")).as("sum_cents"),
+            min(col("c")).as("min_cents"),
+            max(col("c")).as("max_cents"))
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT ${Cents.sqlCents("o_totalprice")} AS c FROM orders),
+        hi AS (SELECT max(c) AS hi FROM c)
+        SELECT least((c.c * 10) // (hi.hi + 1), 9) AS bucket,
+               count(*) AS n_orders,
+               CAST(sum(c.c) AS BIGINT) AS sum_cents,
+               min(c.c) AS min_cents, max(c.c) AS max_cents
+        FROM c, hi
+        GROUP BY 1 ORDER BY bucket"""))
   )
 }

@@ -95,6 +95,81 @@ object GraphPack extends QueryPack {
           FROM reach r JOIN edges e ON e.u = r.node
           WHERE r.hop < 4)
         SELECT node, CAST(min(hop) AS BIGINT) AS hop
-        FROM reach GROUP BY node ORDER BY node"""))
+        FROM reach GROUP BY node ORDER BY node""")),
+
+    // ── Degree-oriented triangle counting ──────────────────────────────
+    // Per-node triangle counts over the part co-purchase graph (parts
+    // sharing an order). THE algorithm that survives 100 TB: orient
+    // every undirected edge from its (degree, id)-smaller endpoint to
+    // the larger, then count wedges only at each edge's SOURCE —
+    // out-degrees under this orientation are O(√m), so the wedge join
+    // is O(m^1.5) instead of Σ deg² (a hub of degree d contributes
+    // C(d,2) wedges un-oriented; oriented it contributes almost none).
+    // All joins are equi-joins on node keys (shuffle-partitioned, AQE
+    // handles residual skew); counts are exact integers.
+    "g03_triangles" -> Q(
+      run = (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val und = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct()
+        val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val withDeg = und
+          .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        // Orient: smaller (deg, id) → larger. Carry the target's rank
+        // key so the wedge's two far endpoints order without re-joining.
+        val ori = withDeg.select(
+          when(col("du") < col("dv")
+            || (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv")
+            || (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"),
+          greatest(col("du"), col("dv")).as("ddst"))
+        val tri = ori.as("ab").join(ori.as("ac"),
+            col("ab.src") === col("ac.src")
+              && (col("ab.ddst") < col("ac.ddst")
+                || (col("ab.ddst") === col("ac.ddst")
+                  && col("ab.dst") < col("ac.dst"))))
+          .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("ac.dst").as("c"))
+          .join(ori.as("bc"),
+            col("b") === col("bc.src") && col("c") === col("bc.dst"), "leftsemi")
+        tri.select(col("a").as("node"))
+          .union(tri.select(col("b").as("node")))
+          .union(tri.select(col("c").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+          .orderBy("node")
+      },
+      oracle = Some("""
+        WITH und AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT n, count(*) AS deg FROM (
+            SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+          GROUP BY n),
+        ori AS (
+          SELECT CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                      THEN und.u ELSE und.v END AS src,
+                 CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                      THEN und.v ELSE und.u END AS dst,
+                 greatest(du.deg, dv.deg) AS ddst
+          FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n),
+        tri AS (
+          SELECT ab.src AS a, ab.dst AS b, ac.dst AS c
+          FROM ori ab JOIN ori ac
+            ON ab.src = ac.src AND (ab.ddst, ab.dst) < (ac.ddst, ac.dst)
+          WHERE EXISTS (SELECT 1 FROM ori bc
+                        WHERE bc.src = ab.dst AND bc.dst = ac.dst))
+        SELECT node, count(*) AS n_tri FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY node ORDER BY node"""))
   )
 }

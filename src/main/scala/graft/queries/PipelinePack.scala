@@ -335,6 +335,34 @@ object PipelinePack extends QueryPack {
           SELECT 'events_value_nonneg', CAST(count(*) AS BIGINT),
                  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
           FROM events)
-        ORDER BY "check""""))
+        ORDER BY "check"""")),
+
+    // ── Source-mix report (data mixing / dataset card) ─────────────────
+    // Per (source, lang): document and token volume plus each cell's
+    // integer-exact ppm share of all tokens — the mixing table every
+    // corpus release publishes and every sampling-weights decision
+    // reads. One partial-aggregated groupBy; the ppm division runs
+    // over the ~|sources|×|langs| aggregate, so the unpartitioned
+    // window is over a handful of rows, never the data.
+    "p08_source_mix" -> Q(
+      run = (s, d) => {
+        val toks = size(split(col("text"), " "))
+        Tables.documents(s, d)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(toks.cast("long")).as("n_tokens"))
+          .withColumn("share_ppm",
+            expr("(n_tokens * 1000000) div sum(n_tokens) over ()"))
+          .orderBy("source", "lang")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT source, lang, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1, 2)
+        SELECT source, lang, n_docs, n_tokens,
+               CAST((n_tokens * 1000000) // (sum(n_tokens) OVER ()) AS BIGINT)
+                 AS share_ppm
+        FROM m ORDER BY source, lang"""))
   )
 }

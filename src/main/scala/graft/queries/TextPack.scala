@@ -385,6 +385,37 @@ object TextPack extends QueryPack {
                  AS lm_score_e6,
                count(*) AS n_bigrams
         FROM b JOIN c2 USING (big) JOIN c1 USING (w1)
-        GROUP BY b.doc_id ORDER BY b.doc_id"""))
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ── PII-style masking / redaction ──────────────────────────────────
+    // The scrubbing pass every training pipeline runs before tokenizing:
+    // replace sensitive spans with a placeholder and report redaction
+    // volume. The synthetic `documents` text has no digits, so this
+    // runs on `events.props` (the JSON payloads carry numbers). The
+    // regex stays in the RE2 ∩ java.util.regex dialect (no
+    // backreferences / lookaround) so both engines match identically;
+    // Spark's regexp_replace is replace-all by default, DuckDB needs
+    // the 'g' flag. Pure narrow map + one small agg — embarrassingly
+    // parallel at any scale.
+    "t12_redact" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            regexp_replace(col("props"), "[0-9]+", "<NUM>").as("red"),
+            size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+              .as("n_hits"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_hits")).cast("long").as("n_redacted"),
+            countDistinct(col("red")).as("n_shapes"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(*) AS n_rows,
+               CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+                 AS n_redacted,
+               count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
+                 AS n_shapes
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
