@@ -187,6 +187,62 @@ object MrPack extends QueryPack {
                CAST(len(list_sort(list_distinct(list(doc_id)))) AS BIGINT) AS n_docs,
                array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS docs
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-        GROUP BY t ORDER BY word"""))
+        GROUP BY t ORDER BY word""")),
+
+    // ── Secondary sort ─────────────────────────────────────────────────
+    // The classic Hadoop pattern the reference's whole-line sort gives
+    // for free (worker sorts `key\tvalue` LINES, so values arrive
+    // ordered within each key run — reference worker/__main__.py:152-166):
+    // the reducer reads each user's event times already ascending and
+    // emits first/last/count in ONE forward pass with no buffering.
+    // Values are zero-padded to fixed width so lexical order == numeric
+    // order — the contract every secondary-sort MR job encodes in its
+    // key/value format. The oracle proves order-correctness: first==min
+    // and last==max only if the runs really were sorted.
+    "mr05_secondary_sort" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val lines = Tables.events(s, d)
+          .select(concat_ws(" ", col("user_id"),
+            lpad(unix_micros(col("ts")).cast("string"), 20, "0")))
+          .as[String].rdd.repartition(s.sparkContext.defaultParallelism)
+        val folded = MapReduceJob.typed(s, lines,
+          mapper = line => {
+            val sp = line.indexOf(' ')
+            Iterator.single(s"${line.substring(0, sp)}\t${line.substring(sp + 1)}")
+          },
+          reducer = it => {
+            val b = it.buffered
+            new Iterator[String] {
+              override def hasNext: Boolean = b.hasNext
+              override def next(): String = {
+                val key = b.head.takeWhile(_ != '\t')
+                var first: String = null
+                var last: String = null
+                var n = 0L
+                while (b.hasNext && b.head.takeWhile(_ != '\t') == key) {
+                  val line = b.next()
+                  val v = line.substring(line.indexOf('\t') + 1)
+                  if (first == null) first = v
+                  last = v
+                  n += 1
+                }
+                s"$key\t$first\t$last\t$n"
+              }
+            }
+          },
+          numReducers = 8)
+        folded
+          .map { l =>
+            val Array(u, f, t, n) = l.split('\t')
+            (u.toLong, f.toLong, t.toLong, n.toLong)
+          }
+          .toDF("user_id", "first_us", "last_us", "n_events")
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, min(epoch_us(ts)) AS first_us,
+               max(epoch_us(ts)) AS last_us, count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

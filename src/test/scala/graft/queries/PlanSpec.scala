@@ -101,4 +101,26 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final HashAggregate pair")
     assert(!p.contains("Join"), "q34 should be a single-pass aggregation")
   }
+
+  test("g03: every triangle join is an equi-join, no nested-loop stage") {
+    val p = planOf("g03_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "triangle counting degraded to a nested-loop/cartesian join")
+  }
+
+  test("join strategy hints steer the planner (merge vs shuffle_hash vs broadcast)") {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, sfDir)
+    val l = graft.Tables.lineitem(spark, sfDir)
+    def planFor(hint: String): String = {
+      val j = l.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)))
+      j.queryExecution.executedPlan.execute().count()
+      j.queryExecution.executedPlan.toString
+    }
+    assert(planFor("merge").contains("SortMergeJoin"), "merge hint ignored")
+    val shj = planFor("shuffle_hash")
+    assert(shj.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n${shj.take(400)}")
+    assert(planFor("broadcast").contains("BroadcastHashJoin"), "broadcast hint ignored")
+  }
 }

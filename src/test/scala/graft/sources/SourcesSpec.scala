@@ -38,6 +38,23 @@ class SourcesSpec extends AnyFunSuite {
       orders.collect().map(_.toSeq).toSet)
   }
 
+  test("orc round-trips with schema preserved and pushdown available") {
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val dir = Files.createTempDirectory("graft-orc").toString
+    orders.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.schema === orders.schema)
+    assert(back.collect().map(_.toSeq).toSet ===
+      orders.collect().map(_.toSeq).toSet)
+    // ORC scans take predicate pushdown like parquet — pin it
+    val filtered = back.filter($"o_orderkey" === 1L)
+    filtered.queryExecution.executedPlan.execute().count()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey)"),
+      plan.take(400))
+  }
+
   test("hive-partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Layout.writePartitioned(
