@@ -23,7 +23,10 @@ object GraftFunctions {
       MinHashSigs(es(0), es(1).eval().asInstanceOf[Number].intValue())),
     // second argument must be a foldable int literal (k)
     "topk_longs" -> (es => new TopKLongs(es(0), es(1))
-      .toAggregateExpression()))
+      .toAggregateExpression()),
+    // second argument must be a foldable int literal (n)
+    "ngram_explode" -> (es =>
+      NGramExplode(es(0), es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotently register graft functions + optimizer rules on `spark`.
     * Quiet on re-entry: query packs call this per invocation, and

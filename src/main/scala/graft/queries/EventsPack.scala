@@ -282,6 +282,117 @@ object EventsPack extends QueryPack {
                max(us) + 1800 * 1000000 AS end_us,
                count(*) AS n_events
         FROM sessions GROUP BY user_id, sess_id
-        ORDER BY user_id, start_us"""))
+        ORDER BY user_id, start_us""")),
+
+    // ── Funnel analysis (ordered multi-stage conversion) ───────────────
+    // The product-analytics staple: of all users, how many ever viewed,
+    // then clicked AFTER their first view, then purchased AFTER that
+    // first qualifying click — order matters, so this is NOT three
+    // independent filters. Implementation: three chained conditional
+    // mins over the SAME `partitionBy(user_id)` window — each stage's
+    // threshold is the previous stage's min, a per-user constant, so
+    // Catalyst plans ONE exchange on user_id and runs all three Window
+    // operators over the same sorted partition stream; no self-joins.
+    // All comparisons happen on integer epoch-µs (ts is ns in parquet,
+    // µs in Spark — see Tables.events; the oracle truncates to µs
+    // first so both engines compare identical values). Scale posture:
+    // single shuffle keyed by user — the highest-cardinality column —
+    // then a tiny all-partial global aggregate.
+    "e10_funnel" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+        val staged = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("us") > col("t1"),
+              col("us"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+              col("us"))).over(w))
+        staged.groupBy("user_id")
+          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_view_click"),
+            count(col("t3")).as("n_funnel"),
+            sum(col("t3") - col("t1")).as("sum_funnel_us"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, min(us) FILTER (WHERE event_type = 'view') AS t1
+               FROM e GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.us) AS t2
+               FROM e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.us) AS t3
+               FROM e JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+        SELECT count(*) AS n_users,
+               count(t1) AS n_view,
+               count(t2) AS n_view_click,
+               count(t3) AS n_funnel,
+               CAST(sum(t3 - t1) AS BIGINT) AS sum_funnel_us
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // ── Time-series gap fill / resample with forward fill ──────────────
+    // The missing-data operator every metrics pipeline needs: resample
+    // each user's activity onto a dense daily spine (min..max active
+    // day), then forward-fill gap days with the last observed daily
+    // total. Spine generation is `sequence(d0, d1)` + explode — rows
+    // are manufactured ON THE EXECUTORS from each user's 2-row bounds,
+    // never collected; the fill is `last(_, ignoreNulls)` over a
+    // running row frame. Daily totals are exact integer cents so the
+    // carried sums hash-match. Scale posture: one shuffle to daily
+    // grain, one broadcastable bounds table, spine join + fill share
+    // the user_id partitioning; output stays at per-user grain.
+    "e11_gapfill" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            cents(col("value")).as("v"))
+          .groupBy("user_id", "day").agg(sum(col("v")).as("day_cents"))
+        val spine = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val fillW = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("filled_cents",
+            last(col("day_cents"), ignoreNulls = true).over(fillW))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"),
+            count(col("day_cents")).as("n_observed"),
+            sum(col("filled_cents")).as("sum_filled_cents"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+          FROM events GROUP BY 1, 2),
+        spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(min(day), max(day),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+          FROM daily GROUP BY user_id),
+        filled AS (
+          SELECT s.user_id, s.day, d.day_cents,
+                 last_value(d.day_cents IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_cents
+          FROM spine s LEFT JOIN daily d
+            ON s.user_id = d.user_id AND s.day = d.day)
+        SELECT user_id, count(*) AS n_days,
+               count(day_cents) AS n_observed,
+               CAST(sum(filled_cents) AS BIGINT) AS sum_filled_cents
+        FROM filled GROUP BY user_id ORDER BY user_id"""))
   )
 }

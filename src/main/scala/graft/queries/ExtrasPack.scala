@@ -771,6 +771,46 @@ object ExtrasPack extends QueryPack {
                CAST(sum(c.c) AS BIGINT) AS sum_cents,
                min(c.c) AS min_cents, max(c.c) AS max_cents
         FROM c, hi
-        GROUP BY 1 ORDER BY bucket"""))
+        GROUP BY 1 ORDER BY bucket""")),
+
+    // ── Mergeable HLL sketches (partial-aggregate re-aggregation) ──────
+    // The 100 TB distinct-count pattern q18 can't express: q18's
+    // approx_count_distinct is one-shot, but real pipelines SKETCH ONCE
+    // at fine grain and RE-AGGREGATE the sketches at coarser grains
+    // without touching raw data again. Here: one Datasketches HLL
+    // sketch per day (hll_sketch_agg — partial-aggregating, so each
+    // map task sketches locally and only ~KB sketches shuffle), then
+    // weekly rollups via hll_union_agg over the 7 daily sketches —
+    // the raw events are read exactly once however many grains are
+    // layered on top. Correctness is banded like q18: the estimate
+    // must land within 5% of exact (both computed in Spark; the
+    // oracle recomputes exact and expects the flag true — validated
+    // green at sf0.001/0.01/0.1).
+    "q44_hll_union" -> Q(
+      run = (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .groupBy("day")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val weekly = daily
+          .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd")
+            .as("week"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = Tables.events(s, d)
+          .select(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+            .as("week"), col("user_id"))
+          .groupBy("week")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        weekly.join(exact, "week")
+          .select(col("week"), col("exact_users"),
+            (abs(col("est") - col("exact_users"))
+              <= col("exact_users") * 0.05).as("within_5pct"))
+          .orderBy("week")
+      },
+      oracle = Some("""
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_5pct
+        FROM events GROUP BY 1 ORDER BY week"""))
   )
 }

@@ -416,6 +416,34 @@ object TextPack extends QueryPack {
                count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
                  AS n_shapes
         FROM events
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Native table-generating function: word trigrams ────────────────
+    // The UDTF leg of the extension trio (scalar s04, aggregate w08):
+    // [[graft.functions.NGramExplode]] is a first-class Catalyst
+    // `Generator`, lifted into a `Generate` node by the analyzer exactly
+    // like built-in `explode` — the reference's whole mapper contract
+    // (0..n output lines per input line, worker/__main__.py:128-144) as
+    // one native operator. Top-20 corpus trigrams with their earliest
+    // in-document offset; one narrow generate pass, then a map-side
+    // partial-aggregated single shuffle — same scale shape as t05.
+    "t13_ngram_explode" -> Q(
+      run = (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(expr("ngram_explode(split(text, ' '), 3)"))
+          .groupBy("ngram")
+          .agg(count(lit(1)).as("n"), min(col("pos")).as("min_pos"))
+          .orderBy(col("n").desc, col("ngram"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH tg AS (
+          SELECT t.i - 1 AS pos,
+                 w[t.i] || ' ' || w[t.i+1] || ' ' || w[t.i+2] AS ngram
+          FROM (SELECT string_split(text, ' ') AS w FROM documents),
+               unnest(range(1, len(w) - 1)) AS t(i))
+        SELECT ngram, count(*) AS n, CAST(min(pos) AS INTEGER) AS min_pos
+        FROM tg GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""))
   )
 }
