@@ -811,6 +811,44 @@ object ExtrasPack extends QueryPack {
         SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
                count(DISTINCT user_id) AS exact_users,
                TRUE AS within_5pct
-        FROM events GROUP BY 1 ORDER BY week"""))
+        FROM events GROUP BY 1 ORDER BY week""")),
+
+    // ── Exact DECIMAL arithmetic ───────────────────────────────────────
+    // The packs' scaled-int convention (QueryPack scaladoc) sidesteps
+    // float nondeterminism; this query covers the OTHER exact path —
+    // first-class DecimalType. Monetary doubles are cast to
+    // DECIMAL(12,2) per row (unambiguous: the doubles are 2-decimal
+    // values, so rounding to 2 places is exact in both engines), then
+    // summed/multiplied under Spark's decimal precision rules:
+    // sum(12,2)→(22,2); (1.00-(4,2))=(5,2), ×(12,2)→(18,4),
+    // sum→(28,4). The oracle CASTs to those exact output types —
+    // decimal math is exact in both engines so values match
+    // bit-for-bit; only the declared widths need aligning. Decimal
+    // aggregation is partial+final two-phase like any long sum.
+    "q45_decimal_exact" -> Q(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(12,2)").as("p"),
+            col("l_discount").cast("decimal(4,2)").as("disc"))
+          .withColumn("net",
+            col("p") * (lit("1.00").cast("decimal(3,2)") - col("disc")))
+          .groupBy("l_returnflag")
+          .agg(sum(col("p")).as("sum_price"),
+            min(col("p")).as("min_price"),
+            max(col("p")).as("max_price"),
+            sum(col("net")).as("sum_net"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 AS DECIMAL(22,2)) AS sum_price,
+               min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+               max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST('1.00' AS DECIMAL(3,2))
+                    - CAST(l_discount AS DECIMAL(4,2))))
+                 AS DECIMAL(28,4)) AS sum_net
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

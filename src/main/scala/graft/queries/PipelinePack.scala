@@ -363,6 +363,45 @@ object PipelinePack extends QueryPack {
         SELECT source, lang, n_docs, n_tokens,
                CAST((n_tokens * 1000000) // (sum(n_tokens) OVER ()) AS BIGINT)
                  AS share_ppm
-        FROM m ORDER BY source, lang"""))
+        FROM m ORDER BY source, lang""")),
+
+    // ── Incremental materialized-view maintenance ──────────────────────
+    // The always-on pipeline's cheapest trick: a daily rollup MV is
+    // kept fresh by aggregating ONLY the delta (rows after the last
+    // refresh cutoff) and algebraically MERGING partial aggregates
+    // with the stored MV — sum-of-sums and sum-of-counts — instead of
+    // re-reading history. Here both halves are computed from the
+    // fixture (there is no stored state in a query), but the plan
+    // shape is the real one: the pre-cutoff branch stands in for the
+    // stored MV table, the cutoff deliberately lands MID-DAY so the
+    // boundary day genuinely merges two partials, and the final
+    // groupBy proves count/sum are re-aggregable. At 100 TB the left
+    // branch is a tiny MV table scan and only the delta's raw bytes
+    // are touched per refresh.
+    "p09_incremental_mv" -> Q(
+      run = (s, d) => {
+        import graft.queries.Cents.cents
+        val cut = lit("2024-01-15 12:00:00").cast("timestamp")
+        val e = Tables.events(s, d)
+          .select(col("ts"), to_date(col("ts")).as("day"),
+            col("event_type"), cents(col("value")).as("v"))
+        def rollup(part: DataFrame): DataFrame = part
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        val mv = rollup(e.filter(col("ts") < cut))     // "stored" MV
+        val delta = rollup(e.filter(col("ts") >= cut)) // fresh rows only
+        mv.unionByName(delta)
+          .groupBy("day", "event_type")                // algebraic merge
+          .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("n"), col("cents"))
+          .orderBy("day", "event_type")
+      },
+      oracle = Some("""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
   )
 }

@@ -191,4 +191,36 @@ object StreamingOps {
       .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Stream-static enrichment join: each micro-batch of the stream is
+    * joined against a STATIC batch-source dimension. Spark re-plans the
+    * static side every micro-batch (so a refreshed dim table is picked
+    * up) and the explicit broadcast keeps it a stateless map-side join —
+    * no streaming state at all, unlike a stream-stream join. This is
+    * the standard enrichment shape at scale: the 100 TB stream never
+    * shuffles; only the small dim ships to executors. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** One micro-batch's idempotent commit: batch `batchId` always lands
+    * in its own `batch_id=N` partition dir with overwrite semantics, so
+    * a replayed batch (failure between sink write and checkpoint
+    * advance — the classic at-least-once window) rewrites the same dir
+    * byte-for-byte instead of appending duplicates. Together with the
+    * checkpoint this upgrades foreachBatch file output to effective
+    * exactly-once. */
+  def commitBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** foreachBatch parquet sink built on [[commitBatch]]; reading
+    * `outDir` back discovers `batch_id` as a partition column. */
+  def idempotentParquetSink(events: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        commitBatch(b.toDF(), id, outDir))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }

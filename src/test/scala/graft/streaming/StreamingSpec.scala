@@ -280,4 +280,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(finalized.length === 1) // the first hour emitted once, n=2 (not 3)
     } finally q.stop()
   }
+
+  test("stream-static enrichment equals the batch join, stateless") {
+    val events = fixtureEvents(300)
+    val dim = events.map(_.user_id).distinct.sorted.map(u =>
+      (u, if (u % 2 == 0) "even" else "odd")).toDF("user_id", "tier")
+    val stream = MemoryStream[RawEvent](spark)
+    val q = StreamingOps.enrichWithDim(stream.toDF(), dim)
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events.take(150)); q.processAllAvailable()
+      stream.addData(events.drop(150)); q.processAllAvailable()
+      val streamed = spark.table("enriched").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = StreamingOps.enrichWithDim(events.toDF(), dim)
+        .groupBy($"tier").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch && streamed.values.sum === 300L)
+    } finally q.stop()
+  }
+
+  test("idempotent foreachBatch sink: replayed batch does not duplicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-sink-cp").toString
+    val events = fixtureEvents(100)
+    val stream = MemoryStream[RawEvent](spark)
+    val q = StreamingOps.idempotentParquetSink(stream.toDF(), dir, cp)
+    try {
+      stream.addData(events.take(60)); q.processAllAvailable()
+      stream.addData(events.drop(60)); q.processAllAvailable()
+    } finally q.stop()
+    val once = spark.read.parquet(dir).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(once.length === 100)
+    // simulate the at-least-once failure window: batch 0 is REPLAYED
+    StreamingOps.commitBatch(events.take(60).toDF(), 0L, dir)
+    val replayed = spark.read.parquet(dir).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed === once) // overwrite made the replay a no-op
+  }
 }
