@@ -108,6 +108,30 @@ class PlanSpec extends AnyFunSuite {
       "triangle counting degraded to a nested-loop/cartesian join")
   }
 
+  test("e10: three chained funnel windows share ONE user_id exchange, no joins") {
+    val p = planOf("e10_funnel").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "funnel stages stopped sharing the user_id partitioning")
+    assert("Window ".r.findAllIn(p).size === 3,
+      "expected exactly the three chained conditional-min windows")
+    assert(!p.contains("Join"), "funnel regressed to self-joins")
+  }
+
+  test("e11: spine is generated on-executor and joined by equi-keys") {
+    val p = planOf("e11_gapfill")
+    assert(p.contains("Generate explode"),
+      "daily spine no longer generated via explode(sequence)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "spine join degraded to nested-loop/cartesian")
+  }
+
+  test("q44: HLL sketches partial-aggregate before each shuffle") {
+    val p = planOf("q44_hll_union")
+    // two-phase pairs for both the daily sketch agg and the weekly union
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      "sketch aggregation lost its map-side partial phase")
+  }
+
   test("join strategy hints steer the planner (merge vs shuffle_hash vs broadcast)") {
     import org.apache.spark.sql.functions._
     val o = graft.Tables.orders(spark, sfDir)
