@@ -155,4 +155,41 @@ class SourcesSpec extends AnyFunSuite {
       s"z-order should confine the box: z=$z naive=$naive")
     assert(z <= nFiles / 4, s"box rows spread over $z of $nFiles z-files")
   }
+
+  test("linedir DSv2 source: one partition per file, sorted, with provenance") {
+    val dir = Files.createTempDirectory("graft-linedir").toString
+    // written out of sorted order on purpose
+    Files.writeString(java.nio.file.Paths.get(dir, "b.txt"), "b1\nb2\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "a1\na2\na3\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "c.txt"), "c1\n")
+
+    val df = spark.read.format("linedir").load(dir)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("a1", "a.txt", 1L), ("a2", "a.txt", 2L), ("a3", "a.txt", 3L),
+      ("b1", "b.txt", 1L), ("b2", "b.txt", 2L), ("c1", "c.txt", 1L)))
+
+    // file-granular splits in sorted filename order (reference O1 parity)
+    assert(df.rdd.getNumPartitions === 3)
+    val perPart = df.select($"file").rdd
+      .mapPartitionsWithIndex((i, it) => Iterator(i -> it.map(_.getString(0)).toSet))
+      .collect().toMap
+    assert(perPart === Map(0 -> Set("a.txt"), 1 -> Set("b.txt"), 2 -> Set("c.txt")))
+
+    // matches the built-in text source on the value column
+    assert(df.select($"value").collect().map(_.getString(0)).sorted.toSeq ===
+      spark.read.text(dir).collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("linedir pushes column pruning into the reader") {
+    val dir = Files.createTempDirectory("graft-linedir2").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "x.txt"), "l1\nl2\n")
+    val pruned = spark.read.format("linedir").load(dir).select($"file", $"line")
+    assert(pruned.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("x.txt", 1L), ("x.txt", 2L)))
+    // the scan's read schema must have dropped `value`
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(!scan.contains("value"), s"pruning did not reach the scan:\n$scan")
+  }
 }
