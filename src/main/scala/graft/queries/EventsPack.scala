@@ -393,6 +393,51 @@ object EventsPack extends QueryPack {
         SELECT user_id, count(*) AS n_days,
                count(day_cents) AS n_observed,
                CAST(sum(filled_cents) AS BIGINT) AS sum_filled_cents
-        FROM filled GROUP BY user_id ORDER BY user_id"""))
+        FROM filled GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Forward as-of join (earliest match at-or-after) ────────────────
+    // e05/e06 match the latest order AT-OR-BEFORE each event (pandas
+    // merge_asof direction='backward'); this is direction='forward':
+    // the EARLIEST order at-or-after. Same union+carry composition as
+    // e05 with the window order REVERSED — carrying last(ignoreNulls)
+    // down a descending timeline is exactly "next value at-or-after";
+    // at equal timestamps the (t desc, kind) order processes the order
+    // row first, preserving >= semantics. Still one shuffle keyed by
+    // user. The oracle replays it through DuckDB's (backward-only)
+    // ASOF JOIN on NEGATED µs — the standard direction-flip identity.
+    "e12_asof_forward" -> Q(
+      run = (s, d) => {
+        val o2 = Tables.orders(s, d)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("ok"))
+          .select(col("o_custkey").as("uid"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+            lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+            col("ok"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id").as("uid"), unix_micros(col("ts")).as("t"),
+            lit(1).as("kind"), col("event_id"),
+            lit(null).cast("long").as("ok"))
+        val w = Window.partitionBy(col("uid"))
+          .orderBy(col("t").desc, col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o2.unionByName(ev)
+          .withColumn("next_orderkey",
+            last(col("ok"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("next_orderkey"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH o2 AS (
+          SELECT o_custkey,
+                 -epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS nt,
+                 max(o_orderkey) AS ok
+          FROM orders GROUP BY 1, 2),
+        e AS (SELECT event_id, user_id, -epoch_us(ts) AS nt FROM events)
+        SELECT e.event_id, o2.ok AS next_orderkey
+        FROM e
+        ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.nt >= o2.nt
+        ORDER BY e.event_id"""))
   )
 }

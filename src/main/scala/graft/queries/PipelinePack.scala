@@ -402,6 +402,55 @@ object PipelinePack extends QueryPack {
                event_type, count(*) AS n,
                CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT)
                  AS cents
-        FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // ── Sequence packing for training batches ──────────────────────────
+    // The last step before a trainer sees the corpus: concatenate
+    // documents in a deterministic order and cut 2048-token training
+    // sequences, reporting per-bin document count and fill. Contract =
+    // contiguous packing (docs appended in (source, doc_id) order; a
+    // doc belongs to the bin its EXCLUSIVE token prefix-sum lands in),
+    // which is exactly what a streaming packer produces and — unlike
+    // greedy best-fit bin packing — is order-deterministic, so the
+    // oracle can replay it. One keyed window (prefix sum per source) +
+    // one hash aggregate. Scale posture: packing is per-source so the
+    // window partitions by source; a skew-heavy source would pack per
+    // (source, shard-of-doc_id) — same plan, finer key, noted here
+    // rather than built.
+    "p10_sequence_pack" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin", expr("cum_before div 2048"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM t)
+        SELECT source, CAST(cum_before // 2048 AS BIGINT) AS bin,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2 ORDER BY source, bin"""))
   )
 }
