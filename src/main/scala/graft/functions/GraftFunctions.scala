@@ -69,7 +69,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "cosine_similarity" -> classOf[CosineSimilarity].getName,
       "jaccard_e4" -> classOf[JaccardE4].getName,
       "minhash_sigs" -> classOf[MinHashSigs].getName,
-      "topk_longs" -> classOf[TopKLongs].getName)
+      "topk_longs" -> classOf[TopKLongs].getName,
+      "ngram_explode" -> classOf[NGramExplode].getName)
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
