@@ -438,6 +438,45 @@ object EventsPack extends QueryPack {
         SELECT e.event_id, o2.ok AS next_orderkey
         FROM e
         ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.nt >= o2.nt
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // ── Cumulative unique users (daily growth curve) ───────────────────
+    // The growth metric a naive plan gets catastrophically wrong:
+    // "distinct users to date" per day is NOT re-aggregable day-by-day
+    // (COUNT(DISTINCT) over an expanding window rescans history every
+    // day). The exact scale formulation: a user contributes to the
+    // curve only on their FIRST day, so one groupBy(user) min(day) —
+    // a single shuffle keyed on the highest-cardinality column, partial
+    // min map-side — reduces the corpus to one row per user, a tiny
+    // per-day count follows, and the running sum is a window over the
+    // ~|days| aggregate rows (like p08's ppm window: unpartitioned but
+    // over metadata-sized input, never the data). The sketch variant of
+    // the same question (when approximate is fine) is q44's mergeable
+    // HLL union over daily sketches.
+    "e13_cumulative_users" -> Q(
+      run = (s, d) => {
+        val firstHour = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .groupBy("user_id").agg(min(col("hr")).as("first_hr"))
+        val w = Window.orderBy("first_hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstHour.groupBy("first_hr")
+          .agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .select(
+            date_format(col("first_hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("new_users"), col("cum_users"))
+          .orderBy("hour")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT user_id, min(date_trunc('hour', ts)) AS first_hr
+          FROM events GROUP BY 1),
+        n AS (SELECT first_hr, count(*) AS new_users FROM f GROUP BY 1)
+        SELECT strftime(first_hr, '%Y-%m-%d %H:%M:%S') AS hour, new_users,
+               CAST(sum(new_users) OVER (ORDER BY first_hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM n ORDER BY hour"""))
   )
 }

@@ -849,6 +849,56 @@ object ExtrasPack extends QueryPack {
                  * (CAST('1.00' AS DECIMAL(3,2))
                     - CAST(l_discount AS DECIMAL(4,2))))
                  AS DECIMAL(28,4)) AS sum_net
-        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ── Null-aware anti join (NOT IN) ──────────────────────────────────
+    // NOT IN is NOT an anti-join when the subquery can yield NULL: one
+    // NULL in the set makes every non-member comparison UNKNOWN, so the
+    // whole result is empty — the classic three-valued-logic trap, and
+    // a distinct PHYSICAL operator in Spark (single-column NOT IN plans
+    // as BroadcastHashJoin(..., NullAwareAntiJoin), which must
+    // broadcast the set to check the null case; NOT EXISTS/left_anti
+    // skips that machinery). Both flavors in one row: a null-free set
+    // (plain anti-join count) and the same set ∪ {NULL} (count 0 by
+    // SQL semantics, not by accident). At 100 TB the set side must
+    // stay broadcastable — if it doesn't fit, rewrite to NOT EXISTS,
+    // which is what the n_not_exists column pins the equivalence for.
+    "q46_null_aware_anti" -> Q(
+      run = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q46_orders")
+        Tables.customer(s, d).createOrReplaceTempView("q46_customer")
+        s.sql("""
+          SELECT
+            (SELECT count(*) FROM q46_customer
+             WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM q46_orders
+                WHERE o_totalprice > 400000)) AS n_not_in,
+            (SELECT count(*) FROM q46_customer
+             WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM q46_orders
+                WHERE o_totalprice > 400000
+                UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null,
+            (SELECT count(*) FROM q46_customer c
+             WHERE NOT EXISTS
+               (SELECT 1 FROM q46_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000)) AS n_not_exists""")
+      },
+      oracle = Some("""
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders
+              WHERE o_totalprice > 400000)) AS n_not_in,
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders
+              WHERE o_totalprice > 400000
+              UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null,
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS
+             (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)) AS n_not_exists"""))
   )
 }

@@ -451,6 +451,105 @@ object PipelinePack extends QueryPack {
                count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM c GROUP BY 1, 2 ORDER BY source, bin"""))
+        FROM c GROUP BY 1, 2 ORDER BY source, bin""")),
+
+    // ── Temperature-scaled source mixing weights ───────────────────────
+    // The sampling-weights table of a multi-source training mix:
+    // raw proportional weights overfit the biggest source, so corpora
+    // mix with temperature — weight ∝ share^(1/T), here T=2 (the
+    // common upsample-the-tail setting), i.e. w ∝ √tokens. Exactness:
+    // √ is the ONE power that is IEEE-correctly-rounded in every
+    // engine (a general pow(x, 1/T) is libm-dependent and NOT
+    // cross-engine stable), and it is applied to an exactly-
+    // representable integer, so floor(√n)::BIGINT is deterministic on
+    // both sides; the ppm normalizations are integer div over integer
+    // window sums. Scale posture: one partial-aggregated groupBy to
+    // |sources| rows; both ppm windows run over that metadata-sized
+    // aggregate (p08's pattern).
+    "p11_temperature_mix" -> Q(
+      run = (s, d) => {
+        val toks = size(split(col("text"), " ")).cast("long")
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(toks).as("n_tokens"))
+          .withColumn("w", floor(sqrt(col("n_tokens"))))
+          .withColumn("raw_ppm",
+            expr("(n_tokens * 1000000) div sum(n_tokens) over ()"))
+          .withColumn("weight_ppm",
+            expr("(w * 1000000) div sum(w) over ()"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("raw_ppm"), col("weight_ppm"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w FROM m)
+        SELECT source, n_docs, n_tokens,
+               CAST((n_tokens * 1000000) // (sum(n_tokens) OVER ()) AS BIGINT)
+                 AS raw_ppm,
+               CAST((w * 1000000) // (sum(w) OVER ()) AS BIGINT)
+                 AS weight_ppm
+        FROM w ORDER BY source""")),
+
+    // ── Token-budget curriculum selection (quality-ranked greedy) ──────
+    // Data selection under a budget — the QuRating/DsDm-style step
+    // where each source contributes its BEST documents until a token
+    // budget fills: rank docs by quality (desc, doc_id tiebreak for a
+    // total order), keep while the EXCLUSIVE token prefix-sum is under
+    // budget (so the doc that straddles the boundary is kept — the
+    // streaming-selector contract, same as p10's packing). One keyed
+    // window (prefix sum per source) + one aggregate; the shuffle key
+    // is source, so a skew-heavy source shards to (source, hash
+    // bucket) exactly like p10 — noted, not built.
+    "p12_token_budget" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 2000L
+        val toks = split(col("text"), " ")
+        val nStop = size(filter(toks, t => t.isin(stop: _*)))
+        val quality = round(nStop * lit(5000.0) / size(toks)
+          + least(col("n_chars"), lit(500)) * lit(5000.0) / lit(500.0), 0)
+          .cast("long")
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality_e4").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            quality.as("quality_e4"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .filter(col("cum_before") < budget)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("n_tokens")).as("selected_tokens"),
+            min(col("quality_e4")).as("min_quality_e4"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(round(len(list_filter(string_split(text, ' '),
+                        t -> t IN ($sqlStop))) * 5000.0
+                        / len(string_split(text, ' '))
+                      + least(n_chars, 500) * 5000.0 / 500.0) AS BIGINT)
+                   AS quality_e4
+          FROM documents),
+        c AS (
+          SELECT *, COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality_e4 DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM scored)
+        SELECT source, count(*) AS n_selected,
+               CAST(sum(n_tokens) AS BIGINT) AS selected_tokens,
+               min(quality_e4) AS min_quality_e4
+        FROM c WHERE cum_before < 2000
+        GROUP BY 1 ORDER BY source"""))
   )
 }

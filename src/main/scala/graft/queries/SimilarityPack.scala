@@ -437,6 +437,46 @@ object SimilarityPack extends QueryPack {
                            ORDER BY dist, cid) AS rn
                   FROM a2d) WHERE rn = 1)
         SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist
-        FROM a2 ORDER BY vec_id"""))
+        FROM a2 ORDER BY vec_id""")),
+
+    // ── Distributed Gram matrix (PCA / whitening prep) ─────────────────
+    // The linear-algebra primitive behind PCA, whitening, and dense
+    // least-squares over an embedding table: G = Σ_rows v·vᵀ. The naive
+    // distributed mistake is shuffling vectors to pair dimensions; the
+    // scale shape (what MLlib's RowMatrix.computeGramian does with
+    // treeAggregate) is that G is a SUM of per-row outer products, so
+    // it partial-aggregates: each task folds its rows into d(d+1)/2
+    // local sums and the exchange carries one 2080-cell matrix per
+    // task, never data. Expressed declaratively: two chained
+    // posexplodes manufacture each row's upper-triangle products
+    // in-pipeline (inside the scan stage, like t13's n-grams), and ONE
+    // two-phase hash aggregate on (i, j) does the fold — the same
+    // partial-agg guarantee, Catalyst-visible. Elements are quantized
+    // to exact int (round(x·127)) so the fold is order-independent and
+    // oracle-hashable; a float Gram would be merge-order-dependent.
+    "s10_gram_matrix" -> Q(
+      run = (s, d) => {
+        val q = transform(col("embedding"),
+          x => round(x.cast("double") * 127, 0).cast("long"))
+        Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .select(q.as("q"))
+          .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+          .select(col("i"), col("qi"),
+            posexplode(slice(col("q"), col("i") + 1, size(col("q")) - col("i")))
+              .as(Seq("jr", "qj")))
+          .groupBy(col("i").cast("long").as("i"),
+            (col("i") + col("jr")).cast("long").as("j"))
+          .agg(sum(col("qi") * col("qj")).as("g"))
+          .orderBy("i", "j")
+      },
+      oracle = Some("""
+        WITH q AS (SELECT list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+                   FROM embeddings)
+        SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS g
+        FROM q, range(0, 64) AS r1(i), range(0, 64) AS r2(j)
+        WHERE j >= i
+        GROUP BY 1, 2 ORDER BY i, j"""))
   )
 }

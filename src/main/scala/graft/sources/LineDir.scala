@@ -1,13 +1,16 @@
 package graft.sources
 
+import java.io.BufferedReader
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -20,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * manager/__main__.py:371-374 enumerates the dir SORTED BY FILENAME;
   * a record is one line, worker/__main__.py:137).
   *
-  * `spark.read.format("linedir").load(dir)` yields
+  * READ: `spark.read.format("linedir").load(dir)` yields
   * `(value STRING, file STRING, line BIGINT)` — the record, its source
   * file's name, and its 1-based line number (provenance columns the
   * reference loses the moment lines leave the mapper).
@@ -31,14 +34,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * stateful per-file mappers; see MapReduceJob.inputRddPerFile for the
   * RDD-side twin). Column pruning is pushed into the reader
   * (SupportsPushDownRequiredColumns): a `select(file)` never
-  * materializes line strings.
+  * materializes line strings. `.option("targetPartitionBytes", n)`
+  * relaxes file-granularity for scale: sorted files greedily coalesce
+  * into partitions of ~n bytes (the maxPartitionBytes analogue — a
+  * million-small-file dir no longer means a million tasks), each
+  * partition still reading its files in sorted order.
+  *
+  * WRITE: `df.write.format("linedir").mode("overwrite").save(dir)` for
+  * a single string column is the reference's O7 sink as a native
+  * connector, with its exact commit protocol made cluster-safe: each
+  * task streams lines to a hidden staging dir (`.staging-<uuid>/`) and
+  * the COMMIT is a driver-side move-into-place to `part-%05d` (named by
+  * partition id, zero-padded like reference worker/__main__.py:183-185)
+  * only after every task reported success — so failed/speculative task
+  * attempts never leave partial part files, the same reason the
+  * reference moves finished files from the worker tmp dir
+  * (manager/__main__.py:358-361). Overwrite clears prior contents at
+  * commit time (the reference pre-clears the output dir).
   *
   * Scale posture: file listing happens once on the driver (names only);
-  * readers stream lines off a BufferedReader — no whole-file buffering,
-  * so a 1000-executor cluster reading a million-file dir is bounded by
-  * one file handle per task. At 100 TB one would add multi-file
-  * coalescing per partition (like maxPartitionBytes); the reference
-  * semantics cap parallelism at #files, which this faithfully keeps.
+  * readers stream lines off a BufferedReader — no whole-file buffering;
+  * writer staging/commit is rename-only on a shared FS (object stores
+  * would swap the rename for a copy-manifest commit, same protocol
+  * shape).
   */
 class LineDir extends TableProvider with DataSourceRegister {
   override def shortName(): String = "linedir"
@@ -46,11 +64,15 @@ class LineDir extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     LineDir.SCHEMA
 
+  // On write, Spark hands us the incoming DataFrame's schema (validated
+  // in newWriteBuilder); on read, the inferred schema above.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("linedir requires .load(path)"))
-    new LineDirTable(path)
+    new LineDirTable(path, schema)
   }
 }
 
@@ -67,61 +89,115 @@ object LineDir {
       .map(_.getFileName.toString).toSeq.sorted
 }
 
-private[sources] class LineDirTable(path: String) extends Table with SupportsRead {
+private[sources] class LineDirTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"linedir($path)"
-  override def schema(): StructType = LineDir.SCHEMA
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LineDirScanBuilder(path)
+    new LineDirScanBuilder(path,
+      Option(options.get("targetPartitionBytes")).map(_.toLong))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.length == 1 && s.head.dataType == StringType,
+      s"linedir writes exactly one string column (a line), got: $s")
+    new LineDirWriteBuilder(path)
+  }
 }
 
-private[sources] class LineDirScanBuilder(path: String)
+// ── read path ─────────────────────────────────────────────────────────
+
+private[sources] class LineDirScanBuilder(path: String,
+    targetBytes: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = LineDir.SCHEMA
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new LineDirScan(path, required)
+  override def build(): Scan = new LineDirScan(path, required, targetBytes)
 }
 
-private[sources] class LineDirScan(path: String, required: StructType)
-    extends Scan with Batch {
+private[sources] class LineDirScan(path: String, required: StructType,
+    targetBytes: Option[Long]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    LineDir.listSorted(path)
-      .map(f => LineDirPartition(path, f): InputPartition).toArray
+  /** Default: one partition per file (reference split parity). With
+    * targetPartitionBytes: greedy first-fit over the SORTED listing —
+    * a partition closes once its byte total reaches the target, so
+    * partition count tracks total bytes, not file count. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = LineDir.listSorted(path)
+    targetBytes match {
+      case None =>
+        files.map(f => LineDirPartition(path, Seq(f)): InputPartition).toArray
+      case Some(target) =>
+        val groups = Seq.newBuilder[LineDirPartition]
+        var cur = Vector.empty[String]
+        var curBytes = 0L
+        for (f <- files) {
+          val sz = Files.size(Paths.get(path, f))
+          if (cur.nonEmpty && curBytes + sz > target) {
+            groups += LineDirPartition(path, cur)
+            cur = Vector.empty; curBytes = 0L
+          }
+          cur :+= f; curBytes += sz
+        }
+        if (cur.nonEmpty) groups += LineDirPartition(path, cur)
+        groups.result().toArray
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LineDirReaderFactory(required.fieldNames)
 }
 
-private[sources] case class LineDirPartition(dir: String, file: String)
+private[sources] case class LineDirPartition(dir: String, files: Seq[String])
     extends InputPartition
 
 private[sources] class LineDirReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LineDirPartition]
-    new LineDirReader(p.dir, p.file, fields)
+    new LineDirReader(p.dir, p.files, fields)
   }
 }
 
-private[sources] class LineDirReader(dir: String, file: String,
+/** Streams the partition's files in order, one open handle at a time. */
+private[sources] class LineDirReader(dir: String, files: Seq[String],
     fields: Array[String]) extends PartitionReader[InternalRow] {
-  private val reader = Files.newBufferedReader(
-    Paths.get(dir, file), StandardCharsets.UTF_8)
-  private val fileUtf8 = UTF8String.fromString(file)
+  private val remaining = scala.collection.mutable.Queue(files: _*)
+  private var reader: BufferedReader = _
+  private var fileUtf8: UTF8String = _
   private var lineNo = 0L
   private var current: String = _
 
+  private def advanceFile(): Boolean = {
+    if (reader != null) reader.close()
+    if (remaining.isEmpty) { reader = null; false }
+    else {
+      val f = remaining.dequeue()
+      reader = Files.newBufferedReader(Paths.get(dir, f),
+        StandardCharsets.UTF_8)
+      fileUtf8 = UTF8String.fromString(f)
+      lineNo = 0L
+      true
+    }
+  }
+
   override def next(): Boolean = {
+    if (reader == null && !advanceFile()) return false
     current = reader.readLine()
+    while (current == null) {
+      if (!advanceFile()) return false
+      current = reader.readLine()
+    }
     lineNo += 1
-    current != null
+    true
   }
 
   override def get(): InternalRow =
@@ -131,5 +207,107 @@ private[sources] class LineDirReader(dir: String, file: String,
       case "line"  => lineNo
     })
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+// ── write path ────────────────────────────────────────────────────────
+
+private[sources] class LineDirWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new LineDirBatchWrite(path, doTruncate)
+  }
+}
+
+private[sources] case class LineDirCommit(stagedName: String,
+    partitionId: Int) extends WriterCommitMessage
+
+private[sources] class LineDirBatchWrite(path: String, truncate: Boolean)
+    extends BatchWrite {
+  private val stagingName = s".staging-${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path, stagingName))
+    new LineDirWriterFactory(path, stagingName)
+  }
+
+  /** Driver-side move-into-place: only reached when EVERY task
+    * committed, so no partial outputs ever become visible — the
+    * reference's finished-file move (worker tmp → output dir) with
+    * Spark's all-or-nothing job commit on top. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val out = Paths.get(path)
+    if (truncate)
+      Files.list(out).iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && !p.getFileName.toString.startsWith("."))
+        .foreach(Files.delete)
+    // append numbers past the existing part files so two jobs never
+    // collide (the reference always starts at 0 because its output dir
+    // is always pre-cleared — truncate reproduces that)
+    val base =
+      if (truncate) 0
+      else LineDir.listSorted(path)
+        .flatMap(n => if (n.startsWith("part-")) n.drop(5).toIntOption
+                      else None)
+        .maxOption.map(_ + 1).getOrElse(0)
+    messages.foreach { case LineDirCommit(staged, pid) =>
+      Files.move(Paths.get(path, stagingName, staged),
+        out.resolve(f"part-${base + pid}%05d"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteStaging()
+
+  private def deleteStaging(): Unit = {
+    val st = Paths.get(path, stagingName)
+    if (Files.exists(st)) {
+      Files.list(st).iterator().asScala.foreach(Files.delete)
+      Files.delete(st)
+    }
+  }
+}
+
+private[sources] class LineDirWriterFactory(path: String, staging: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new LineDirWriter(path, staging, partitionId, taskId)
+}
+
+/** Streams lines to a per-task-attempt staged file; task commit hands
+  * the driver its name. Distinct attempts (retry/speculation) stage
+  * distinct files — only the attempt whose commit message the driver
+  * receives gets moved into place. */
+private[sources] class LineDirWriter(path: String, staging: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val stagedName = f"part-$partitionId%05d-attempt-$taskId"
+  private val w = Files.newBufferedWriter(
+    Paths.get(path, staging, stagedName), StandardCharsets.UTF_8)
+
+  override def write(row: InternalRow): Unit = {
+    w.write(row.getUTF8String(0).toString)
+    w.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    w.close()
+    LineDirCommit(stagedName, partitionId)
+  }
+
+  override def abort(): Unit = {
+    w.close()
+    Files.deleteIfExists(Paths.get(path, staging, stagedName))
+  }
+
+  override def close(): Unit = w.close()
 }

@@ -147,4 +147,29 @@ class PlanSpec extends AnyFunSuite {
     assert(shj.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n${shj.take(400)}")
     assert(planFor("broadcast").contains("BroadcastHashJoin"), "broadcast hint ignored")
   }
+
+  test("s10: gram matrix folds in ONE two-phase aggregate, products stay in-pipeline") {
+    val p = planOf("s10_gram_matrix")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+    assert(p.contains("Generate"), "pair products no longer generated in-pipeline")
+    assert(!p.contains("Join"), "gram matrix must not join — it is a pure fold")
+  }
+
+  test("e13: cumulative users' only data-sized exchange is the user_id shuffle") {
+    val p = planOf("e13_cumulative_users")
+    assert(p.contains("hashpartitioning(user_id"),
+      "missing the per-user first-seen shuffle")
+    // the unpartitioned running-sum window must sit above the per-hour
+    // aggregate (metadata-sized input), never above raw events
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected two two-phase aggregates below the running-sum window")
+  }
+
+  test("p12: budget selection is one keyed window, no join, no global sort of docs") {
+    val p = planOf("p12_token_budget")
+    assert(p.contains("hashpartitioning(source"),
+      "prefix-sum window no longer partitioned by source")
+    assert(!p.contains("Join"), "selection should not join")
+  }
 }
