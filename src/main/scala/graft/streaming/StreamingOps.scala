@@ -66,6 +66,40 @@ object StreamingOps {
       && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
   }
 
+  /** LEFT OUTER stream-stream join — the funnel-abandonment stream:
+    * every click emits, with null purchase columns once the watermark
+    * PROVES no purchase can still arrive in the interval (outer rows
+    * are withheld until then, so they appear with watermark latency,
+    * not immediately). Same bounded-state condition as the inner join:
+    * both sides' watermarks + the interval bound let Spark evict
+    * buffered rows that can no longer match. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", window)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", window)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, col("c_user") === col("p_user")
+      && col("purchase_ts") >= col("click_ts")
+      && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+  }
+
+  /** Streaming dedup for bounded-delay replays:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until
+    * the watermark passes its first-seen time + the delay, unlike plain
+    * `dropDuplicates(id)` whose key state never ages out (the
+    * unbounded-state trap on an id column with no event-time). The
+    * at-scale contract this encodes: duplicates come from
+    * retries/replays and land within the delivery-delay bound, so
+    * state is O(keys per delay window), not O(all keys ever seen). */
+  def dedupWithinWatermark(events: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_cents: Long)

@@ -234,6 +234,30 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // The 100 TB star-join staple: the fact table is hive-partitioned on
+    // the join key's column, the dim filter is only known at runtime, and
+    // DPP turns it into a partition filter on the fact SCAN — without it
+    // every partition is read and rows die in the join.
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Tables.orders(spark, sfDir)
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real scan: an inline relation constant-folds its
+    // filter away and DPP never sees a selective predicate
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("O", "open"), ("F", "filled"), ("P", "pending"))
+      .toDF("status", "label").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = fact.join(dim, $"o_orderstatus" === $"status")
+      .filter($"label" === "filled")
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime partition filter on the fact scan:\n${plan.take(1200)}")
+    assert(j.collect().map(_.getString(0)).toSeq === Seq("F"))
+  }
+
   test("linedir targetPartitionBytes coalesces small files, preserving order") {
     val dir = Files.createTempDirectory("graft-linedir-c").toString
     for (i <- 0 until 8)
@@ -252,5 +276,26 @@ class SourcesSpec extends AnyFunSuite {
       (r.getString(0), r.getString(1), r.getLong(2))).toSet ===
       plain.collect().map(r =>
         (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+  }
+
+  test("linedir write→read round-trip is lossless under random partitionings") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 1 + rnd.nextInt(500)
+      val parts = 1 + rnd.nextInt(7)
+      val lines = Seq.fill(n)(
+        rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+      val dir = Files.createTempDirectory(s"graft-linedir-rt$trial").toString
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(parts).toDF("value")
+        .write.format("linedir").mode("overwrite").save(dir)
+      val back = spark.read.format("linedir").load(dir)
+        .select(col("value")).collect().map(_.getString(0))
+      assert(back.sorted.toSeq === lines.sorted,
+        s"trial $trial lost or mutated lines (n=$n parts=$parts)")
+      assert(LineDir.listSorted(dir).size === parts,
+        s"trial $trial wrong part-file count")
+    }
   }
 }

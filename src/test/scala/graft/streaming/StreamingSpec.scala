@@ -192,6 +192,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: bounded-delay replays deduped, state ages out") {
+    val stream = MemoryStream[RawEvent](spark)
+    val base = 1700000000000L
+    val mk = (id: Long, offMin: Long) =>
+      RawEvent(id, new Timestamp(base + offMin * 60000), 1, "click", 1.0)
+    val q = StreamingOps.dedupWithinWatermark(stream.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      stream.addData(mk(1, 0), mk(2, 1))
+      q.processAllAvailable()
+      // replays of both ids within the delay bound → dropped
+      stream.addData(mk(1, 5), mk(2, 6), mk(3, 7))
+      q.processAllAvailable()
+      // advance event time well past the delay; new ids still emit
+      stream.addData(mk(4, 120))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm").select($"event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("left-outer stream-stream join emits null-matched clicks after watermark") {
+    val clicks = MemoryStream[RawEvent](spark)
+    val purchases = MemoryStream[RawEvent](spark)
+    val base = 1700000000000L
+    val mk = (id: Long, uid: Long, offMin: Long, t: String) =>
+      RawEvent(id, new Timestamp(base + offMin * 60000), uid, t, 1.0)
+    val q = StreamingOps.clickToPurchaseOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(mk(1, 7, 0, "click"), mk(2, 8, 0, "click"))
+      purchases.addData(mk(10, 7, 30, "purchase")) // user 7 converts
+      q.processAllAvailable()
+      // push both watermarks far past click+interval so the unmatched
+      // click's outer row is provably final and must emit
+      clicks.addData(mk(5, 9, 600, "click"))
+      purchases.addData(mk(11, 9, 600, "purchase"))
+      q.processAllAvailable()
+      clicks.addData(mk(6, 9, 1200, "click"))
+      purchases.addData(mk(12, 9, 1200, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(rows.contains((1L, Some(10L))), s"inner match missing: $rows")
+      assert(rows.contains((2L, None)),
+        s"unmatched click did not emit an outer row: $rows")
+    } finally q.stop()
+  }
+
   test("file sink: readStream → transform → checkpointed parquet writeStream") {
     val work = java.nio.file.Files.createTempDirectory("graft-fsink")
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ckpt = s"$work/ckpt"
