@@ -899,6 +899,35 @@ object ExtrasPack extends QueryPack {
            WHERE NOT EXISTS
              (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
-                AND o.o_totalprice > 400000)) AS n_not_exists"""))
+                AND o.o_totalprice > 400000)) AS n_not_exists""")),
+
+    // ── Salted skew join, oracle-pinned row-identical to the plain join
+    // graft.operators.SkewJoin spreads one pathologically hot key over
+    // saltFactor reducers: the big side salts on a row hash, the small
+    // side explodes saltFactor×, the join keys on (key, salt). AQE's
+    // skew splitting covers most skew; this is the explicit fallback
+    // for single-key skew it can't split. The contract that matters is
+    // ROW-IDENTITY with the unsalted join — so the oracle here IS the
+    // plain join+aggregate, making the driver's hash compare the proof
+    // (the spec checks a hand-built skewed frame; this checks fixture
+    // data end-to-end through the gate).
+    "q47_salted_join" -> Q(
+      run = (s, d) => {
+        val big = Tables.events(s, d)
+          .select(col("user_id").as("k"), col("event_type"),
+            Cents.cents(col("value")).as("v"))
+        val small = Tables.customer(s, d)
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        graft.operators.SkewJoin.saltedJoin(big, small, "k", 8)
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+          .orderBy("c_mktsegment", "event_type")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, event_type, count(*) AS n,
+               CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""))
   )
 }

@@ -17,6 +17,25 @@ class StatsAggSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sfDir = "/root/testdata/sf0.001"
 
+  test("Dataset.observe collects pipeline counters without a second pass") {
+    // The run-time-counters idiom a 100 TB pipeline needs: row/volume
+    // metrics ride along INSIDE the job (collected on the driver as
+    // tasks report), instead of a second aggregate pass over the data.
+    val obs = org.apache.spark.sql.Observation("pipe_stats")
+    val li = Tables.lineitem(spark, sfDir)
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(round(col("l_quantity"), 0).cast("long")).as("qty"))
+      .filter(col("l_quantity") > 25)
+    val kept = li.count()
+    val expected = Tables.lineitem(spark, sfDir)
+      .agg(count(lit(1)), sum(round(col("l_quantity"), 0).cast("long")))
+      .collect().head
+    // observe sees PRE-filter rows: it sits below the filter in the plan
+    assert(obs.get("rows") === expected.getLong(0))
+    assert(obs.get("qty") === expected.getLong(1))
+    assert(kept < expected.getLong(0))
+  }
+
   test("q34 integer-moment formulas match native corr/covar_samp/stddev_samp") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"),
