@@ -444,6 +444,96 @@ object TextPack extends QueryPack {
           FROM (SELECT string_split(text, ' ') AS w FROM documents),
                unnest(range(1, len(w) - 1)) AS t(i))
         SELECT ngram, count(*) AS n, CAST(min(pos) AS INTEGER) AS min_pos
-        FROM tg GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""))
+        FROM tg GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""")),
+
+    // ── BPE vocabulary induction (merge learning) ──────────────────────
+    // The tokenizer-training step of an LLM pipeline: learn merge rules
+    // by repeatedly fusing the corpus's most frequent adjacent symbol
+    // pair. The scale insight that makes BPE feasible at 100 TB: after
+    // ONE corpus-sized aggregate (word → frequency), every round
+    // operates on the VOCAB (thousands of rows), not the corpus — pair
+    // counting, top-pair selection, and the merge rewrite all run over
+    // (word, n) with counts carrying the corpus weight. Three unrolled
+    // rounds here; each is one vocab-sized aggregate + a TakeOrdered
+    // top-1 + a broadcast-joined string rewrite — fully declarative, no
+    // driver-side collect feeding the plan. Ties break lexicographically
+    // so the learned merges are deterministic in both engines; symbol
+    // strings are space-joined with sentinel-space replace so a merge
+    // never fuses across symbol boundaries.
+    "t14_bpe_learn" -> Q(
+      run = (s, d) => {
+        val chars = expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")).between(2, 12)
+            && col("word").rlike("^[a-z]+$"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        var cur = words.select(col("word"), col("n"),
+          concat_ws(" ", chars).as("s"))
+        var out: DataFrame = null
+        for (r <- 1 to 3) {
+          val top = cur
+            .select(col("n"), split(col("s"), " ").as("a"))
+            .select(col("n"), explode(expr(
+              "transform(sequence(1, size(a) - 1)," +
+                " i -> concat(a[i-1], ' ', a[i]))")).as("pair"))
+            .groupBy("pair").agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair")).limit(1)
+          val round = top.select(lit(r).as("round"), col("pair"),
+            replace(col("pair"), lit(" ")).as("new_token"), col("cnt"))
+          out = if (out == null) round else out.unionByName(round)
+          cur = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+            .withColumn("s", trim(replace(
+              concat(lit(" "), col("s"), lit(" ")),
+              concat(lit(" "), col("mp"), lit(" ")),
+              concat(lit(" "), replace(col("mp"), lit(" ")), lit(" ")))))
+            .drop("mp")
+        }
+        out.orderBy("round")
+      },
+      oracle = Some {
+        def pairsOf(src: String, name: String) = s"""
+          $name AS (
+            SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+              SELECT n, unnest(list_transform(range(1, len(a)),
+                       i -> a[i] || ' ' || a[i+1])) AS pair
+              FROM (SELECT n, string_split(s, ' ') AS a FROM $src))
+            GROUP BY 1)"""
+        def topOf(p: String, name: String) =
+          s"$name AS (SELECT pair, cnt FROM $p ORDER BY cnt DESC, pair LIMIT 1)"
+        def mergeOf(src: String, m: String, name: String) = s"""
+          $name AS (
+            SELECT word, n,
+                   trim(replace(' ' || s || ' ',
+                     ' ' || (SELECT pair FROM $m) || ' ',
+                     ' ' || replace((SELECT pair FROM $m), ' ', '') || ' '))
+                     AS s
+            FROM $src)"""
+        s"""
+        WITH words AS (
+          SELECT w AS word, count(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE len(w) BETWEEN 2 AND 12 AND regexp_matches(w, '^[a-z]+$$')
+          GROUP BY 1),
+        s0 AS (
+          SELECT word, n,
+                 array_to_string(list_transform(range(1, len(word) + 1),
+                   i -> word[i]), ' ') AS s
+          FROM words),
+        ${pairsOf("s0", "p1")}, ${topOf("p1", "m1")},
+        ${mergeOf("s0", "m1", "s1")},
+        ${pairsOf("s1", "p2")}, ${topOf("p2", "m2")},
+        ${mergeOf("s1", "m2", "s2")},
+        ${pairsOf("s2", "p3")}, ${topOf("p3", "m3")}
+        SELECT * FROM (
+          SELECT 1 AS round, pair, replace(pair, ' ', '') AS new_token, cnt
+          FROM m1
+          UNION ALL
+          SELECT 2, pair, replace(pair, ' ', ''), cnt FROM m2
+          UNION ALL
+          SELECT 3, pair, replace(pair, ' ', ''), cnt FROM m3)
+        ORDER BY round"""
+      })
   )
 }
