@@ -928,6 +928,42 @@ object ExtrasPack extends QueryPack {
                CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT)
                  AS cents
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""))
+        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""")),
+
+    // ── Schema evolution: union of old- and new-schema batches ─────────
+    // The long-lived-table reality: yesterday's files lack a column
+    // today's have. unionByName(allowMissingColumns = true) aligns by
+    // NAME and nulls the missing column — positional union would
+    // silently misalign or fail. Modeled by splitting events on
+    // event_id parity: the "old" half drops `value`, the union
+    // re-aggregates with nulls counting as absent. One narrow map per
+    // branch + one two-phase aggregate; nothing about the union
+    // shuffles.
+    "q48_schema_evolution" -> Q(
+      run = (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            Cents.cents(col("value")).as("value_cents"))
+        val oldBatch = e.filter(col("event_id") % 2 === 0)
+          .drop("value_cents")                      // old schema: no value
+        val newBatch = e.filter(col("event_id") % 2 === 1)
+        oldBatch.unionByName(newBatch, allowMissingColumns = true)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("value_cents")).as("n_with_value"),
+            sum(col("value_cents")).as("cents"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT event_type, CAST(NULL AS BIGINT) AS value_cents
+          FROM events WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT event_type, CAST(round((value)*100) AS BIGINT)
+          FROM events WHERE event_id % 2 = 1)
+        SELECT event_type, count(*) AS n_rows,
+               count(value_cents) AS n_with_value,
+               CAST(sum(value_cents) AS BIGINT) AS cents
+        FROM u GROUP BY 1 ORDER BY event_type"""))
   )
 }

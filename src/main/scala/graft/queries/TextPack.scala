@@ -480,15 +480,21 @@ object TextPack extends QueryPack {
                 " i -> concat(a[i-1], ' ', a[i]))")).as("pair"))
             .groupBy("pair").agg(sum(col("n")).as("cnt"))
             .orderBy(col("cnt").desc, col("pair")).limit(1)
-          val round = top.select(lit(r).as("round"), col("pair"),
-            replace(col("pair"), lit(" ")).as("new_token"), col("cnt"))
-          out = if (out == null) round else out.unionByName(round)
           cur = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
             .withColumn("s", trim(replace(
               concat(lit(" "), col("s"), lit(" ")),
               concat(lit(" "), col("mp"), lit(" ")),
               concat(lit(" "), replace(col("mp"), lit(" ")), lit(" ")))))
             .drop("mp")
+          // the metric merges are learned FOR: corpus symbols remaining
+          // after this round (each merge occurrence saves one symbol)
+          val compressed = cur.agg(sum(col("n")
+            * size(split(col("s"), " "))).as("corpus_symbols"))
+          val round = top.crossJoin(compressed)
+            .select(lit(r).as("round"), col("pair"),
+              replace(col("pair"), lit(" ")).as("new_token"), col("cnt"),
+              col("corpus_symbols"))
+          out = if (out == null) round else out.unionByName(round)
         }
         out.orderBy("round")
       },
@@ -525,14 +531,24 @@ object TextPack extends QueryPack {
         ${mergeOf("s0", "m1", "s1")},
         ${pairsOf("s1", "p2")}, ${topOf("p2", "m2")},
         ${mergeOf("s1", "m2", "s2")},
-        ${pairsOf("s2", "p3")}, ${topOf("p3", "m3")}
+        ${pairsOf("s2", "p3")}, ${topOf("p3", "m3")},
+        ${mergeOf("s2", "m3", "s3")},
+        c1 AS (SELECT CAST(sum(n * len(string_split(s, ' '))) AS BIGINT)
+                 AS corpus_symbols FROM s1),
+        c2 AS (SELECT CAST(sum(n * len(string_split(s, ' '))) AS BIGINT)
+                 AS corpus_symbols FROM s2),
+        c3 AS (SELECT CAST(sum(n * len(string_split(s, ' '))) AS BIGINT)
+                 AS corpus_symbols FROM s3)
         SELECT * FROM (
-          SELECT 1 AS round, pair, replace(pair, ' ', '') AS new_token, cnt
+          SELECT 1 AS round, pair, replace(pair, ' ', '') AS new_token, cnt,
+                 (SELECT corpus_symbols FROM c1) AS corpus_symbols
           FROM m1
           UNION ALL
-          SELECT 2, pair, replace(pair, ' ', ''), cnt FROM m2
+          SELECT 2, pair, replace(pair, ' ', ''), cnt,
+                 (SELECT corpus_symbols FROM c2) FROM m2
           UNION ALL
-          SELECT 3, pair, replace(pair, ' ', ''), cnt FROM m3)
+          SELECT 3, pair, replace(pair, ' ', ''), cnt,
+                 (SELECT corpus_symbols FROM c3) FROM m3)
         ORDER BY round"""
       })
   )

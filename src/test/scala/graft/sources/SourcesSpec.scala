@@ -278,6 +278,43 @@ class SourcesSpec extends AnyFunSuite {
         (r.getString(0), r.getString(1), r.getLong(2))).toSet)
   }
 
+  test("ANALYZE TABLE statistics feed the optimizer's row and size estimates") {
+    // Stats-driven planning is how a 100 TB warehouse avoids both
+    // OOM-broadcasts and needless shuffles: without ANALYZE the
+    // optimizer only knows file sizes; with table + column stats it
+    // knows row counts, and with CBO enabled it can estimate how a
+    // selective filter shrinks them.
+    spark.sql("DROP TABLE IF EXISTS g_orders_stats")
+    Tables.orders(spark, sfDir).write.saveAsTable("g_orders_stats")
+    val expected = spark.table("g_orders_stats").count()
+
+    withCbo {
+      // before ANALYZE even CBO has no row count, only file sizes
+      assert(spark.table("g_orders_stats")
+        .queryExecution.optimizedPlan.stats.rowCount.isEmpty)
+
+      spark.sql(
+        "ANALYZE TABLE g_orders_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+      val full =
+        spark.table("g_orders_stats").queryExecution.optimizedPlan.stats
+      assert(full.rowCount.contains(BigInt(expected)),
+        s"ANALYZE row count ${full.rowCount} != $expected")
+
+      // column stats let a selective filter shrink the estimate
+      val filtered = spark.table("g_orders_stats")
+        .filter($"o_orderstatus" === "F")
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.isDefined
+        && filtered.rowCount.get < full.rowCount.get,
+        s"CBO did not shrink the filtered estimate: $filtered vs $full")
+    }
+  }
+
+  private def withCbo[A](f: => A): A = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try f finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("linedir write→read round-trip is lossless under random partitionings") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(13)
