@@ -964,6 +964,32 @@ object ExtrasPack extends QueryPack {
         SELECT event_type, count(*) AS n_rows,
                count(value_cents) AS n_with_value,
                CAST(sum(value_cents) AS BIGINT) AS cents
-        FROM u GROUP BY 1 ORDER BY event_type"""))
+        FROM u GROUP BY 1 ORDER BY event_type""")),
+
+    // ── VARIANT type (Spark 4 semi-structured fast path) ───────────────
+    // e04/q31 parse JSON per access with string functions; VARIANT
+    // parses ONCE into a binary-encoded tree (parse_json) that
+    // variant_get then navigates with typed extraction — the
+    // store-semi-structured-columns-efficiently answer for a 100 TB
+    // event table where every query touches a different key. Same
+    // answers as the string path, so the oracle is DuckDB's
+    // json_extract with an explicit cast.
+    "q49_variant" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            count(when(col("k") >= 90, lit(1))).as("n_high"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k,
+               count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                 >= 90 THEN 1 END) AS n_high
+        FROM events GROUP BY 1 ORDER BY event_type"""))
   )
 }

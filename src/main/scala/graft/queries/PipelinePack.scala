@@ -550,6 +550,39 @@ object PipelinePack extends QueryPack {
                CAST(sum(n_tokens) AS BIGINT) AS selected_tokens,
                min(quality_e4) AS min_quality_e4
         FROM c WHERE cum_before < 2000
-        GROUP BY 1 ORDER BY source"""))
+        GROUP BY 1 ORDER BY source""")),
+
+    // ── Deterministic fixed-k sample per stratum ───────────────────────
+    // The other sampling contract (p05 keeps a RATE per stratum; this
+    // keeps an exact COUNT): per language, the k docs with the smallest
+    // content-stable hash — the determinized reservoir sample, uniform
+    // because md5 order is independent of every doc attribute, and
+    // reproducible across engines/runs/reshards where true reservoir
+    // sampling is RNG-and-order dependent (hence oracle-checkable).
+    // One shuffle on the stratum key; the rank filter is the top-k
+    // window pattern WindowGroupLimit prunes before the full sort — a
+    // pathologically hot stratum would swap in the bounded-heap
+    // aggregate (w08's topk_longs) for the same answer.
+    "p13_fixed_k_sample" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("rn"), col("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      oracle = Some("""
+        SELECT lang, rn, doc_id FROM (
+          SELECT lang, doc_id,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS INTEGER) AS rn
+          FROM documents)
+        WHERE rn <= 20 ORDER BY lang, rn"""))
   )
 }
