@@ -107,6 +107,71 @@ object MultimodalPack extends QueryPack {
         FROM (SELECT doc_id, text,
                      unnest(range(1, octet_length(text::BLOB) - 6, 32)) AS start_pos
               FROM documents)
-        ORDER BY doc_id, frame_no"""))
+        ORDER BY doc_id, frame_no""")),
+
+    // ── Perceptual-hash near-dup over decoded media (aHash) ────────────
+    // Media dedup: decode each payload to a fixed-size grid, average-
+    // hash it (bit = cell ≥ mean), find pairs within hamming ≤ 2 via
+    // d04's banded pigeonhole join — never an all-pairs cartesian. The
+    // DECODE IS THE STUB (as in m02): a real decoder emits an 8×8 luma
+    // grid; here the deterministic stand-in is a 32-bin content
+    // histogram, which — unlike m02's md5 pseudo-features — PRESERVES
+    // SIMILARITY, so near-identical payloads land within the hamming
+    // ball and the banding actually exercises the near-dup contract.
+    // Everything downstream of the stub (mean-threshold hash, band
+    // keys, equi-join candidates, exact verify) is the production
+    // pHash pipeline unchanged.
+    "m04_phash_neardup" -> Q(
+      run = (s, d) => {
+        val cnts = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .withColumn("b",
+            (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % 32)
+              .cast("int"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        // aHash: bit per cell, set iff count >= per-payload mean (>=1)
+        val sh = cnts
+          .withColumn("mn", greatest(lit(1L),
+            expr("sum(c) OVER (PARTITION BY doc_id) div 32")))
+          .groupBy("doc_id")
+          .agg(sum(when(col("c") >= col("mn"),
+            expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("h"))
+        val bandExprs = Seq((0, 11), (11, 11), (22, 10)).zipWithIndex.map {
+          case ((off, len), i) =>
+            struct(lit(i).as("band"),
+              shiftright(col("h"), off).bitwiseAND(lit((1L << len) - 1))
+                .as("key"))
+        }
+        val bands = sh.select(col("doc_id"), col("h"),
+          explode(array(bandExprs: _*)).as("bk"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 2)
+          .orderBy("da", "db")
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        binned AS (SELECT doc_id,
+                          ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS b
+                   FROM tok),
+        cnts AS (SELECT doc_id, b, count(*) AS c FROM binned GROUP BY 1, 2),
+        tot AS (SELECT doc_id,
+                       greatest(1, CAST(sum(c) AS BIGINT) // 32) AS mn
+                FROM cnts GROUP BY 1),
+        sh AS (SELECT c.doc_id,
+                      CAST(sum(CASE WHEN c.c >= t.mn
+                        THEN (CAST(1 AS BIGINT) << CAST(c.b AS INT))
+                        ELSE 0 END) AS BIGINT) AS h
+               FROM cnts c JOIN tot t ON c.doc_id = t.doc_id GROUP BY 1)
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 2
+        ORDER BY da, db"""))
   )
 }
