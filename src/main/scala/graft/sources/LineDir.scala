@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -95,7 +96,8 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LineDirScanBuilder(path,
       Option(options.get("targetPartitionBytes")).map(_.toLong))
@@ -221,6 +223,51 @@ private[sources] class LineDirWriteBuilder(path: String)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new LineDirBatchWrite(path, doTruncate)
+    override def toStreaming: StreamingWrite =
+      new LineDirStreamingWrite(path)
+  }
+}
+
+/** Streaming sink: each epoch commits to files named
+  * `part-<epoch>-<partition>` — a REPLAYED epoch (restart inside the
+  * at-least-once window) rewrites exactly the same names, so the sink
+  * is idempotent per epoch, the same contract
+  * graft.streaming.StreamingOps.commitBatch provides via foreachBatch
+  * partition-dir overwrites, here native to the connector. Task
+  * staging + driver move-into-place mirror the batch path. */
+private[sources] class LineDirStreamingWrite(path: String)
+    extends StreamingWrite {
+  private val stagingName = s".staging-${UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path, stagingName))
+    val dir = path; val staging = stagingName
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new LineDirWriter(dir, staging, partitionId, taskId,
+          Some(epochId))
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val out = Paths.get(path)
+    messages.foreach { case LineDirCommit(staged, pid) =>
+      Files.move(Paths.get(path, stagingName, staged),
+        out.resolve(f"part-$epochId%05d-$pid%05d"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val st = Paths.get(path, stagingName)
+    if (Files.exists(st)) {
+      Files.list(st).iterator().asScala.foreach(Files.delete)
+      Files.delete(st)
+    }
   }
 }
 
@@ -289,8 +336,12 @@ private[sources] class LineDirWriterFactory(path: String, staging: String)
   * distinct files — only the attempt whose commit message the driver
   * receives gets moved into place. */
 private[sources] class LineDirWriter(path: String, staging: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
-  private val stagedName = f"part-$partitionId%05d-attempt-$taskId"
+    partitionId: Int, taskId: Long, epochId: Option[Long] = None)
+    extends DataWriter[InternalRow] {
+  private val stagedName =
+    f"part-${epochId.getOrElse(0L)}%05d-$partitionId%05d-attempt-$taskId"
+  // idempotent re-create: an aborted epoch removes the staging dir
+  Files.createDirectories(Paths.get(path, staging))
   private val w = Files.newBufferedWriter(
     Paths.get(path, staging, stagedName), StandardCharsets.UTF_8)
 

@@ -166,6 +166,19 @@ class PlanSpec extends AnyFunSuite {
       "expected two two-phase aggregates below the running-sum window")
   }
 
+  test("AQE coalesces post-shuffle partitions to the actual data volume") {
+    import org.apache.spark.sql.functions._
+    // at 100 TB you over-provision spark.sql.shuffle.partitions and let
+    // AQE shrink each exchange to real output size — pin that the
+    // machinery is live in this session's plans
+    val df = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"AQE did not coalesce the tiny shuffle:\n${p.take(600)}")
+  }
+
   test("p12: budget selection is one keyed window, no join, no global sort of docs") {
     val p = planOf("p12_token_budget")
     assert(p.contains("hashpartitioning(source"),

@@ -281,6 +281,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter($"s.n" =!= $"b.n").count() === 0)
   }
 
+  test("linedir streaming sink: per-epoch part files, idempotent naming") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-linedir-ss").toString
+    val ckpt = Files.createTempDirectory("graft-linedir-ck").toString
+    val stream = MemoryStream[String](spark)
+    val q = stream.toDF().toDF("value")
+      .writeStream.format("linedir")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start(dir)
+    try {
+      stream.addData("a", "b")
+      q.processAllAvailable()
+      stream.addData("c")
+      q.processAllAvailable()
+      val names = graft.sources.LineDir.listSorted(dir)
+      // epoch-qualified names: a replayed epoch rewrites the SAME files,
+      // so the at-least-once replay window is idempotent at the sink
+      assert(names.nonEmpty && names.forall(_.matches("part-\\d{5}-\\d{5}")),
+        s"unexpected part names: $names")
+      assert(names.map(_.substring(5, 10)).distinct.size >= 2,
+        s"expected parts from >= 2 epochs: $names")
+      val lines = names.flatMap(n =>
+        Files.readAllLines(Paths.get(dir, n)).asScala)
+      assert(lines.sorted === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("streaming word count over a reference-style text dir") {
     // the reference's canonical job (wc over a directory of text files,
     // reference submit.py:41-50) as a CONTINUOUS query: new files
