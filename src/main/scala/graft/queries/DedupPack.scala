@@ -527,6 +527,69 @@ object DedupPack extends QueryPack {
         SELECT cluster_id, count(*) AS n_members,
                max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
                max(CASE WHEN rn = 1 THEN quality_e4 END) AS kept_quality_e4
-        FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""))
+        FROM ranked GROUP BY cluster_id ORDER BY cluster_id""")),
+
+    // ── Fuzzy vocabulary matching (edit distance ≤ 2, SymSpell) ────────
+    // Typo-tolerant matching — the vocab-normalization pass that merges
+    // misspellings before counting/deduping. The naive plan is all-pairs
+    // levenshtein (a cartesian — THE scale-killer); the SymSpell
+    // insight makes it an equi-join: two words within edit distance 2
+    // MUST share a member of their ≤2-char-deletion neighborhoods, so
+    // candidates come from joining on deletion keys (≈ len²/2 keys per
+    // word — generated in-pipeline), and exact levenshtein verifies
+    // only candidates. Same candidates-then-verify shape as d02–d04,
+    // applied to strings. levenshtein() is the classic unit-cost DP in
+    // both engines, so the verify column is cross-engine exact.
+    "d10_fuzzy_vocab" -> Q(
+      run = (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]{3,12}$"))
+          .distinct()
+        val nb = words.withColumn("k", explode(expr(
+          """array_distinct(concat(
+            |  array(w),
+            |  transform(sequence(1, length(w)),
+            |    i -> concat(substring(w, 1, i-1),
+            |                substring(w, i+1, length(w)))),
+            |  flatten(transform(
+            |    transform(sequence(1, length(w)),
+            |      i -> concat(substring(w, 1, i-1),
+            |                  substring(w, i+1, length(w)))),
+            |    v -> transform(sequence(1, length(v)),
+            |      j -> concat(substring(v, 1, j-1),
+            |                  substring(v, j+1, length(v))))))))""".stripMargin)))
+        nb.as("a").join(nb.as("b"),
+            col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("wa"), col("b.w").as("wb"))
+          .distinct()
+          .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("int"))
+          .filter(col("dist") <= 2)
+          .orderBy("wa", "wb")
+      },
+      oracle = Some("""
+        WITH words AS (
+          SELECT DISTINCT w
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z]{3,12}$')),
+        d1 AS (
+          SELECT w, list_transform(range(1, len(w) + 1),
+                   i -> substr(w, 1, CAST(i - 1 AS INT))
+                     || substr(w, CAST(i + 1 AS INT))) AS dels
+          FROM words),
+        nb AS (
+          SELECT w, unnest(list_distinct(flatten([
+                   [w], dels,
+                   flatten(list_transform(dels,
+                     v -> list_transform(range(1, len(v) + 1),
+                       j -> substr(v, 1, CAST(j - 1 AS INT))
+                         || substr(v, CAST(j + 1 AS INT)))))
+                 ]))) AS k
+          FROM d1)
+        SELECT wa, wb, dist FROM (
+          SELECT DISTINCT a.w AS wa, b.w AS wb,
+                 CAST(levenshtein(a.w, b.w) AS INT) AS dist
+          FROM nb a JOIN nb b ON a.k = b.k AND a.w < b.w)
+        WHERE dist <= 2 ORDER BY wa, wb"""))
   )
 }
