@@ -816,40 +816,73 @@ object ExtrasPack extends QueryPack {
     // ── Exact DECIMAL arithmetic ───────────────────────────────────────
     // The packs' scaled-int convention (QueryPack scaladoc) sidesteps
     // float nondeterminism; this query covers the OTHER exact path —
-    // first-class DecimalType. Monetary doubles are cast to
-    // DECIMAL(12,2) per row (unambiguous: the doubles are 2-decimal
-    // values, so rounding to 2 places is exact in both engines), then
-    // summed/multiplied under Spark's decimal precision rules:
-    // sum(12,2)→(22,2); (1.00-(4,2))=(5,2), ×(12,2)→(18,4),
-    // sum→(28,4). The oracle CASTs to those exact output types —
-    // decimal math is exact in both engines so values match
-    // bit-for-bit; only the declared widths need aligning. Decimal
-    // aggregation is partial+final two-phase like any long sum.
+    // first-class DecimalType. Two hard-won determinism rules (round-4
+    // post-mortem — the suite's only driver-red cell):
+    //   1. Decimals are BUILT FROM EXACT INTEGER CENTS, never by a
+    //      per-row double→decimal cast: round(x*100) is exactly
+    //      integral in both engines (the doubles are 2-decimal values,
+    //      so x*100 is within 1e-6 of an integer, never at a .5 tie),
+    //      and cents × DECIMAL('0.01') is exact decimal multiplication.
+    //      Every cell is bit-determined regardless of either engine's
+    //      double→decimal rounding mode.
+    //   2. The FINAL projection renders decimals AS STRINGS. Raw
+    //      DECIMAL output columns hash-diverge at the driver whenever a
+    //      cell has a trailing zero at its declared scale (its oracle
+    //      path collapses DECIMAL→float64, repr '…899'; the Spark
+    //      parquet path keeps the Decimal, str '…8990' — observed on
+    //      sum_net row N at sf0.01). decimal→string is plain,
+    //      scale-preserving, and identical in both engines, so the
+    //      representation is reader-path-independent. ExtrasSpec pins
+    //      that the PRE-projection types are the true decimal widths —
+    //      sum(12,2)→(22,2); (1.00-(4,2))=(5,2), ×(12,2)→(18,4),
+    //      sum→(28,4) — so DecimalType arithmetic stays first-class.
+    // Decimal aggregation is partial+final two-phase like any long sum.
     "q45_decimal_exact" -> Q(
       run = (s, d) =>
         Tables.lineitem(s, d)
           .select(col("l_returnflag"),
-            col("l_extendedprice").cast("decimal(12,2)").as("p"),
-            col("l_discount").cast("decimal(4,2)").as("disc"))
+            round(col("l_extendedprice") * 100).cast("bigint").as("pc"),
+            round(col("l_discount") * 100).cast("bigint").as("dc"))
+          .select(col("l_returnflag"),
+            (col("pc").cast("decimal(14,0)")
+              * lit("0.01").cast("decimal(3,2)"))
+              .cast("decimal(12,2)").as("p"),
+            (col("dc").cast("decimal(4,0)")
+              * lit("0.01").cast("decimal(3,2)"))
+              .cast("decimal(4,2)").as("disc"))
           .withColumn("net",
             col("p") * (lit("1.00").cast("decimal(3,2)") - col("disc")))
           .groupBy("l_returnflag")
-          .agg(sum(col("p")).as("sum_price"),
+          .agg(sum(col("p")).cast("decimal(22,2)").as("sum_price"),
             min(col("p")).as("min_price"),
             max(col("p")).as("max_price"),
-            sum(col("net")).as("sum_net"))
+            sum(col("net")).cast("decimal(28,4)").as("sum_net"))
+          .select(col("l_returnflag"),
+            col("sum_price").cast("string").as("sum_price"),
+            col("min_price").cast("string").as("min_price"),
+            col("max_price").cast("string").as("max_price"),
+            col("sum_net").cast("string").as("sum_net"))
           .orderBy("l_returnflag"),
       oracle = Some("""
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                 CAST(round(l_discount * 100) AS BIGINT) AS dc
+          FROM lineitem),
+        d AS (
+          SELECT l_returnflag,
+                 CAST(CAST(pc AS DECIMAL(14,0))
+                   * CAST('0.01' AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS p,
+                 CAST(CAST(dc AS DECIMAL(4,0))
+                   * CAST('0.01' AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS disc
+          FROM c)
         SELECT l_returnflag,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-                 AS DECIMAL(22,2)) AS sum_price,
-               min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
-               max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (CAST('1.00' AS DECIMAL(3,2))
-                    - CAST(l_discount AS DECIMAL(4,2))))
-                 AS DECIMAL(28,4)) AS sum_net
-        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+               CAST(CAST(sum(p) AS DECIMAL(22,2)) AS VARCHAR) AS sum_price,
+               CAST(min(p) AS VARCHAR) AS min_price,
+               CAST(max(p) AS VARCHAR) AS max_price,
+               CAST(CAST(sum(p * (CAST('1.00' AS DECIMAL(3,2)) - disc))
+                 AS DECIMAL(28,4)) AS VARCHAR) AS sum_net
+        FROM d GROUP BY 1 ORDER BY l_returnflag""")),
 
     // ── Null-aware anti join (NOT IN) ──────────────────────────────────
     // NOT IN is NOT an anti-join when the subquery can yield NULL: one
