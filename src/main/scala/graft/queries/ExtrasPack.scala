@@ -1023,6 +1023,82 @@ object ExtrasPack extends QueryPack {
                  AS BIGINT) AS sum_k,
                count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
                  >= 90 THEN 1 END) AS n_high
-        FROM events GROUP BY 1 ORDER BY event_type"""))
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // ── DECIMAL depth: avg (scale+4), division widths, try_/overflow ──
+    // q45's twin covers the decimal OPERATIONS engines genuinely
+    // disagree on. Same determinism rules (integer-cents build, string
+    // final projection — see q45):
+    //   avg(DECIMAL(12,2)) → DECIMAL(16,6) (Spark's +4 precision/scale
+    //     rule), rounded HALF_UP at scale 6; the oracle emulates with
+    //     exact HUGEINT math: floor((2·sum·10⁴ + n)/(2n)) is half-up
+    //     for positive operands.
+    //   (12,2)/(3,2) → DECIMAL(18,6) (scale max(6, s1+p2+1), precision
+    //     p1-s1+s2+scale), per-row; ties at scale 6 are impossible
+    //     (2·pc·10⁶ is even, 107·odd is odd), so one floor-division
+    //     emulates it exactly.
+    //   try_cast to a too-narrow DECIMAL(5,2) → NULL (not an error —
+    //     pinned under both ANSI modes), try_divide by zero → NULL,
+    //     and a fitting try_cast stays value-preserving.
+    // DecimalSpec pins the (16,6)/(18,6) result widths; here the
+    // oracle pins the digits.
+    "q50_decimal_depth" -> Q(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("bigint").as("pc"))
+          .select(col("l_returnflag"),
+            (col("pc").cast("decimal(14,0)")
+              * lit("0.01").cast("decimal(3,2)"))
+              .cast("decimal(12,2)").as("p"))
+          .withColumn("vat", col("p") / lit("1.07").cast("decimal(3,2)"))
+          .groupBy("l_returnflag")
+          .agg(avg(col("p")).as("avg_p"),
+            min(col("vat")).as("vat_min"),
+            max(col("vat")).as("vat_max"),
+            sum(col("p")).cast("decimal(22,2)").as("sum_p"),
+            min(col("p")).as("min_p"))
+          .select(col("l_returnflag"),
+            col("avg_p").cast("string").as("avg_price"),
+            col("vat_min").cast("string").as("vat_min"),
+            col("vat_max").cast("string").as("vat_max"),
+            expr("try_cast(sum_p AS DECIMAL(5,2))")
+              .cast("string").as("ovf_null"),
+            expr("try_divide(min_p, 0)").cast("string").as("div0_null"),
+            expr("try_cast(min_p AS DECIMAL(10,2))")
+              .cast("string").as("ok_cast"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+          FROM lineitem),
+        v AS (
+          SELECT l_returnflag, pc,
+                 (2 * CAST(pc AS HUGEINT) * 1000000 + 107) // (2 * 107)
+                   AS vat6
+          FROM c),
+        a AS (
+          SELECT l_returnflag,
+                 sum(CAST(pc AS HUGEINT)) AS sc, count(*) AS n,
+                 min(pc) AS mnc, min(vat6) AS vmn, max(vat6) AS vmx
+          FROM v GROUP BY 1)
+        SELECT l_returnflag,
+               CAST(CAST(CAST((2 * sc * 10000 + n) // (2 * n)
+                   AS DECIMAL(22,0))
+                 * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(16,6))
+                 AS VARCHAR) AS avg_price,
+               CAST(CAST(CAST(vmn AS DECIMAL(24,0))
+                 * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(18,6))
+                 AS VARCHAR) AS vat_min,
+               CAST(CAST(CAST(vmx AS DECIMAL(24,0))
+                 * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(18,6))
+                 AS VARCHAR) AS vat_max,
+               CAST(NULL AS VARCHAR) AS ovf_null,
+               CAST(NULL AS VARCHAR) AS div0_null,
+               CAST(CAST(CAST(CAST(mnc AS DECIMAL(14,0))
+                 * CAST('0.01' AS DECIMAL(3,2)) AS DECIMAL(12,2))
+                 AS DECIMAL(10,2)) AS VARCHAR) AS ok_cast
+        FROM a ORDER BY l_returnflag"""))
   )
 }

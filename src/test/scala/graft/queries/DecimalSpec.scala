@@ -90,4 +90,34 @@ class DecimalSpec extends AnyFunSuite {
     assert(out.schema("sum_price").dataType == DecimalType(22, 2))
     assert(out.schema("sum_net").dataType == DecimalType(28, 4))
   }
+
+  test("q50: avg/divide result widths follow Spark's rules; try_ ops " +
+    "yield NULL, never errors") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("bigint").as("pc"))
+      .select((col("pc").cast("decimal(14,0)")
+        * lit("0.01").cast("decimal(3,2)"))
+        .cast("decimal(12,2)").as("p"))
+    // avg(DECIMAL(p,s)) → DECIMAL(p+4, s+4)
+    assert(li.agg(avg(col("p"))).schema.head.dataType == DecimalType(16, 6))
+    // (12,2)/(3,2) → scale max(6, s1+p2+1)=6, precision p1-s1+s2+scale=18
+    val div = li.select(
+      (col("p") / lit("1.07").cast("decimal(3,2)")).as("vat"))
+    assert(div.schema("vat").dataType == DecimalType(18, 6))
+
+    val rows = SparkEntry.queries("q50_decimal_depth")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("ovf_null")),
+        "narrowing try_cast must be NULL")
+      assert(r.isNullAt(r.fieldIndex("div0_null")),
+        "try_divide by zero must be NULL")
+      assert(r.getString(r.fieldIndex("ok_cast")) != null,
+        "fitting try_cast must keep the value")
+      // division renders at full scale 6
+      assert(r.getString(r.fieldIndex("vat_min"))
+        .matches("""-?\d+\.\d{6}"""))
+    }
+  }
 }
