@@ -440,12 +440,12 @@ object EventsPack extends QueryPack {
         ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.nt >= o2.nt
         ORDER BY e.event_id""")),
 
-    // ── Cumulative unique users (daily growth curve) ───────────────────
+    // ── Cumulative unique users (hourly growth curve) ──────────────────
     // The growth metric a naive plan gets catastrophically wrong:
-    // "distinct users to date" per day is NOT re-aggregable day-by-day
+    // "distinct users to date" per hour is NOT re-aggregable hour-by-hour
     // (COUNT(DISTINCT) over an expanding window rescans history every
-    // day). The exact scale formulation: a user contributes to the
-    // curve only on their FIRST day, so one groupBy(user) min(day) —
+    // hour). The exact scale formulation: a user contributes to the
+    // curve only in their FIRST hour, so one groupBy(user) min(hour) —
     // a single shuffle keyed on the highest-cardinality column, partial
     // min map-side — reduces the corpus to one row per user, a tiny
     // per-day count follows, and the running sum is a window over the

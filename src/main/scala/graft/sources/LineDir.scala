@@ -10,6 +10,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -28,6 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `(value STRING, file STRING, line BIGINT)` — the record, its source
   * file's name, and its 1-based line number (provenance columns the
   * reference loses the moment lines leave the mapper).
+  * `spark.readStream.format("linedir").load(dir)` is the same table as
+  * an incremental source: file-arrival offsets (LineDirMicroBatchStream)
+  * turn the reference's static input dir into a replayable stream with
+  * checkpoint-exact restart.
   *
   * Split parity: ONE InputPartition PER FILE, in sorted filename order —
   * exactly the reference's file-granular split unit (it never splits
@@ -97,10 +102,26 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LineDirScanBuilder(path,
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+
+  /** A user-supplied read schema (supportsExternalMetadata) must be a
+    * subset of the linedir schema BY NAME AND TYPE — validated here so a
+    * typo is an analysis-time IllegalArgumentException, not a task-time
+    * MatchError in LineDirReader.get(). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    tableSchema.fields.foreach { f =>
+      val ref = LineDir.SCHEMA.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"linedir has no column '${f.name}'; schema is " +
+            s"(value STRING, file STRING, line BIGINT)"))
+      if (ref.dataType != f.dataType)
+        throw new IllegalArgumentException(
+          s"linedir column '${f.name}' is ${ref.dataType.simpleString}, " +
+            s"requested ${f.dataType.simpleString}")
+    }
+    new LineDirScanBuilder(path, tableSchema,
       Option(options.get("targetPartitionBytes")).map(_.toLong))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
@@ -113,9 +134,9 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
 // ── read path ─────────────────────────────────────────────────────────
 
 private[sources] class LineDirScanBuilder(path: String,
-    targetBytes: Option[Long])
+    tableSchema: StructType, targetBytes: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = LineDir.SCHEMA
+  private var required: StructType = tableSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -127,6 +148,8 @@ private[sources] class LineDirScan(path: String, required: StructType,
     targetBytes: Option[Long]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LineDirMicroBatchStream(path, required.fieldNames)
 
   /** Default: one partition per file (reference split parity). With
     * targetPartitionBytes: greedy first-fit over the SORTED listing —
@@ -160,6 +183,89 @@ private[sources] class LineDirScan(path: String, required: StructType,
 
 private[sources] case class LineDirPartition(dir: String, files: Seq[String])
     extends InputPartition
+
+// ── streaming read path ───────────────────────────────────────────────
+
+/** File-arrival offset: the sorted set of filenames seen so far. A
+  * micro-batch (start, end] reads exactly the files in `end` but not in
+  * `start`, so arrival order never matters (a late file whose name
+  * sorts before already-seen ones is still picked up) and a
+  * checkpoint-restart replans the same batch from the logged offsets.
+  *
+  * Scale posture: the offset carries the full name list, so the offset
+  * log grows with file count — the right shape for the reference's
+  * one-dir-per-job model (thousands of parts). A production source for
+  * unbounded dirs would swap this for Spark's FileStreamSource-style
+  * compacted seen-file log + retention window; the (start, end] batch
+  * semantics here would not change. */
+private[sources] case class LineDirOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
+}
+
+private[sources] object LineDirOffset {
+  /** Inverse of json() — a tiny string-array parser (filenames only). */
+  def fromJson(j: String): LineDirOffset = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < j.length) {
+      val c = j.charAt(i)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.clear() }
+        i += 1
+      } else c match {
+        case '"' => out += sb.toString; inStr = false; i += 1
+        case '\\' =>
+          j.charAt(i + 1) match {
+            case 'u' =>
+              sb += Integer.parseInt(j.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case e => sb += (if (e == 'n') '\n' else e); i += 2
+          }
+        case c => sb += c; i += 1
+      }
+    }
+    LineDirOffset(out.result())
+  }
+}
+
+/** Replays a line dir incrementally: each trigger's batch is the set of
+  * files that arrived since the last offset (reference input model is a
+  * static dir enumerated once, manager/__main__.py:371-374 — this is
+  * its continuous twin). One InputPartition per new file, sorted, same
+  * reader and column pruning as the batch scan. */
+private[sources] class LineDirMicroBatchStream(path: String,
+    fields: Array[String]) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = LineDirOffset(Nil)
+
+  override def latestOffset(): Offset =
+    LineDirOffset(LineDir.listSorted(path))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[LineDirOffset].files.toSet
+    end.asInstanceOf[LineDirOffset].files
+      .filterNot(seen)
+      .map(f => LineDirPartition(path, Seq(f)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LineDirReaderFactory(fields)
+
+  override def deserializeOffset(json: String): Offset =
+    LineDirOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class LineDirReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -259,6 +365,18 @@ private[sources] class LineDirStreamingWrite(path: String)
         out.resolve(f"part-$epochId%05d-$pid%05d"),
         StandardCopyOption.REPLACE_EXISTING)
     }
+    // success-path hygiene: attempts killed without abort() (speculation,
+    // executor loss) leave staged files that no commit message names —
+    // drop this epoch's leftovers, and remove the staging dir once empty
+    // (writers re-create it, and the final epoch leaves the dir clean)
+    val st = Paths.get(path, stagingName)
+    if (Files.exists(st)) {
+      val epochPrefix = f"part-$epochId%05d-"
+      Files.list(st).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(epochPrefix))
+        .foreach(Files.delete)
+      if (!Files.list(st).iterator().hasNext) Files.delete(st)
+    }
   }
 
   override def abort(epochId: Long,
@@ -295,9 +413,13 @@ private[sources] class LineDirBatchWrite(path: String, truncate: Boolean)
         .filter(p => Files.isRegularFile(p)
           && !p.getFileName.toString.startsWith("."))
         .foreach(Files.delete)
-    // append numbers past the existing part files so two jobs never
-    // collide (the reference always starts at 0 because its output dir
-    // is always pre-cleared — truncate reproduces that)
+    // append numbers past the existing part files so SEQUENTIAL jobs
+    // never collide (the reference always starts at 0 because its
+    // output dir is always pre-cleared — truncate reproduces that).
+    // Two CONCURRENT append jobs can compute the same base: the append
+    // move below deliberately omits REPLACE_EXISTING so the second
+    // committer fails loudly with FileAlreadyExistsException instead of
+    // silently clobbering the first job's parts.
     val base =
       if (truncate) 0
       else LineDir.listSorted(path)
@@ -305,9 +427,12 @@ private[sources] class LineDirBatchWrite(path: String, truncate: Boolean)
                       else None)
         .maxOption.map(_ + 1).getOrElse(0)
     messages.foreach { case LineDirCommit(staged, pid) =>
-      Files.move(Paths.get(path, stagingName, staged),
-        out.resolve(f"part-${base + pid}%05d"),
-        StandardCopyOption.REPLACE_EXISTING)
+      val target = out.resolve(f"part-${base + pid}%05d")
+      if (truncate)
+        Files.move(Paths.get(path, stagingName, staged), target,
+          StandardCopyOption.REPLACE_EXISTING)
+      else
+        Files.move(Paths.get(path, stagingName, staged), target)
     }
     deleteStaging()
   }

@@ -194,6 +194,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(!scan.contains("value"), s"pruning did not reach the scan:\n$scan")
   }
 
+  test("linedir rejects a user-supplied schema with unknown names or " +
+    "wrong types at analysis time") {
+    val dir = Files.createTempDirectory("graft-linedir-sch").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "x.txt"), "l1\n")
+    // valid subset schema reads fine
+    val subset = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    assert(spark.read.format("linedir").schema(subset).load(dir)
+      .collect().map(_.getString(0)).toSeq === Seq("l1"))
+    // unknown field name: analysis-time error, not a task MatchError
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("valeu",
+        org.apache.spark.sql.types.StringType)))
+    val e1 = intercept[Exception] {
+      spark.read.format("linedir").schema(bad).load(dir).collect()
+    }
+    assert(e1.getMessage.contains("no column 'valeu'"), e1.getMessage)
+    // right name, wrong type
+    val badType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("line",
+        org.apache.spark.sql.types.IntegerType)))
+    val e2 = intercept[Exception] {
+      spark.read.format("linedir").schema(badType).load(dir).collect()
+    }
+    assert(e2.getMessage.contains("is bigint"), e2.getMessage)
+  }
+
   test("linedir DSv2 sink: staged write, part-%05d commit, overwrite/append") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-linedir-w").toString

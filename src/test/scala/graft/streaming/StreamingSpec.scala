@@ -306,6 +306,78 @@ class StreamingSpec extends AnyFunSuite {
       val lines = names.flatMap(n =>
         Files.readAllLines(Paths.get(dir, n)).asScala)
       assert(lines.sorted === Seq("a", "b", "c"))
+      // success-path staging hygiene: every committed epoch sweeps its
+      // staged leftovers and removes the dir when empty
+      val staging = Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".staging"))
+      assert(staging.isEmpty, "streaming sink left a .staging dir behind")
+    } finally q.stop()
+  }
+
+  test("linedir streaming read: file-arrival micro-batches, late-sorting " +
+    "names, checkpoint-exact restart") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft-ldread")
+    val in = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(in))
+    def put(name: String, lines: String*): Unit =
+      Files.write(Paths.get(in, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    put("b.txt", "x 1", "y 2")
+    def run(): Unit = {
+      val q = spark.readStream.format("linedir").load(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    // a file whose name sorts BEFORE the already-seen one still arrives
+    // (offsets are seen-sets, not sorted prefixes)
+    put("a.txt", "z 3")
+    run()
+    // restart from checkpoint: only the genuinely-new file is read —
+    // provenance says each line was emitted exactly once
+    put("c.txt", "w 4")
+    run()
+    val got = spark.read.parquet(out)
+      .select($"value", $"file", $"line").as[(String, String, Long)]
+      .collect().toSet
+    assert(got === Set(("x 1", "b.txt", 1L), ("y 2", "b.txt", 2L),
+      ("z 3", "a.txt", 1L), ("w 4", "c.txt", 1L)))
+    // equivalence with the batch read of the final dir state
+    val batch = spark.read.format("linedir").load(in)
+      .select($"value", $"file", $"line").as[(String, String, Long)]
+      .collect().toSet
+    assert(got === batch)
+  }
+
+  test("linedir streaming read drives a watermarked agg ≡ batch twin") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft-ldagg")
+    val in = s"$work/in"
+    Files.createDirectories(Paths.get(in))
+    // reference-style lines: "<word> <count>"; two arrival waves
+    Files.write(Paths.get(in, "f1.txt"), "a 1\nb 2\na 3\n".getBytes)
+    val counts = (df: org.apache.spark.sql.DataFrame) => df
+      .select(split($"value", " ").getItem(0).as("w"),
+        split($"value", " ").getItem(1).cast("long").as("n"))
+      .groupBy("w").agg(sum($"n").as("total"))
+    val q = counts(spark.readStream.format("linedir").load(in))
+      .writeStream.format("memory").queryName("ldagg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      Files.write(Paths.get(in, "f2.txt"), "b 5\nc 7\n".getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("ldagg").as[(String, Long)].collect().toSet
+      val batch = counts(spark.read.format("linedir").load(in))
+        .as[(String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(("a", 4L), ("b", 7L), ("c", 7L)))
     } finally q.stop()
   }
 
