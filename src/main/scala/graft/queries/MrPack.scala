@@ -243,6 +243,63 @@ object MrPack extends QueryPack {
       oracle = Some("""
         SELECT user_id, min(epoch_us(ts)) AS first_us,
                max(epoch_us(ts)) AS last_us, count(*) AS n_events
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // The production-shaped exe path under a mapper that is genuinely
+    // STATEFUL across lines (`awk END{...}` — it emits ONE line per
+    // INVOCATION), so the answer is correct only at the reference's
+    // exact invocation granularity: once per input file
+    // (perFileMapper=true; worker/__main__.py:126-133). The default
+    // once-per-partition piping would fold multiple files into one awk
+    // run and emit too few lines — this query makes the oracle gate,
+    // not just a spec, sensitive to that divergence. Output also goes
+    // through the cluster-safe FileOutputCommitter sink, so BOTH
+    // production flags are what the driver hash-checks. Input: one
+    // text file per document language (written deterministically from
+    // the documents table), so the multiset of per-file line counts
+    // equals the language histogram — distinct values at every SF.
+    "mr06_stateful_perfile" -> Q(
+      run = (s, d) => {
+        import java.nio.charset.StandardCharsets
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val work = Files.createTempDirectory("graft-mr06")
+        val inDir = s"$work/in"
+        Files.createDirectories(Paths.get(inDir))
+        val langs = Tables.documents(s, d).select(col("lang"))
+          .distinct().collect().map(_.getString(0)).sorted
+        langs.foreach { lg =>
+          val tmp = s"$work/tmp-$lg"
+          Tables.documents(s, d).filter(col("lang") === lg)
+            .select(col("text"))
+            .coalesce(1).write.mode("overwrite").text(tmp)
+          val part = Files.list(Paths.get(tmp)).iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-")).get
+          Files.move(part, Paths.get(inDir, s"$lg.txt"))
+        }
+        def exe(name: String, script: String): String = {
+          val p = work.resolve(name)
+          Files.write(p, script.getBytes(StandardCharsets.UTF_8))
+          p.toFile.setExecutable(true)
+          p.toString
+        }
+        val mapExe = exe("lines_map.sh",
+          "#!/bin/sh\nawk 'END { print \"n\\t\" NR }'\n")
+        val redExe = exe("id_reduce.sh", "#!/bin/sh\ncat\n")
+        val outDir = s"$work/out"
+        // numMappers deliberately < file count: the per-partition mode
+        // would pipe several files through ONE awk and lose rows
+        MapReduceJob.runExe(s, inDir, outDir, mapExe, redExe,
+          numMappers = 2, numReducers = 2,
+          perFileMapper = true, committerSink = true)
+        import s.implicits._
+        s.read.textFile(outDir)
+          .map(l => l.substring(l.indexOf('\t') + 1).toLong)
+          .toDF("cnt")
+          .orderBy("cnt")
+      },
+      oracle = Some("""
+        SELECT CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang ORDER BY cnt"""))
   )
 }

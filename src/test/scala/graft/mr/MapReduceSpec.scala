@@ -276,6 +276,33 @@ class MapReduceJobSpec extends AnyFunSuite {
       .pipe(countExe).collect()
     assert(whole === Array("files\t90"))
   }
+
+  test("runExe with perFileMapper+committerSink end-to-end (the " +
+    "production-shaped path mr06 gate-checks)") {
+    // granularity divergence itself (a split big file runs a stateful
+    // mapper once per PARTITION without the flag) is pinned by the
+    // previous test; here the full exe job with BOTH production flags
+    // yields exactly one stateful-mapper line per input file, committed
+    // through FileOutputCommitter in the reference part layout
+    val in = tmpDir("mr-pf2-in")
+    writeFile(in, "a.txt", "1\n2\n3\n")
+    writeFile(in, "b.txt", "1\n")
+    writeFile(in, "c.txt", "1\n2\n")
+    val exeDir = tmpDir("mr-pf2-exe")
+    val mapExe = writeExe(exeDir, "m.sh",
+      "#!/bin/sh\nawk 'END { print \"n\\t\" NR }'\n")
+    val redExe = writeExe(exeDir, "r.sh", "#!/bin/sh\ncat\n")
+    val out = tmpDir("mr-pf2-out").toString
+    MapReduceJob.runExe(spark, in.toString, out, mapExe, redExe,
+      numMappers = 2, numReducers = 2,
+      perFileMapper = true, committerSink = true)
+    val parts = Files.list(Paths.get(out)).iterator().asScala.toSeq
+      .map(_.getFileName.toString).sorted
+    assert(parts.forall(_.matches("part-\\d{5}")), parts.toString)
+    val lines = parts.flatMap(p =>
+      Files.readAllLines(Paths.get(out, p)).asScala)
+    assert(lines.sorted === Seq("n\t1", "n\t2", "n\t3"))
+  }
 }
 
 class MapReduceDriverSpec extends AnyFunSuite {
