@@ -62,11 +62,24 @@ object MapReduceJob {
   }
 
   /** O3–O5 — md5-partition on the first-TAB field, whole-line sort
-    * within each of the `numReducers` partitions. */
-  def shuffleSort(mapped: RDD[String], numReducers: Int): RDD[String] =
+    * within each of the `numReducers` partitions.
+    *
+    * @param rawNewlineParity hash/sort as if each line kept its trailing
+    *                         '\n' (the reference worker's raw behavior,
+    *                         worker/__main__.py:137-149) — closes the
+    *                         two tab-less-line byte-parity caveats
+    *                         documented on [[Md5Partitioner]]
+    */
+  def shuffleSort(mapped: RDD[String], numReducers: Int,
+      rawNewlineParity: Boolean = false): RDD[String] = {
+    implicit val ord: Ordering[String] =
+      if (rawNewlineParity) Md5Partitioner.rawNewlineOrdering
+      else Ordering.String
     mapped.map(l => (l, null: Any))
-      .repartitionAndSortWithinPartitions(new Md5Partitioner(numReducers))
+      .repartitionAndSortWithinPartitions(
+        new Md5Partitioner(numReducers, rawNewlineParity))
       .map(_._1)
+  }
 
   /** O1 variant — one RDD partition per input file (sorted by name), so
     * `pipe` spawns the mapper executable exactly once per file: the
@@ -92,17 +105,22 @@ object MapReduceJob {
     * @param committerSink commit output through Hadoop's
     *                      FileOutputCommitter ([[writePartFilesCommitter]])
     *                      instead of the local/shared-FS move sink
+    * @param rawNewlineParity hash/sort with the trailing newline
+    *                      attached (see [[shuffleSort]]) — exact
+    *                      byte parity for tab-less mapper output
     */
   def runExe(spark: SparkSession, inputDir: String, outputDir: String,
       mapperExe: String, reducerExe: String,
       numMappers: Int = 2, numReducers: Int = 2,
       perFileMapper: Boolean = false,
-      committerSink: Boolean = false): Unit = {
+      committerSink: Boolean = false,
+      rawNewlineParity: Boolean = false): Unit = {
     val input =
       if (perFileMapper) inputRddPerFile(spark, inputDir)
       else inputRdd(spark, inputDir, numMappers)
     val mapped = input.pipe(mapperExe)
-    val reduced = shuffleSort(mapped, numReducers).pipe(reducerExe)
+    val reduced = shuffleSort(mapped, numReducers, rawNewlineParity)
+      .pipe(reducerExe)
     if (committerSink) writePartFilesCommitter(reduced, outputDir)
     else writePartFiles(reduced, outputDir)
   }

@@ -34,8 +34,16 @@ import org.apache.spark.Partitioner
   * while we order "a" < "a\tb". Both cases require tab-less mapper
   * output, outside the wordcount-style `key\tvalue` contract; content
   * equivalence holds regardless.
+  *
+  * `rawNewlineParity = true` opts into the reference's raw behavior for
+  * adversarial mapper output: tab-less lines hash with the trailing
+  * newline attached, and [[MapReduceJob.shuffleSort]]'s companion
+  * ordering ([[Md5Partitioner.rawNewlineOrdering]]) compares lines AS IF
+  * newline-terminated — closing both caveats with byte-identical part
+  * files (spec-pinned against the reference algorithm computed by hand).
   */
-class Md5Partitioner(override val numPartitions: Int) extends Partitioner {
+class Md5Partitioner(override val numPartitions: Int,
+    val rawNewlineParity: Boolean = false) extends Partitioner {
   require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
 
   override def getPartition(key: Any): Int = {
@@ -44,14 +52,19 @@ class Md5Partitioner(override val numPartitions: Int) extends Partitioner {
       case null      => ""
       case other     => other.toString
     }
-    Md5Partitioner.partitionFor(line.takeWhile(_ != '\t'), numPartitions)
+    val k =
+      if (rawNewlineParity && line.indexOf('\t') < 0) line + "\n"
+      else line.takeWhile(_ != '\t')
+    Md5Partitioner.partitionFor(k, numPartitions)
   }
 
   override def equals(other: Any): Boolean = other match {
-    case p: Md5Partitioner => p.numPartitions == numPartitions
+    case p: Md5Partitioner => p.numPartitions == numPartitions &&
+      p.rawNewlineParity == rawNewlineParity
     case _                 => false
   }
-  override def hashCode: Int = numPartitions
+  override def hashCode: Int =
+    numPartitions * 2 + (if (rawNewlineParity) 1 else 0)
 }
 
 object Md5Partitioner {
@@ -60,5 +73,26 @@ object Md5Partitioner {
     val digest = MessageDigest.getInstance("MD5")
       .digest(key.getBytes(StandardCharsets.UTF_8))
     new BigInteger(1, digest).mod(BigInteger.valueOf(r.toLong)).intValue()
+  }
+
+  /** Orders lines as the reference sorts raw mapper output: with the
+    * trailing '\n' attached. Differs from natural String order only
+    * when one line is a strict prefix of the other and the longer
+    * continues with a char below '\n' (in practice '\t'): then the
+    * LONGER line sorts first. Allocation-free — the virtual newline is
+    * compared, never appended. */
+  val rawNewlineOrdering: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val ca = a.charAt(i); val cb = b.charAt(i)
+        if (ca != cb) return Character.compare(ca, cb)
+        i += 1
+      }
+      if (a.length == b.length) 0
+      else if (a.length < b.length) Character.compare('\n', b.charAt(n))
+      else Character.compare(a.charAt(n), '\n')
+    }
   }
 }

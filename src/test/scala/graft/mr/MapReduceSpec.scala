@@ -277,6 +277,43 @@ class MapReduceJobSpec extends AnyFunSuite {
     assert(whole === Array("files\t90"))
   }
 
+  test("rawNewlineParity: byte-identical part files to the reference " +
+    "algorithm on adversarial tab-less/prefix-line output") {
+    // the reference worker keeps each mapper-output line's trailing
+    // '\n' through BOTH hashing and sorting (worker/__main__.py:137-149)
+    // — reimplemented here by hand as the expected-output oracle
+    val r = 3
+    val lines = Seq("a", "a\tb", "b", "b\tc", "", "zz", "z\tq", "a\ta")
+    def refPartFiles(ls: Seq[String]): Map[Int, String] =
+      ls.map(_ + "\n")
+        .groupBy { raw =>
+          // python split('\t')[0]: whole raw line (incl. '\n') if no tab
+          Md5Partitioner.partitionFor(raw.takeWhile(_ != '\t'), r)
+        }
+        .map { case (p, rs) => p -> rs.sorted.mkString }
+    val expected = refPartFiles(lines)
+
+    val shuffled = MapReduceJob.shuffleSort(
+      spark.sparkContext.parallelize(lines, 4), r, rawNewlineParity = true)
+    val out = tmpDir("mr-rawnl-out").toString
+    MapReduceJob.writePartFiles(shuffled, out)
+    (0 until r).foreach { p =>
+      val got = new String(
+        Files.readAllBytes(Paths.get(out, f"part-$p%05d")),
+        StandardCharsets.UTF_8)
+      assert(got === expected.getOrElse(p, ""), s"partition $p diverges")
+    }
+
+    // the fixture is genuinely adversarial: default mode places or
+    // orders it differently (tab-less "a" hashes without '\n', and
+    // natural order puts "a" before "a\ta" where the reference puts
+    // "a\ta\n" < "a\n")
+    assert(Md5Partitioner.rawNewlineOrdering.compare("a\ta", "a") < 0)
+    assert(Ordering.String.compare("a", "a\ta") < 0)
+    assert(Md5Partitioner.partitionFor("a", 1000)
+      !== Md5Partitioner.partitionFor("a\n", 1000))
+  }
+
   test("runExe with perFileMapper+committerSink end-to-end (the " +
     "production-shaped path mr06 gate-checks)") {
     // granularity divergence itself (a split big file runs a stateful
