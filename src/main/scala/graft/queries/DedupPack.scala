@@ -86,6 +86,20 @@ object DedupPack extends QueryPack {
         .select(col("doc_id") +: col("s") +: sigCols: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  /** Unpins the memoized shingle/signature relations for `session`,
+    * unpersisting their blocks. The caches exist so one Verify/Bench run
+    * computes each relation exactly once across d02/d03/d06/d07/p01
+    * plan branches; a LONG-LIVED session serving many dirs should call
+    * this between corpora (or the pinned blocks accumulate — the
+    * round-4 advice leak). Entries are keyed by (session, dir), so
+    * other sessions' caches are untouched. */
+  def clear(session: SparkSession): Unit =
+    Seq(shingleCache, sigCache).foreach { c =>
+      c.keys.filter(_._1 eq session).foreach { k =>
+        c.remove(k).foreach(_.unpersist(blocking = true))
+      }
+    }
+
   private val sqlShingle =
     """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
       |  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]

@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.mr.SparkTestSession
+
+/** Unpersist discipline for DedupPack's memoized shingle/signature
+  * relations (round-4 advice): a long-lived session serving many dirs
+  * must be able to release the pinned blocks between corpora.
+  */
+class DedupCacheSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("DedupPack.clear unpins every block a d03 run persisted") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // d03 builds both cached relations (shingles + signatures)
+    assert(SparkEntry.queries("d03_minhash_lsh")(spark, sfDir).count() >= 0)
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty,
+      "expected d03 to persist its shingle/signature relations")
+    DedupPack.clear(spark)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"lingering persisted RDDs after clear: ${after -- before}")
+    // cleared caches rebuild transparently — d03 still answers
+    assert(SparkEntry.queries("d03_minhash_lsh")(spark, sfDir).count() >= 0)
+    DedupPack.clear(spark)
+  }
+}

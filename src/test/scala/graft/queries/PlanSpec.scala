@@ -65,6 +65,30 @@ class PlanSpec extends AnyFunSuite {
       "d04 candidate stage degraded to a cartesian product")
   }
 
+  test("s03: sign-LSH candidate stage is a bucketed equi-join, not all-pairs") {
+    val p = planOf("s03_signlsh_ann")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "s03 candidate stage degraded to all-pairs BNLJ")
+    assert(!p.contains("CartesianProduct"),
+      "s03 candidate stage degraded to a cartesian product")
+  }
+
+  test("d10: SymSpell deletion-neighborhood join never goes all-pairs") {
+    val p = planOf("d10_fuzzy_vocab")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "d10 candidate stage degraded to all-pairs BNLJ")
+    assert(!p.contains("CartesianProduct"),
+      "d10 candidate stage degraded to a cartesian product")
+  }
+
+  test("m04: pHash banded hamming join never goes all-pairs") {
+    val p = planOf("m04_phash_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "m04 candidate stage degraded to all-pairs BNLJ")
+    assert(!p.contains("CartesianProduct"),
+      "m04 candidate stage degraded to a cartesian product")
+  }
+
   test("s04: native cosine expression sits inside whole-stage codegen") {
     val p = planOf("s04_cosine_topk_native")
     assert(p.contains("cosine_similarity"), p.take(500))
