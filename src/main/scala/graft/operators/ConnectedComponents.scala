@@ -20,31 +20,47 @@ import org.apache.spark.storage.StorageLevel
   * with long chains, swap in star-contraction; the API contract
   * (edges → (node, component=min id)) stays the same.
   *
-  * Each iteration's labels are eagerly `localCheckpoint`ed: without the
+  * Each iteration's labels are eagerly checkpointed: without the
   * lineage cut, every round's logical plan embeds the previous round's
   * twice (join + union), so analysis/optimization cost grows
   * exponentially with round count even when the data itself is cached.
-  * Local (executor-stored) checkpoints suffice for this operator's
-  * restartable batch use; swap in reliable `checkpoint` when running
-  * inside a job that must survive executor loss mid-iteration.
+  * Two cut flavors, chosen by `checkpointDir`:
+  *   - None (default): `localCheckpoint` — executor-stored blocks, no
+  *     extra I/O; right for restartable batch jobs, but blocks PIN the
+  *     executors that hold them, and executor loss mid-iteration kills
+  *     the job. Fine on local[n]; fragile on a 1000-executor cluster
+  *     with preemption.
+  *   - Some(dir): reliable `checkpoint` to that directory (HDFS/object
+  *     store) — rounds survive executor loss and release executor
+  *     memory; costs one write+read of the label table per round. The
+  *     production default at 100 TB.
   */
 object ConnectedComponents {
 
   /** Components of the undirected graph given by `edges` (two numeric
     * columns: src, dst). Returns (node, component) for every node that
     * appears in at least one edge; `component` is the minimum node id
-    * reachable from `node`. */
-  def minLabel(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    * reachable from `node`.
+    *
+    * @param checkpointDir when set, per-round lineage cuts go through
+    *                      reliable `checkpoint` into this directory
+    *                      (survives executor loss) instead of
+    *                      `localCheckpoint` */
+  def minLabel(edges: DataFrame, maxIterations: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val e = edges.toDF("a", "b")
     val sym = e
       .union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint: materializes AND truncates lineage to a
+    // eager checkpoint: materializes AND truncates lineage to a
     // LogicalRDD — constant-size plans per round (see scaladoc)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = cut(sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -52,8 +68,7 @@ object ConnectedComponents {
         .join(labels, sym("a") === labels("node"))
         .select(sym("b").as("node"), labels("label"))
         .union(labels)
-      val next = msgs.groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = cut(msgs.groupBy("node").agg(min("label").as("label")))
       val changed = next.as("n")
         .join(labels.as("o"), "node")
         .filter(col("n.label") =!= col("o.label"))

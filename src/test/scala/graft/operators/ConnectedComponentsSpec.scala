@@ -26,6 +26,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("reliable checkpoint mode: identical components, files on disk") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val reliable = ConnectedComponents
+      .minLabel(edges.toDF("a", "b"), checkpointDir = Some(ckpt.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === components(edges),
+      "reliable-checkpoint mode changed the answer")
+    // the rounds really went through the reliable path: checkpoint data
+    // exists under the directory
+    val wrote = java.nio.file.Files.walk(ckpt).iterator()
+    assert(wrote.asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .hasNext, "no checkpoint files written")
+    assert(java.nio.file.Files.list(ckpt).count() > 0,
+      "checkpoint dir is empty")
+  }
+
   test("matches a reference union-find on random graphs") {
     val rnd = new Random(11)
     for (trial <- 1 to 3) {
