@@ -73,6 +73,89 @@ object SimilarityPack extends QueryPack {
     """list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]),
       |                  (acc, x) -> acc + x) / sqrt(q.nrm) / sqrt(c.nrm)""".stripMargin
 
+  /** Shared PQ pipeline for s11/s12: the long-format [0,254]-quantized
+    * relation `q` (vec_id, dim, m, u8), the trained sub-codebook `c1`
+    * (m, cid, dim, cu8 — one Lloyd round from the 4 lowest-vec_id
+    * seeds), and the final assignment `a2` (vec_id, m, cid, dist).
+    * Integer-exact throughout (s09's discipline) so the DuckDB oracles
+    * replay it bit-for-bit. */
+  private def pqParts(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), vecD.as("v"))
+      .withColumn("nrm", sqrt(norm(col("v"))))
+    val q = base
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        expr("CAST(pos div 16 AS INT)").as("m"),
+        (round(col("x") / col("nrm") * 127, 0).cast("int") + lit(127))
+          .as("u8"))
+      .localCheckpoint(true)
+    val ids = q.select("vec_id").distinct().orderBy("vec_id").limit(4)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("vec_id")).cast("int"))
+    val c0 = q.join(broadcast(ids), "vec_id")
+      .select(col("cid"), col("m"), col("dim"), col("u8").as("cu8"))
+    def assignTo(cent: DataFrame): DataFrame = {
+      val dists = q.join(broadcast(cent.drop("m")), "dim")
+        .groupBy(col("vec_id"), col("m"), col("cid"))
+        .agg(sum((col("u8") - col("cu8")).cast("long")
+          * (col("u8") - col("cu8"))).as("dist"))
+      val w = Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist"), col("cid"))
+      dists.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid"), col("dist"))
+    }
+    val a1 = assignTo(c0).localCheckpoint(true)
+    val c1 = q.join(a1.select("vec_id", "m", "cid"), Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cid"), col("dim"))
+      .agg(expr("CAST(sum(u8) div count(1) AS INT)").as("cu8"))
+    (q, c1, assignTo(c1))
+  }
+
+  /** s11/s12's shared oracle WITH-chain: quantize → seed → one Lloyd
+    * round → final assignment (`a2`). */
+  private val pqSqlCtes = """
+        WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 x -> x * x), (a, b) -> a + b)) AS nrm
+             FROM embeddings),
+        q AS (SELECT vec_id, i AS dim,
+                     CAST((i - 1) // 16 AS INT) AS m,
+                     CAST(round(v[i] / nrm * 127) AS INT) + 127 AS u8
+              FROM base, range(1, 65) AS r(i)),
+        ids AS (SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid
+                FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT ids.cid, q.m, q.dim, q.u8 AS cu8
+               FROM q JOIN ids USING (vec_id)),
+        a1d AS (SELECT q.vec_id, q.m, c.cid,
+                       sum(CAST(q.u8 - c.cu8 AS BIGINT) * (q.u8 - c.cu8)) AS dist
+                FROM q JOIN c0 c USING (dim)
+                GROUP BY 1, 2, 3),
+        a1 AS (SELECT vec_id, m, cid FROM
+                 (SELECT vec_id, m, cid,
+                         row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist, cid) AS rn
+                  FROM a1d) WHERE rn = 1),
+        c1 AS (SELECT a1.m, a1.cid, q.dim,
+                      CAST(sum(q.u8) // count(*) AS INT) AS cu8
+               FROM q JOIN a1 ON q.vec_id = a1.vec_id AND q.m = a1.m
+               GROUP BY 1, 2, 3),
+        a2d AS (SELECT q.vec_id, q.m, c.cid,
+                       sum(CAST(q.u8 - c.cu8 AS BIGINT) * (q.u8 - c.cu8)) AS dist
+                FROM q JOIN c1 c USING (dim)
+                GROUP BY 1, 2, 3),
+        a2 AS (SELECT vec_id, m, cid, dist FROM
+                 (SELECT vec_id, m, cid, dist,
+                         row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist, cid) AS rn
+                  FROM a2d) WHERE rn = 1)"""
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ── Brute-force cosine top-k (exact baseline) ──────────────────────
@@ -477,6 +560,89 @@ object SimilarityPack extends QueryPack {
         SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS g
         FROM q, range(0, 64) AS r1(i), range(0, 64) AS r2(j)
         WHERE j >= i
-        GROUP BY 1, 2 ORDER BY i, j"""))
+        GROUP BY 1, 2 ORDER BY i, j""")),
+
+    // ── Product quantization (PQ codebook + encode) ────────────────────
+    // The vector-compression path IVF (s02) composes with at serving
+    // scale: split the 64-dim space into M=4 subspaces of 16 dims,
+    // k-means each subspace independently (k=4 here; 256 in production
+    // = 1 byte/subspace), and store each vector as its M nearest
+    // sub-centroid ids — 64 floats become 4 small ints (32× smaller),
+    // and a query scans CODES with per-subspace distance-table lookups
+    // instead of touching raw vectors. Everything reuses s08/s09's
+    // exact-integer discipline ([0,254]-shifted int8, integer-division
+    // centroid means, argmin ties by centroid id), so DuckDB replays
+    // training + encoding bit-for-bit as unrolled CTEs. Output: each
+    // vector's per-subspace code and quantization error.
+    // Scale posture: the codebook is M×k×16 ints (broadcast, KBs); the
+    // long-format (vec,dim) relation is checkpointed once; each Lloyd
+    // round is one broadcast join + two map-side-partial aggregates —
+    // the corpus shuffles CODES (4 ints/vector), never vectors.
+    "s11_pq_encode" -> Q(
+      run = (s, d) => {
+        val (_, _, a2) = pqParts(s, d)
+        a2.select(col("vec_id"), col("m"), col("cid").as("code"),
+            col("dist").as("qerr"))
+          .orderBy("vec_id", "m")
+      },
+      oracle = Some(pqSqlCtes + """
+        SELECT vec_id, m, cid AS code, CAST(dist AS BIGINT) AS qerr
+        FROM a2 ORDER BY vec_id, m""")),
+
+    // ── PQ asymmetric-distance top-k (the serving scan) ────────────────
+    // What a PQ index is FOR: a query never touches vectors — it builds
+    // one (M×k) integer distance table against the codebook, then the
+    // corpus scan is sum-of-4-lookups per vector over the CODES
+    // relation. Query vectors = the 3 lowest vec_ids, exact u8
+    // subvectors; approx distance = Σ_m td[m, code_m(v)]; top-5 per
+    // query, ties by vec_id, self excluded. All integer arithmetic —
+    // the oracle replays table build and scan exactly.
+    // Scale posture: td is qids×M×k cells (broadcast, KBs); the only
+    // data-sized pass is one broadcast-join over codes (4 ints/vector,
+    // 32× smaller than vectors) + a per-query top-k window — s01's
+    // brute-force cost envelope divided by the compression ratio, and
+    // the same WindowGroupLimit pruning as s01/s04.
+    "s12_pq_adc_topk" -> Q(
+      run = (s, d) => {
+        val (q, c1, a2) = pqParts(s, d)
+        val qids = q.select("vec_id").distinct().orderBy("vec_id").limit(3)
+          .select(col("vec_id").as("qid"))
+        val qsub = q.join(broadcast(qids), col("vec_id") === col("qid"))
+          .select(col("qid"), col("dim"), col("u8").as("qu8"))
+        val td = qsub.join(broadcast(c1), "dim")
+          .groupBy(col("qid"), col("m"), col("cid"))
+          .agg(sum((col("qu8") - col("cu8")).cast("long")
+            * (col("qu8") - col("cu8"))).as("td"))
+        val adist = a2.select(col("vec_id"), col("m"), col("cid"))
+          .join(broadcast(td), Seq("m", "cid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("td")).as("adist"))
+          .filter(col("qid") =!= col("vec_id"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("adist"), col("vec_id"))
+        adist.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(pqSqlCtes + """,
+        qids AS (SELECT DISTINCT vec_id AS qid FROM q ORDER BY qid LIMIT 3),
+        qsub AS (SELECT qids.qid, q.dim, q.m, q.u8 AS qu8
+                 FROM q JOIN qids ON q.vec_id = qids.qid),
+        td AS (SELECT qsub.qid, qsub.m, c.cid,
+                      sum(CAST(qsub.qu8 - c.cu8 AS BIGINT)
+                        * (qsub.qu8 - c.cu8)) AS td
+               FROM qsub JOIN c1 c USING (dim)
+               GROUP BY 1, 2, 3),
+        adist AS (SELECT td.qid, a2.vec_id, sum(td.td) AS adist
+                  FROM a2 JOIN td ON a2.m = td.m AND a2.cid = td.cid
+                  GROUP BY 1, 2),
+        ranked AS (SELECT qid, vec_id, adist,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY adist, vec_id) AS rank
+                   FROM adist WHERE qid <> vec_id)
+        SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+               CAST(adist AS BIGINT) AS adist
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 }

@@ -65,6 +65,42 @@ class PlanSpec extends AnyFunSuite {
       "d04 candidate stage degraded to a cartesian product")
   }
 
+  test("runtime bloom filter from a selective dim reaches the fact side " +
+    "of a shuffle join") {
+    // the 100 TB lever DPP can't give: when the fact table is NOT
+    // partitioned by the join key, InjectRuntimeFilter builds a bloom
+    // filter from the dim's selective predicate and applies
+    // might_contain on the fact side BEFORE the shuffle — rows that
+    // can't join never cross the wire. Thresholds are lowered because
+    // the fixture is tiny; at production scale the defaults (10 GB app
+    // side) gate it to genuinely large scans.
+    import graft.Tables
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.lineitem(spark, sfDir)
+      val dim = Tables.part(spark, sfDir).filter(col("p_size") === 1)
+      val j = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy().count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${opt.take(800)}")
+      // and it must sit on the FACT side (filtering l_partkey)
+      assert(opt.contains("might_contain") && opt.contains("l_partkey"),
+        "bloom filter not applied to the fact scan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
   test("s03: sign-LSH candidate stage is a bucketed equi-join, not all-pairs") {
     val p = planOf("s03_signlsh_ann")
     assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -87,6 +123,15 @@ class PlanSpec extends AnyFunSuite {
       "m04 candidate stage degraded to all-pairs BNLJ")
     assert(!p.contains("CartesianProduct"),
       "m04 candidate stage degraded to a cartesian product")
+  }
+
+  test("s12: PQ serving scan joins codes via broadcast, never all-pairs") {
+    val p = planOf("s12_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "distance-table join should broadcast (td is M×k cells)")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "s12 degraded to an all-pairs plan")
   }
 
   test("s04: native cosine expression sits inside whole-stage codegen") {
