@@ -477,6 +477,51 @@ object EventsPack extends QueryPack {
                CAST(sum(new_users) OVER (ORDER BY first_hr
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum_users
-        FROM n ORDER BY hour"""))
+        FROM n ORDER BY hour""")),
+
+    // ── SCD2 dimension build (validity intervals from a change log) ────
+    // The warehouse twin of q40's CDC upsert: turn an event stream into
+    // a slowly-changing-dimension table — one row per (user, attribute
+    // run) with [valid_from, valid_to) and an is_current flag, the
+    // shape every point-in-time join consumes. Two windows, both
+    // partitioned by user_id (high cardinality — parallel at any
+    // scale): lag() finds run starts (value != previous), lead() over
+    // the runs closes each interval at the next run's start. Total
+    // order inside a user is (ts_us, event_id) — the pack's unique-key
+    // tie-break rule, so run segmentation is engine-independent even
+    // with equal timestamps. first_event_id is carried for provenance
+    // AND as the output's total-order tiebreak.
+    "e14_scd2_dimension" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val o = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+        o.filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+          .select(col("user_id"), col("event_id").as("first_event_id"),
+            col("event_type").as("attr"),
+            col("ts_us").as("valid_from_us"), col("valid_to_us"),
+            col("valid_to_us").isNull.as("is_current"))
+          .orderBy("user_id", "valid_from_us", "first_event_id")
+      },
+      oracle = Some("""
+        WITH o AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts) AS ts_us,
+                          lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS prev
+                   FROM events),
+        starts AS (SELECT user_id, event_id, event_type, ts_us
+                   FROM o WHERE prev IS NULL OR prev <> event_type),
+        iv AS (SELECT user_id, event_id AS first_event_id,
+                      event_type AS attr, ts_us AS valid_from_us,
+                      lead(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS valid_to_us
+               FROM starts)
+        SELECT user_id, first_event_id, attr, valid_from_us,
+               valid_to_us, (valid_to_us IS NULL) AS is_current
+        FROM iv ORDER BY user_id, valid_from_us, first_event_id"""))
   )
 }

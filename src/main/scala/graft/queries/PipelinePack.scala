@@ -583,6 +583,33 @@ object PipelinePack extends QueryPack {
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                    AS INTEGER) AS rn
           FROM documents)
-        WHERE rn <= 20 ORDER BY lang, rn"""))
+        WHERE rn <= 20 ORDER BY lang, rn""")),
+
+    // ── Seeded epoch shuffle (deterministic global permutation) ────────
+    // Training loops need each epoch's corpus order to be (a) uniformly
+    // shuffled, (b) reproducible bit-for-bit from a seed, (c) buildable
+    // without one machine holding the corpus. Sort key = md5(seed|id)
+    // (uniform, seed-parameterized, engine-agnostic); position comes
+    // from the two-pass GlobalRank — repartitionByRange on the hash +
+    // per-partition offsets — so NOTHING runs on a single partition
+    // (the naive row_number() OVER (ORDER BY h) would; the oracle can
+    // afford it, the 100 TB plan cannot). At scale the output is
+    // written as range-partitioned shards whose concatenation IS the
+    // epoch order; a new seed re-deals the corpus for the next epoch.
+    "p14_seeded_shuffle" -> Q(
+      run = (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat(lit("7|"), col("doc_id").cast("string"))).as("h"))
+        graft.operators.GlobalRank.withRowNumber(hashed,
+            Seq(col("h"), col("doc_id")), "pos")
+          .select(col("pos"), col("doc_id"))
+          .orderBy("pos")
+      },
+      oracle = Some("""
+        SELECT CAST(row_number() OVER (
+                 ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS pos, doc_id
+        FROM documents ORDER BY pos"""))
   )
 }

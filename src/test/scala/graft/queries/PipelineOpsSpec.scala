@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables}
+import graft.mr.SparkTestSession
+
+/** Semantic invariants for the round-5 pipeline additions (their digits
+  * are oracle-checked by the driver; these pin the PROPERTIES).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("e14: exactly one open interval per user; intervals chain " +
+    "without gaps") {
+    val iv = SparkEntry.queries("e14_scd2_dimension")(spark, sfDir)
+    val byUser = iv.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"),
+        count(lit(1)).as("n"))
+    assert(byUser.filter(col("n_open") =!= 1).count() === 0,
+      "every user must have exactly one current row")
+    // each closed interval's valid_to equals the next interval's
+    // valid_from (no gaps, no overlaps)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from_us")
+    val chained = iv
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("valid_to_us").isNotNull)
+    assert(chained.filter(col("valid_to_us") =!= col("next_from"))
+      .count() === 0, "intervals must chain end-to-start")
+  }
+
+  test("p14: a true permutation, reproducible, and seed-sensitive") {
+    val perm = SparkEntry.queries("p14_seeded_shuffle")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.documents(spark, sfDir).count()
+    assert(perm.map(_._1).toSeq === (1L to n),
+      "positions must be exactly 1..n")
+    assert(perm.map(_._2).distinct.length === n.toInt,
+      "every doc appears exactly once")
+    // reproducible: second run bit-identical
+    val again = SparkEntry.queries("p14_seeded_shuffle")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(perm.toSeq === again.toSeq)
+    // a different seed yields a different order (same membership)
+    val other = graft.operators.GlobalRank.withRowNumber(
+        Tables.documents(spark, sfDir).select(col("doc_id"),
+          md5(concat(lit("8|"), col("doc_id").cast("string"))).as("h")),
+        Seq(col("h"), col("doc_id")), "pos")
+      .select(col("pos"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(other.sortBy(_._1).map(_._2).toSeq !==
+      perm.sortBy(_._1).map(_._2).toSeq, "seed must change the order")
+  }
+}
