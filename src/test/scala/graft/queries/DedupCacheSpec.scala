@@ -14,6 +14,10 @@ class DedupCacheSpec extends AnyFunSuite {
   val sfDir = "/root/testdata/sf0.001"
 
   test("DedupPack.clear unpins every block a d03 run persisted") {
+    // other suites (e.g. the bench smoke) may have warmed the caches in
+    // this shared session — start from a cleared state so the
+    // "d03 persists something new" assertion sees its own blocks
+    DedupPack.clear(spark)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // d03 builds both cached relations (shingles + signatures)
     assert(SparkEntry.queries("d03_minhash_lsh")(spark, sfDir).count() >= 0)
