@@ -1099,6 +1099,55 @@ object ExtrasPack extends QueryPack {
                CAST(CAST(CAST(CAST(mnc AS DECIMAL(14,0))
                  * CAST('0.01' AS DECIMAL(3,2)) AS DECIMAL(12,2))
                  AS DECIMAL(10,2)) AS VARCHAR) AS ok_cast
-        FROM a ORDER BY l_returnflag"""))
+        FROM a ORDER BY l_returnflag""")),
+
+    // ── Bucketed co-located join: the zero-shuffle fact⋈fact story ────
+    // At 100 TB the dominant cost of a fact-fact join is shuffling both
+    // sides on the key. Bucketed STORAGE amortizes that shuffle into the
+    // write: both tables are written `bucketBy(B, key).sortBy(key)`, so
+    // every later join/agg on the key reads co-located buckets and the
+    // SortMergeJoin needs NO Exchange on either side (PlanSpec pins
+    // this). The `repartition(B, key)` before each write uses the same
+    // murmur3-pmod placement as the bucket spec, so each task owns
+    // exactly one bucket → one file per bucket (the layout that also
+    // permits sorted-scan reuse where enabled). Per-bucket sorts at read
+    // are bucket-local — B-way parallel, no data motion. The oracle is
+    // the plain join/agg: bucketing is a physical property; results
+    // must be identical to the unbucketed plan.
+    "q52_bucketed_join" -> Q(
+      run = (s, d) => {
+        val wh = "/tmp/graft_bucketed_" +
+          Integer.toHexString(d.hashCode & 0x7fffffff)
+        s.sql("DROP TABLE IF EXISTS graft_li_bkt")
+        s.sql("DROP TABLE IF EXISTS graft_ord_bkt")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"),
+            col("l_quantity").cast("long").as("qty"))
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/li").saveAsTable("graft_li_bkt")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$wh/ord").saveAsTable("graft_ord_bkt")
+        s.table("graft_ord_bkt").hint("merge")
+          .join(s.table("graft_li_bkt"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("pc")).as("sum_price_cents"),
+            sum(col("qty")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                 AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY o_orderpriority"""))
   )
 }

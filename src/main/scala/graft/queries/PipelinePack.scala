@@ -610,6 +610,61 @@ object PipelinePack extends QueryPack {
         SELECT CAST(row_number() OVER (
                  ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id)
                AS BIGINT) AS pos, doc_id
-        FROM documents ORDER BY pos"""))
+        FROM documents ORDER BY pos""")),
+
+    // ── Near-dup-aware train/val/test split (leakage-safe) ─────────────
+    // p03's doc-hash split leaks: two near-duplicate docs hash to
+    // different splits, so the test set contains paraphrases of training
+    // docs. The leakage-safe unit of assignment is the DUP CLUSTER:
+    // every doc is rooted at its d06 connected-component id (singletons
+    // root at themselves), and the p03 md5 bucket is taken over the
+    // ROOT — whole clusters land in one split by construction. Scale
+    // posture: the cluster map covers only docs that appear in a dup
+    // pair (a small fraction of the corpus), so the root join is a
+    // broadcast/AQE-small join keyed on doc_id; everything after is
+    // p03's one-shuffle agg. The oracle replays d06's recursive-CTE
+    // components and the same md5 bucket over roots.
+    "p15_cluster_split" -> Q(
+      run = (s, d) => {
+        val clusters = graft.SparkEntry.queries("d06_dup_clusters")(s, d)
+        val rooted = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .join(broadcast(clusters), Seq("doc_id"), "left")
+          .select(col("n_chars"),
+            coalesce(col("cluster_id"), col("doc_id")).as("root"))
+        val bucket = conv(substring(md5(col("root").cast("string")), 1, 8),
+          16, 10).cast("long") % 100
+        val split = when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test")
+        rooted.select(split.as("split"), col("n_chars"), col("root"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("root")).as("n_groups"),
+            sum(col("n_chars").cast("long")).as("total_chars"))
+          .orderBy("split")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS (${DedupPack.d03OracleSql}),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+                 FROM reach GROUP BY n),
+        rooted AS (
+          SELECT d.n_chars, coalesce(c.cluster_id, d.doc_id) AS root
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        b AS (SELECT root, n_chars,
+                     ('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS bk
+              FROM rooted)
+        SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               count(DISTINCT root) AS n_groups,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM b GROUP BY 1 ORDER BY split"""))
   )
 }

@@ -51,6 +51,19 @@ object SimilarityPack extends QueryPack {
   private val numPlanes = 8
   private val dim = 64
 
+  /** s13's projected dimensionality. */
+  private val rpK = 16
+
+  /** md5-parity ±1 entry of the s13 JL projection matrix, row j
+    * (output dim), column i (input dim, 1-based). Seeded the same way
+    * [[planeWeight]] is, so both engines hold the identical literal. */
+  private def rpSign(j: Int, i: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp_${j}_$i".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+  }
+
   private def vecD: Column =
     transform(col("embedding"), x => x.cast("double"))
 
@@ -643,6 +656,46 @@ object SimilarityPack extends QueryPack {
                    FROM adist WHERE qid <> vec_id)
         SELECT qid, CAST(rank AS INT) AS rank, vec_id,
                CAST(adist AS BIGINT) AS adist
-        FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ── Sparse random projection (Johnson–Lindenstrauss) ───────────────
+    // Dimensionality reduction for the embedding column: 64-d → 16-d via
+    // a dense ±1 matrix (Achlioptas' sparse JL construction with s=1),
+    // which preserves pairwise distances within ε ≈ √(8·ln n / k) and
+    // replaces 64 multiplies with adds/subtracts. The matrix is
+    // md5-seeded ([[rpSign]]) and materializes as 16 LITERAL arrays —
+    // a zero-motion broadcast; the projection itself is a narrow
+    // per-row map (no shuffle at any scale; the one Exchange in the
+    // plan is the final presentation ORDER BY). Downstream, s01's
+    // brute-force or s03's LSH runs in the 16-d space at ¼ the flops —
+    // s05's recall harness composes to measure what the projection
+    // costs. Float parity: left-fold dot (see class doc) on both
+    // engines, e6-rounded.
+    "s13_random_projection" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), vecD.as("v"))
+        val projCols = (0 until rpK).map { j =>
+          val r = array((1 to dim).map(i => lit(rpSign(j, i))): _*)
+          round(dot(col("v"), r) * 1000000, 0).cast("long")
+            .as(f"p$j%02d")
+        }
+        e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+      },
+      oracle = {
+        val cols = (0 until rpK).map { j =>
+          val lst = (1 to dim).map(i =>
+            if (rpSign(j, i) > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          val name = f"p$j%02d"
+          s"""CAST(round(list_reduce(list_transform(list_zip(v, $lst),
+             |  s -> s[1]*s[2]), (a,b) -> a+b) * 1000000) AS BIGINT) AS $name"""
+            .stripMargin
+        }
+        Some(s"""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT vec_id, ${cols.mkString(",\n               ")}
+        FROM e ORDER BY vec_id""")
+      })
   )
 }

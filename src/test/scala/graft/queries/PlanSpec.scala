@@ -134,6 +134,38 @@ class PlanSpec extends AnyFunSuite {
       "s12 degraded to an all-pairs plan")
   }
 
+  test("q52: joining the bucketed tables needs NO exchange on either side") {
+    // the whole point of bucketed storage: after q52 writes both tables
+    // bucketBy(8, key), a fresh join on the key is a SortMergeJoin whose
+    // children read co-located buckets — zero Exchange anywhere in the
+    // join plan. This is the property that deletes the dominant shuffle
+    // of a 100 TB fact⋈fact join.
+    SparkEntry.queries("q52_bucketed_join")(spark, sfDir).collect()
+    import org.apache.spark.sql.functions.col
+    val j = spark.table("graft_ord_bkt").hint("merge")
+      .join(spark.table("graft_li_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+    j.queryExecution.executedPlan.execute().count()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(500))
+    assert(!p.contains("Exchange"),
+      "bucketed join re-shuffled: bucket spec not picked up")
+  }
+
+  test("s13: random projection is a narrow map — no join, no hash shuffle") {
+    val p = planOf("s13_random_projection")
+    assert(!p.contains("Join"), "projection should never join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "projection introduced a data shuffle; only the presentation " +
+        "range sort is allowed")
+  }
+
+  test("p15: cluster-root join onto documents is broadcast, never shuffled") {
+    val p = planOf("p15_cluster_split")
+    assert(p.contains("BroadcastHashJoin"),
+      "root map (dup docs only) should broadcast onto the corpus side")
+  }
+
   test("s04: native cosine expression sits inside whole-stage codegen") {
     val p = planOf("s04_cosine_topk_native")
     assert(p.contains("cosine_similarity"), p.take(500))
