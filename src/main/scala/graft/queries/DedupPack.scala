@@ -604,6 +604,76 @@ object DedupPack extends QueryPack {
           SELECT DISTINCT a.w AS wa, b.w AS wb,
                  CAST(levenshtein(a.w, b.w) AS INT) AS dist
           FROM nb a JOIN nb b ON a.k = b.k AND a.w < b.w)
-        WHERE dist <= 2 ORDER BY wa, wb"""))
+        WHERE dist <= 2 ORDER BY wa, wb""")),
+
+    // ── Maximal duplicated-substring spans (Lee et al. 2021 shape) ─────
+    // Exact substring-level dedup: find every maximal token span whose
+    // 8-grams all recur in ANOTHER document — the operation behind
+    // "deduplicating training data makes LMs better" (suffix-array
+    // ExactSubstr), reformulated for a shuffle engine. Three stages,
+    // none pairwise: (1) each doc emits its 8-gram MD5 keys with
+    // positions (pure map; 16-byte keys, never the text, cross the
+    // wire); (2) one corpus-sized two-phase groupBy(h) keeps hashes
+    // seen in ≥2 docs; (3) flagged positions equi-join back and merge
+    // into maximal spans via a per-doc keyed window (gap ≤ 8 ⇒ same
+    // span). Unlike d02's pair join, a white-hot 8-gram costs ONE ROW
+    // PER OCCURRENCE — linear, no quadratic candidate risk anywhere;
+    // this is why span removal scales where pairwise Jaccard needs
+    // banding. Span semantics: [start_tok, end_tok] 1-based inclusive,
+    // end = last flagged start + 7.
+    "d11_dup_spans" -> Q(
+      run = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val grams = toks.select(col("doc_id"),
+            posexplode(expr("""CASE WHEN size(w) >= 8
+              THEN transform(sequence(1, size(w) - 7),
+                i -> md5(concat_ws(' ', slice(w, i, 8))))
+              ELSE array() END""")).as(Seq("p0", "h")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+            col("h"))
+        val dup = grams.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val flagged = grams.join(dup, "h").select("doc_id", "pos")
+        import org.apache.spark.sql.expressions.Window
+        val w1 = Window.partitionBy("doc_id").orderBy("pos")
+        val runs = flagged
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(w1) <= 8, lit(0))
+              .otherwise(lit(1)))
+          .withColumn("run", sum(col("brk")).over(w1))
+        runs.groupBy(col("doc_id"), col("run"))
+          .agg(min(col("pos")).as("start_tok"),
+            (max(col("pos")) + 7).as("end_tok"),
+            count(lit(1)).as("n_grams"))
+          .select(col("doc_id"), col("start_tok"), col("end_tok"),
+            col("n_grams"))
+          .orderBy("doc_id", "start_tok")
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+        grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                         md5(array_to_string(w[i:i+7], ' ')) AS h
+                  FROM toks, unnest(CASE WHEN len(w) >= 8
+                                    THEN generate_series(1, len(w) - 7)
+                                    ELSE [] END) AS r(i)),
+        dup AS (SELECT h FROM grams GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+        f AS (SELECT doc_id, pos FROM grams JOIN dup USING (h)),
+        m AS (SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                            ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM f),
+        runs AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id
+                          ORDER BY pos) AS run
+                 FROM m)
+        SELECT doc_id, min(pos) AS start_tok,
+               CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+               count(*) AS n_grams
+        FROM runs GROUP BY doc_id, run ORDER BY doc_id, start_tok"""))
   )
 }

@@ -522,6 +522,58 @@ object EventsPack extends QueryPack {
                FROM starts)
         SELECT user_id, first_event_id, attr, valid_from_us,
                valid_to_us, (valid_to_us IS NULL) AS is_current
-        FROM iv ORDER BY user_id, valid_from_us, first_event_id"""))
+        FROM iv ORDER BY user_id, valid_from_us, first_event_id""")),
+
+    // ── Exact rolling 7-day active users (WAU curve per event type) ────
+    // The rolling-distinct metric a naive plan computes by exploding
+    // every (user, day) into 7 (user, day+i) rows — a 7× shuffle that
+    // becomes 30× for MAU. The scale formulation used here never
+    // expands rows: per (type, user), merge active days into intervals
+    // wherever the gap is ≤ window (one keyed window + tiny agg), emit
+    // +1/-1 boundary deltas, and take a running sum over the
+    // (type, day) delta spine — metadata-sized, like e13's day curve.
+    // Window length changes cost NOTHING (the ≤6 constant); the oracle
+    // is the independent naive formulation (range join + distinct
+    // count), so the two plans agreeing is a real cross-check.
+    "e15_rolling_wau" -> Q(
+      run = (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            to_date(date_trunc("day", col("ts"))).as("d"))
+          .distinct()
+        val w = Window.partitionBy("event_type", "user_id").orderBy("d")
+        val runs = ud
+          .withColumn("brk",
+            when(datediff(col("d"), lag(col("d"), 1).over(w)) <= 6, lit(0))
+              .otherwise(lit(1)))
+          .withColumn("run", sum(col("brk")).over(w))
+        val iv = runs.groupBy(col("event_type"), col("user_id"), col("run"))
+          .agg(min(col("d")).as("st"), date_add(max(col("d")), 6).as("en"))
+        val deltas = iv
+          .select(col("event_type"), col("st").as("d"), lit(1L).as("dv"))
+          .unionByName(iv.select(col("event_type"),
+            date_add(col("en"), 1).as("d"), lit(-1L).as("dv")))
+        val curve = deltas.groupBy(col("event_type"), col("d"))
+          .agg(sum(col("dv")).as("dv"))
+        val days = ud.select(col("event_type"), col("d")).distinct()
+        val pts = curve.unionByName(
+          days.join(curve, Seq("event_type", "d"), "left_anti")
+            .select(col("event_type"), col("d"), lit(0L).as("dv")))
+        val cw = Window.partitionBy("event_type").orderBy("d")
+        pts.withColumn("wau", sum(col("dv")).over(cw))
+          .join(days, Seq("event_type", "d"))
+          .select(col("event_type"), col("d").as("day"), col("wau"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some("""
+        WITH ud AS (SELECT DISTINCT event_type, user_id,
+                           CAST(date_trunc('day', ts) AS DATE) AS d
+                    FROM events),
+        days AS (SELECT DISTINCT event_type, d FROM ud)
+        SELECT days.event_type, days.d AS day,
+               count(DISTINCT ud.user_id) AS wau
+        FROM days JOIN ud ON ud.event_type = days.event_type
+                         AND ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

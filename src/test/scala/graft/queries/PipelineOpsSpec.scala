@@ -54,4 +54,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(other.sortBy(_._1).map(_._2).toSeq !==
       perm.sortBy(_._1).map(_._2).toSeq, "seed must change the order")
   }
+
+  test("d11: spans are maximal, disjoint, ≥ one 8-gram, and internally " +
+    "consistent") {
+    val spans = SparkEntry.queries("d11_dup_spans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(spans.nonEmpty, "fixture should contain duplicated substrings")
+    spans.foreach { case (_, s, e, n) =>
+      assert(e - s >= 7, s"span [$s,$e] shorter than one 8-gram")
+      // n flagged starts within [s, e-7]: at least the endpoints' grams
+      assert(n >= 1 && n <= e - 7 - s + 1, s"gram count $n out of range")
+    }
+    // disjoint AND maximal per doc: next span starts ≥ 2 tokens after
+    // the previous would have merged (gap ≤ 8 between flagged starts)
+    spans.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"spans [$e1] and [$s2] should have merged")
+        case _ =>
+      }
+    }
+  }
+
+  test("e15: delta formulation equals the naive expansion on Spark too") {
+    // the DuckDB oracle already cross-checks this; pin it engine-local
+    // so a refactor of either side can't drift silently
+    val fast = SparkEntry.queries("e15_rolling_wau")(spark, sfDir)
+    val ud = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("d")).distinct()
+    val days = ud.select(col("event_type"), col("d")).distinct()
+      .withColumnRenamed("d", "day")
+    val naive = days.join(ud,
+        ud("event_type") === days("event_type") &&
+          ud("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(days("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    assert(fast.join(naive, Seq("event_type", "day"))
+      .filter(fast("wau") =!= naive("wau")).count() === 0)
+    assert(fast.count() === naive.count())
+  }
 }
