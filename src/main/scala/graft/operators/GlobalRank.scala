@@ -71,6 +71,59 @@ object GlobalRank {
         }
     }
 
+  /** `df` + a 1-based PER-KEY row number column, assigned in `sortCols`
+    * order within each `keyName` group — without the hot-partition trap
+    * of `Window.partitionBy(key)` when the key is low-cardinality
+    * (source, language, shard): there one task owns each key's entire
+    * data. Here rows of one key span MANY range partitions (the range
+    * key is (key, sortCols…)), and per-key offsets come from a
+    * (partition × key) count map — driver metadata as long as key
+    * cardinality stays modest (the grouped-rank use cases), broadcast
+    * back for pass 2. Same two-pass shuffle-reuse as [[withRowNumber]];
+    * requires a per-key duplicate-free ordering. */
+  def withRowNumberPerKey(df: DataFrame, keyName: String,
+      sortCols: Seq[Column], out: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val rangeCols = col(keyName) +: sortCols
+    val ranged = df
+      .repartitionByRange(parts, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    val rdd = ranged.rdd
+    val keyIdx = ranged.schema.fieldIndex(keyName)
+    // pass 1: per-(partition, key) counts — P × |keys| longs
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
+      it.foreach { r =>
+        val k = r.get(keyIdx); m.update(k, m.getOrElse(k, 0L) + 1)
+      }
+      m.iterator.map { case (k, n) => (i, k, n) }
+    }.collect()
+    val offsets: Map[Any, Map[Int, Long]] =
+      counts.groupBy(_._2).map { case (k, arr) =>
+        val sorted = arr.sortBy(_._1)
+        val offs = sorted.map(_._3).scanLeft(0L)(_ + _)
+        k -> sorted.map(_._1).zip(offs).toMap
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: per-key rank = this key's offset before partition i +
+    // local position within the partition's (sorted) key run
+    val rankedRdd = rdd.mapPartitionsWithIndex { (i, it) =>
+      val local = scala.collection.mutable.HashMap[Any, Long]()
+      it.map { row =>
+        val k = row.get(keyIdx)
+        val r = local.getOrElse(k, bc.value(k)(i)) + 1
+        local.update(k, r)
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    spark.createDataFrame(rankedRdd,
+      ranged.schema.add(out, LongType, nullable = false))
+  }
+
   /** Core two-pass machinery: rank the rows, then append the columns
     * `derive(rankCol, totalRows)` produces. */
   private def withRank(df: DataFrame, sortCols: Seq[Column],

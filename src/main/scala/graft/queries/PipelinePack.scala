@@ -665,6 +665,53 @@ object PipelinePack extends QueryPack {
                count(*) AS n_docs,
                count(DISTINCT root) AS n_groups,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM b GROUP BY 1 ORDER BY split"""))
+        FROM b GROUP BY 1 ORDER BY split""")),
+
+    // ── Deterministic weighted source interleave (data-loader order) ───
+    // p11 decides HOW MUCH of each source; p14 deals a global order;
+    // p16 materializes the order a training loader actually consumes:
+    // sources interleaved in proportion to weight w_s = √(chars_s),
+    // deterministically. Construction: per-source rank r over a seeded
+    // md5 deal, interleave key = r / w_s — source s holds a ≈ w_s share
+    // of every prefix of the key order (the classic weighted-merge
+    // trick). Both ranks are two-pass range ranks: the PER-KEY rank
+    // uses GlobalRank.withRowNumberPerKey — rows of one source span
+    // many range partitions, offsets from a (partition × key) count
+    // map — because Window.partitionBy(source) would hand one task an
+    // entire source (the low-cardinality hot-partition trap). Float
+    // parity: w is one IEEE sqrt of an exact integer, key one division;
+    // ties broken by doc_id.
+    "p16_weighted_interleave" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            md5(col("doc_id").cast("string")).as("h"))
+        val ranked = graft.operators.GlobalRank.withRowNumberPerKey(
+          docs, "source", Seq(col("h"), col("doc_id")), "rk")
+        val w = Tables.documents(s, d).groupBy("source")
+          .agg(sqrt(sum(col("n_chars").cast("long")).cast("double"))
+            .as("w"))
+        val keyed = ranked.join(broadcast(w), "source")
+          .select(col("source"), col("doc_id"),
+            (col("rk").cast("double") / col("w")).as("key"))
+        graft.operators.GlobalRank.withRowNumber(keyed,
+            Seq(col("key"), col("doc_id")), "pos")
+          .select(col("pos"), col("source"), col("doc_id"))
+          .orderBy("pos")
+      },
+      oracle = Some("""
+        WITH r AS (SELECT source, doc_id,
+                          CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                            AS BIGINT) AS rk
+                   FROM documents),
+        w AS (SELECT source,
+                     sqrt(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)) AS w
+              FROM documents GROUP BY 1),
+        k AS (SELECT r.source, r.doc_id, CAST(r.rk AS DOUBLE) / w.w AS key
+              FROM r JOIN w USING (source))
+        SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+                 AS pos, source, doc_id
+        FROM k ORDER BY pos"""))
   )
 }

@@ -100,4 +100,28 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(perPart.head._1 === 1L)
     assert(perPart.last._2 === 997L)
   }
+
+  test("per-key row numbers equal Window.partitionBy(key)'s — with the " +
+    "key's rows spread over many partitions") {
+    // 4 keys × ~250 rows, shuffled values
+    val kdf = spark.range(997)
+      .select((col("id") % 4).cast("string").as("src"),
+        (col("id") * 7919 % 997).as("v"), col("id").as("k"))
+    val got = GlobalRank
+      .withRowNumberPerKey(kdf, "src", Seq(col("v"), col("k")), "rn",
+        numPartitions = 7)
+    val want = kdf.withColumn("rn", row_number().over(
+      Window.partitionBy("src").orderBy(col("v"), col("k"))))
+    assert(got.select("src", "k", "rn")
+      .except(want.select("src", "k", "rn")).isEmpty &&
+      want.select("src", "k", "rn")
+        .except(got.select("src", "k", "rn")).isEmpty)
+    // the anti-hot-partition property: at least one key's rows live in
+    // more than one partition (Window.partitionBy would force exactly 1)
+    val spread = got.withColumn("pid", spark_partition_id())
+      .groupBy("src").agg(countDistinct("pid").as("np"))
+      .collect().map(_.getAs[Long]("np"))
+    assert(spread.exists(_ > 1L),
+      "every key collapsed to one partition — keyed rank lost its point")
+  }
 }
