@@ -674,6 +674,50 @@ object DedupPack extends QueryPack {
         SELECT doc_id, min(pos) AS start_tok,
                CAST(max(pos) + 7 AS BIGINT) AS end_tok,
                count(*) AS n_grams
-        FROM runs GROUP BY doc_id, run ORDER BY doc_id, start_tok"""))
+        FROM runs GROUP BY doc_id, run ORDER BY doc_id, start_tok""")),
+
+    // ── Asymmetric containment near-dup (subset/quote detection) ───────
+    // Containment C(a⊆b) = |Sa∩Sb| / |Sa| — the ONE-SIDED Jaccard
+    // variant that catches what symmetric Jaccard misses: a short
+    // document wholly quoted inside a much longer one scores
+    // C(short⊆long) ≈ 1 while J ≈ |Sa|/|Sb| ≈ 0. This is the dedup
+    // signal for quote-inclusion / page-within-crawl / boilerplate
+    // supersets. Same shared-shingle equi-join shape as d02, but over
+    // ORDERED pairs with the lossless one-sided length prefilter
+    // (C ≥ τ ⇒ |Sb| ≥ shared ≥ τ·|Sa|) — never all-pairs; hot-shingle
+    // skew shares d02's documented bound with d03 as the scale path.
+    "d12_containment" -> Q(
+      run = (s, d) => {
+        val t = 0.5999
+        val sh = shingled(s, d)
+        val ex = sh.select(col("doc_id"), size(col("s")).as("sz"),
+          explode(col("s")).as("g"))
+        val cand = ex.as("a")
+          .join(ex.as("b"),
+            col("a.g") === col("b.g")
+              && col("a.doc_id") =!= col("b.doc_id")
+              && col("b.sz") >= col("a.sz") * t)
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.sz").as("sza"))
+          .agg(count(lit(1)).as("shared"))
+        val cont = round(col("shared") * lit(10000.0) / col("sza"), 0)
+          .cast("long")
+        cand.select(col("da"), col("db"), col("shared"),
+            cont.as("cont_e4"))
+          .filter(col("cont_e4") >= 6000)
+          .orderBy("da", "db")
+      },
+      oracle = Some(s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                 FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2)
+        SELECT da, db, shared,
+               CAST(round(shared * 10000.0 / x.sz) AS BIGINT) AS cont_e4
+        FROM cand JOIN sz x ON da = x.doc_id
+        WHERE CAST(round(shared * 10000.0 / x.sz) AS BIGINT) >= 6000
+        ORDER BY da, db"""))
   )
 }

@@ -574,6 +574,88 @@ object EventsPack extends QueryPack {
                count(DISTINCT ud.user_id) AS wau
         FROM days JOIN ud ON ud.event_type = days.event_type
                          AND ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── Cohort retention matrix ────────────────────────────────────────
+    // The classic product-analytics triangle: users are cohorted by the
+    // day of their FIRST qualifying event (here: 'purchase'), and each
+    // cell counts how many of a cohort's users were active again
+    // `day_offset` days later. Scale shape: the (user, day) activity
+    // relation is distinct-reduced FIRST (the only corpus-sized
+    // shuffle, keyed by user_id); the first-touch cohort is a groupBy
+    // over that same user_id key — AQE/Exchange reuse keeps it one
+    // physical shuffle — and the cohort join is user-keyed, never
+    // row-expanding. The final matrix is |cohorts|×|offsets| ≈
+    // metadata-sized at any corpus size (30 days → ≤465 cells).
+    "e16_retention_cohorts" -> Q(
+      run = (s, d) => {
+        val act = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            to_date(date_trunc("day", col("ts"))).as("d"))
+          .distinct()
+        val first = act.groupBy("user_id").agg(min(col("d")).as("cohort"))
+        act.join(first, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("d"), col("cohort")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      oracle = Some("""
+        WITH act AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('day', ts) AS DATE) AS d
+                     FROM events WHERE event_type = 'purchase'),
+        f AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1)
+        SELECT cohort, CAST(d - cohort AS INT) AS day_offset,
+               count(DISTINCT act.user_id) AS n_users
+        FROM act JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── Daily-volume anomaly detection (z-score outlier days) ──────────
+    // The ops-analytics alarm: per event type, flag days whose event
+    // count sits ≥ 2σ from that type's daily mean. Moments are exact
+    // integers (q34's trick: count/sum/sum-of-squares per type — a
+    // metadata-sized two-phase agg), and the z-score is a FIXED
+    // sequence of double ops on those exact ints, identical on both
+    // engines, e6-rounded. Scale shape: one corpus-sized (type, day)
+    // count agg, then everything downstream is |types|×|days| rows;
+    // the per-type moment join broadcasts. Sample stddev (n-1).
+    "e17_daily_anomaly" -> Q(
+      run = (s, d) => {
+        val dc = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val st = dc.groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum(col("n")).as("sn"),
+            sum(col("n") * col("n")).as("sn2"))
+        val z = round(
+          (col("n").cast("double") - col("sn").cast("double") / col("nd"))
+            / sqrt((col("sn2").cast("double") * col("nd")
+                - col("sn").cast("double") * col("sn"))
+              / col("nd") / (col("nd") - lit(1)))
+            * 1000000, 0).cast("long")
+        dc.join(broadcast(st), "event_type")
+          .select(col("event_type"), col("day"), col("n"),
+            z.as("z_e6"))
+          .withColumn("is_anomaly", abs(col("z_e6")) >= 2000000L)
+          .orderBy("event_type", "day")
+      },
+      oracle = Some("""
+        WITH dc AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                           count(*) AS n FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, count(*) AS nd, CAST(sum(n) AS BIGINT) AS sn,
+                      CAST(sum(n*n) AS BIGINT) AS sn2
+               FROM dc GROUP BY 1)
+        SELECT dc.event_type, dc.day, dc.n,
+               CAST(round((CAST(dc.n AS DOUBLE) - CAST(sn AS DOUBLE) / nd)
+                 / sqrt((CAST(sn2 AS DOUBLE) * nd - CAST(sn AS DOUBLE) * sn)
+                        / nd / (nd - 1)) * 1000000) AS BIGINT) AS z_e6,
+               abs(CAST(round((CAST(dc.n AS DOUBLE) - CAST(sn AS DOUBLE) / nd)
+                 / sqrt((CAST(sn2 AS DOUBLE) * nd - CAST(sn AS DOUBLE) * sn)
+                        / nd / (nd - 1)) * 1000000) AS BIGINT)) >= 2000000
+                 AS is_anomaly
+        FROM dc JOIN st USING (event_type)
+        ORDER BY event_type, day"""))
   )
 }

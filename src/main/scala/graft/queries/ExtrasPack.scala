@@ -1148,6 +1148,38 @@ object ExtrasPack extends QueryPack {
                  AS BIGINT) AS sum_price_cents,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        GROUP BY 1 ORDER BY o_orderpriority"""))
+        GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // ── Hive-partitioned layout + partition pruning ────────────────────
+    // The third leg of the storage-layout triad (q42 Z-order intra-file
+    // skipping, q52 bucketing for shuffle-free joins): a hive-style
+    // `partitionBy(lang)` directory layout, re-read with a partition
+    // predicate. The filter is satisfied by DIRECTORY LISTING alone —
+    // the scan's PartitionFilters prune non-matching lang=… dirs before
+    // a single parquet footer is opened (PlanSpec pins PartitionCount:
+    // 2 of 5). At 100 TB this is the difference between reading 2/5 of
+    // the corpus and reading all of it; the oracle reads the
+    // unpartitioned table with the same predicate, proving the layout
+    // round-trip loses nothing (row-count, langs, chars all agree).
+    "q53_partition_pruning" -> Q(
+      run = (s, d) => {
+        val out = "/tmp/graft_partitioned_" +
+          Integer.toHexString(d.hashCode & 0x7fffffff)
+        Tables.documents(s, d)
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        s.read.parquet(out)
+          .filter(col("lang").isin("en", "fr"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM documents WHERE lang IN ('en', 'fr')
+        GROUP BY 1 ORDER BY source"""))
   )
 }

@@ -696,6 +696,91 @@ object SimilarityPack extends QueryPack {
                    FROM embeddings)
         SELECT vec_id, ${cols.mkString(",\n               ")}
         FROM e ORDER BY vec_id""")
-      })
+      }),
+
+    // ── SemDeDup: within-cluster semantic dedup ────────────────────────
+    // The SemDeDup recipe (Abbas et al. 2023): k-means-cluster the
+    // embedding space, then remove near-duplicates ONLY within each
+    // cluster cell — the approximation that turns d05's O(n²) semantic
+    // dedup into Σ O(|cell|²). Clustering reuses s09's integer-exact
+    // machinery (u8-quantized vectors, first-8-ids seed centroids, one
+    // assignment pass) so both engines assign identically; the
+    // pairwise cosine stage then runs on the EXACT double vectors,
+    // joined on the cluster id. Output = the removed vectors with
+    // their kept canonical (smallest same-cluster near-dup) —
+    // d09's keep-policy applied semantically.
+    // Scale shape: the assignment moves only the k×64 centroid table
+    // (broadcast); vectors shuffle ONCE keyed by cluster id for the
+    // pairwise stage, and all-pairs math is confined to a cell (k
+    // grows with N to bound |cell|; balanced k-means caps skew). The
+    // plan has no cartesian/BNLJ — PlanSpec pins it.
+    "s14_semdedup" -> Q(
+      run = (s, d) => {
+        val base = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD.as("v"))
+          .withColumn("nrm", sqrt(norm(col("v"))))
+        val q = base
+          .select(col("vec_id"), col("nrm"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"),
+            (round(col("x") / col("nrm") * 127, 0).cast("int") + lit(127))
+              .as("u8"))
+        val ids = q.select("vec_id").distinct().orderBy("vec_id").limit(8)
+          .withColumn("cid",
+            row_number().over(Window.orderBy("vec_id")).cast("int"))
+        val cent = q.join(broadcast(ids), "vec_id")
+          .select(col("cid"), col("dim"), col("u8").as("cu8"))
+        val dists = q.join(broadcast(cent), "dim")
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum((col("u8") - col("cu8")).cast("long")
+            * (col("u8") - col("cu8"))).as("dist"))
+        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+        val assign = dists.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+        val nn = base.join(assign, "vec_id")
+        val cos = round(dot(col("a.v"), col("b.v"))
+          / col("a.nrm") / col("b.nrm") * 1000000, 0).cast("long")
+        nn.as("a").join(nn.as("b"),
+            col("a.cid") === col("b.cid")
+              && col("a.vec_id") < col("b.vec_id"))
+          .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cluster"),
+            col("a.vec_id").as("ka"), cos.as("cos_e6"))
+          .filter(col("cos_e6") >= 450000)
+          .groupBy("vec_id", "cluster")
+          .agg(min(col("ka")).as("dup_of"), max(col("cos_e6")).as("max_cos_e6"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 x -> x * x), (a, b) -> a + b)) AS nrm
+             FROM embeddings),
+        q AS (SELECT vec_id, i AS dim,
+                     CAST(round(v[i] / nrm * 127) AS INT) + 127 AS u8
+              FROM base, range(1, 65) AS r(i)),
+        ids AS (SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid
+                FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 8)),
+        c0 AS (SELECT ids.cid, q.dim, q.u8 AS cu8
+               FROM q JOIN ids USING (vec_id)),
+        ad AS (SELECT q.vec_id, c.cid,
+                      sum(CAST(q.u8 - c.cu8 AS BIGINT) * (q.u8 - c.cu8)) AS dist
+               FROM q JOIN c0 c USING (dim) GROUP BY 1, 2),
+        asn AS (SELECT vec_id, cid FROM
+                 (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn FROM ad) WHERE rn = 1),
+        nn AS (SELECT b.vec_id, b.v, b.nrm, asn.cid
+               FROM base b JOIN asn USING (vec_id)),
+        pairs AS (SELECT b.vec_id, b.cid AS cluster, a.vec_id AS ka,
+                 CAST(round(list_reduce(list_transform(list_zip(a.v, b.v),
+                        s -> s[1]*s[2]), (acc, x) -> acc + x)
+                      / a.nrm / b.nrm * 1000000) AS BIGINT) AS cos_e6
+                  FROM nn a JOIN nn b ON a.cid = b.cid
+                                     AND a.vec_id < b.vec_id)
+        SELECT vec_id, cluster, min(ka) AS dup_of, max(cos_e6) AS max_cos_e6
+        FROM pairs WHERE cos_e6 >= 450000
+        GROUP BY 1, 2 ORDER BY vec_id"""))
   )
 }

@@ -550,6 +550,75 @@ object TextPack extends QueryPack {
           SELECT 3, pair, replace(pair, ' ', ''), cnt,
                  (SELECT corpus_symbols FROM c3) FROM m3)
         ORDER BY round"""
-      })
+      }),
+
+    // ── Gopher-style quality rule flags ────────────────────────────────
+    // The rule-based document filter family from the Gopher/MassiveText
+    // recipe, as per-rule boolean flags plus the combined verdict:
+    //   words_ok  — token count in [50, 100000]
+    //   mwl_ok    — mean word length in [3, 10]
+    //   alpha_ok  — ≥80% of words contain an alphabetic character
+    //   stop_ok   — at least one common-stopword hit
+    // Unlike t02's scalar quality SCORE, this emits the per-rule
+    // breakdown a pipeline uses to audit WHY documents were dropped.
+    // All arithmetic is integer (×1e6 ratios via integer division) so
+    // both engines agree bit-for-bit; total word chars reuses t01's
+    // exact n_chars identity for single-spaced text.
+    // Scale shape: one narrow map over documents, no shuffle except
+    // the presentation sort — embarrassingly parallel at any corpus.
+    "t15_gopher_rules" -> Q(
+      run = (s, d) => {
+        val gopherStop = Seq("the", "and", "of", "to", "in", "is",
+          "that", "for")
+        val nW = size(toks).cast("long")
+        val sumLen = (col("n_chars") - (size(toks) - lit(1))).cast("long")
+        val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+        val nStop = size(array_intersect(
+          transform(toks, w => lower(w)),
+          array(gopherStop.map(lit): _*))).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), nW.as("n_words"), sumLen.as("sum_len"),
+            nAlpha.as("n_alpha"), nStop.as("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            expr("sum_len * 1000000L div n_words").as("mwl_e6"),
+            expr("n_alpha * 1000000L div n_words").as("alpha_e6"),
+            col("n_stop"))
+          .withColumn("words_ok",
+            col("n_words").between(50L, 100000L))
+          .withColumn("mwl_ok",
+            col("mwl_e6").between(3000000L, 10000000L))
+          .withColumn("alpha_ok", col("alpha_e6") >= 800000L)
+          .withColumn("stop_ok", col("n_stop") >= 1L)
+          .withColumn("passes",
+            col("words_ok") && col("mwl_ok")
+              && col("alpha_ok") && col("stop_ok"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, n_chars,
+                          string_split(text, ' ') AS words FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(n_chars - (len(words) - 1) AS BIGINT) AS sum_len,
+                CAST(len(list_filter(words,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                  ['the','and','of','to','in','is','that','for']))
+                  AS BIGINT) AS n_stop
+              FROM w),
+        r AS (SELECT doc_id, n_words,
+                     sum_len * 1000000 // n_words AS mwl_e6,
+                     n_alpha * 1000000 // n_words AS alpha_e6,
+                     n_stop
+              FROM m)
+        SELECT doc_id, n_words, mwl_e6, alpha_e6, n_stop,
+               n_words BETWEEN 50 AND 100000 AS words_ok,
+               mwl_e6 BETWEEN 3000000 AND 10000000 AS mwl_ok,
+               alpha_e6 >= 800000 AS alpha_ok,
+               n_stop >= 1 AS stop_ok,
+               (n_words BETWEEN 50 AND 100000
+                 AND mwl_e6 BETWEEN 3000000 AND 10000000
+                 AND alpha_e6 >= 800000 AND n_stop >= 1) AS passes
+        FROM r ORDER BY doc_id"""))
   )
 }

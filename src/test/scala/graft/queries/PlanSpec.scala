@@ -286,4 +286,23 @@ class PlanSpec extends AnyFunSuite {
       "prefix-sum window no longer partitioned by source")
     assert(!p.contains("Join"), "selection should not join")
   }
+
+  test("s14: semdedup pairwise stage is cluster-keyed, never all-pairs") {
+    val p = planOf("s14_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "s14 within-cluster pair join degraded to all-pairs")
+  }
+
+  test("q53: lang predicate prunes hive partitions at listing time") {
+    val p = planOf("q53_partition_pruning")
+    val scanLines = p.split("\n").filter(_.contains("FileScan")).mkString("\n")
+    assert(p.contains("PartitionFilters: [lang#") && p.contains(" IN (en,fr)]"),
+      s"partition predicate not pruning the lang=… dirs; scans:\n$scanLines")
+    // the lang filter is satisfied by directory listing alone: no
+    // row-level parquet filter, and lang never read from file data
+    assert(p.contains("DataFilters: []") && p.contains("PushedFilters: []"),
+      s"lang filter degraded to a row-level data filter; scans:\n$scanLines")
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      s"scan reads more than the two needed data columns; scans:\n$scanLines")
+  }
 }
