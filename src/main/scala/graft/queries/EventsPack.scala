@@ -656,6 +656,47 @@ object EventsPack extends QueryPack {
                         / nd / (nd - 1)) * 1000000) AS BIGINT)) >= 2000000
                  AS is_anomaly
         FROM dc JOIN st USING (event_type)
-        ORDER BY event_type, day"""))
+        ORDER BY event_type, day""")),
+
+    // ── Event-sequence transition matrix (first-order Markov model) ────
+    // Per-user next-event transitions: what follows what, and with what
+    // probability — the session-modeling / recommender-prior primitive.
+    // One lead() window keyed by user_id (high cardinality, bounded
+    // frames), one hash agg down to the |types|² transition matrix,
+    // then a broadcast join against the |types|-row marginals. The
+    // probability is integer ppm (n·1e6 div total) — cross-engine
+    // exact. Ordering parity: (µs, event_id) like every events window.
+    "e18_markov_transitions" -> Q(
+      run = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val tr = ev
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tots = tr.groupBy("event_type").agg(sum(col("n")).as("tot"))
+        tr.join(broadcast(tots), "event_type")
+          .select(col("event_type"), col("next_type"), col("n"),
+            expr("n * 1000000L div tot").as("ppm"))
+          .orderBy("event_type", "next_type")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us FROM events),
+        tr0 AS (SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY us, event_id) AS next_type
+                FROM ev),
+        tr AS (SELECT event_type, next_type, count(*) AS n FROM tr0
+               WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                FROM tr GROUP BY 1)
+        SELECT tr.event_type, next_type, n, n * 1000000 // tot AS ppm
+        FROM tr JOIN tot USING (event_type)
+        ORDER BY event_type, next_type"""))
   )
 }

@@ -267,6 +267,16 @@ class PlanSpec extends AnyFunSuite {
       "expected two two-phase aggregates below the running-sum window")
   }
 
+  test("e18: transitions shuffle once on user_id; marginals join broadcasts") {
+    val p = planOf("e18_markov_transitions")
+    assert(p.contains("hashpartitioning(user_id"),
+      "missing the per-user lead() window shuffle")
+    assert(p.contains("BroadcastHashJoin"),
+      "|types|-row marginals must broadcast, not sort-merge")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "marginals join degraded from broadcast")
+  }
+
   test("AQE coalesces post-shuffle partitions to the actual data volume") {
     import org.apache.spark.sql.functions._
     // at 100 TB you over-provision spark.sql.shuffle.partitions and let
