@@ -26,7 +26,8 @@ object GraftFunctions {
       .toAggregateExpression()),
     // second argument must be a foldable int literal (n)
     "ngram_explode" -> (es =>
-      NGramExplode(es(0), es(1).eval().asInstanceOf[Number].intValue())))
+      NGramExplode(es(0), es(1).eval().asInstanceOf[Number].intValue())),
+    "byte_stats" -> (es => ByteStats(es(0))))
 
   /** Idempotently register graft functions + optimizer rules on `spark`.
     * Quiet on re-entry: query packs call this per invocation, and
@@ -59,6 +60,9 @@ object GraftFunctions {
   /** Column-API sugar (requires [[register]] on the session first). */
   def topkLongs(c: Column, k: Int): Column =
     call_function("topk_longs", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Column-API sugar (requires [[register]] on the session first). */
+  def byteStats(c: Column): Column = call_function("byte_stats", c)
 }
 
 /** `spark.sql.extensions` entry point injecting graft's functions,
@@ -70,7 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "jaccard_e4" -> classOf[JaccardE4].getName,
       "minhash_sigs" -> classOf[MinHashSigs].getName,
       "topk_longs" -> classOf[TopKLongs].getName,
-      "ngram_explode" -> classOf[NGramExplode].getName)
+      "ngram_explode" -> classOf[NGramExplode].getName,
+      "byte_stats" -> classOf[ByteStats].getName)
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),

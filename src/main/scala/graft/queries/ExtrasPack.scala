@@ -1180,6 +1180,36 @@ object ExtrasPack extends QueryPack {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                count(DISTINCT lang) AS n_langs
         FROM documents WHERE lang IN ('en', 'fr')
-        GROUP BY 1 ORDER BY source"""))
+        GROUP BY 1 ORDER BY source""")),
+
+    // ── Ordered string aggregation (LISTAGG WITHIN GROUP) ──────────────
+    // The reporting primitive SQL standardized in 2023 and Spark added
+    // in 4.0: collapse a group to one delimiter-joined string in a
+    // DEFINED order. Determinism is the whole operator: an unordered
+    // listagg is partitioning-dependent garbage under a hash-agg, so
+    // the WITHIN GROUP clause (Spark: `listagg(...) within group
+    // (order by ...)`, DuckDB: `string_agg(... ORDER BY ...)`) is what
+    // makes the result hash-stable here and reproducible at any
+    // parallelism. Scale: one two-phase agg; per-group payload is the
+    // concatenated string, so groups are dimension-sized by contract
+    // (nations per region) — corpus-sized listagg is a design error,
+    // not an engine feature.
+    "q54_listagg" -> Q(
+      run = (s, d) =>
+        Tables.nation(s, d)
+          .join(Tables.region(s, d),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            expr("listagg(n_name, ',') within group (order by n_name)")
+              .as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy("r_name"),
+      oracle = Some("""
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1 ORDER BY r_name"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -170,6 +171,71 @@ object GraphPack extends QueryPack {
           SELECT a AS node FROM tri
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
-        GROUP BY node ORDER BY node"""))
+        GROUP BY node ORDER BY node""")),
+
+    // ── Link prediction: top-k common-neighbor / Jaccard candidates ────
+    // The recommender / entity-resolution primitive: for every supplier,
+    // the 5 most similar suppliers by customer-set Jaccard, scored from
+    // common-neighbor counts through the shared-customer equi-join.
+    // Scale shape: pair generation is keyed by the MIDDLE node (one
+    // equi-join on customer), so cost is Σ_c deg(c)² — bounded by the
+    // hub cap (deg ≤ 50) that drops the quadratic tail; hubs carry ~no
+    // signal for similarity (a customer buying from everyone
+    // discriminates nothing) and this filter is the standard
+    // common-neighbor mitigation. Degrees join back broadcast
+    // (|suppliers| rows = dim-sized); Jaccard is integer ppm from
+    // carried counts (d02's trick — |A∩B| and degrees, never sets); the
+    // per-node top-5 is a bounded keyed window. Output is |S|·k rows at
+    // any corpus scale.
+    "g04_link_prediction" -> Q(
+      run = (s, d) => {
+        val e0 = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+          .distinct()
+        val deg = e0.groupBy("s").agg(count(lit(1)).as("d"))
+        val keep = e0.groupBy("c").agg(count(lit(1)).as("cd"))
+          .filter(col("cd") <= 50).select("c")
+        val mid = e0.join(keep, "c")
+        val pairs = mid.as("a")
+          .join(mid.as("b"),
+            col("a.c") === col("b.c") && col("a.s") =!= col("b.s"))
+          .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+          .agg(count(lit(1)).as("common"))
+        val scored = pairs
+          .join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
+          .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
+          .withColumn("jaccard_ppm",
+            expr("common * 1000000L div (d1 + d2 - common)"))
+        val w = Window.partitionBy("s1")
+          .orderBy(col("jaccard_ppm").desc, col("common").desc, col("s2"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("s1"), col("rank"), col("s2"), col("common"),
+            col("jaccard_ppm"))
+          .orderBy("s1", "rank")
+      },
+      oracle = Some("""
+        WITH e0 AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (SELECT s, count(*) AS d FROM e0 GROUP BY s),
+        keep AS (SELECT c FROM (SELECT c, count(*) AS cd FROM e0 GROUP BY c)
+                 WHERE cd <= 50),
+        mid AS (SELECT e0.s, e0.c FROM e0 JOIN keep USING (c)),
+        pairs AS (SELECT a.s AS s1, b.s AS s2, count(*) AS common
+                  FROM mid a JOIN mid b ON a.c = b.c AND a.s <> b.s
+                  GROUP BY 1, 2),
+        scored AS (SELECT s1, s2, CAST(common AS BIGINT) AS common,
+                          CAST(common * 1000000 // (d1.d + d2.d - common)
+                               AS BIGINT) AS jaccard_ppm
+                   FROM pairs JOIN deg d1 ON s1 = d1.s
+                              JOIN deg d2 ON s2 = d2.s)
+        SELECT s1, rank, s2, common, jaccard_ppm
+        FROM (SELECT *, row_number() OVER (PARTITION BY s1
+                ORDER BY jaccard_ppm DESC, common DESC, s2) AS rank
+              FROM scored)
+        WHERE rank <= 5 ORDER BY s1, rank"""))
   )
 }

@@ -172,6 +172,51 @@ object MultimodalPack extends QueryPack {
                CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.h, b.h)) <= 2
-        ORDER BY da, db"""))
+        ORDER BY da, db""")),
+
+    // ── Byte-entropy triage of binary payloads (native kernel) ─────────
+    // The pre-decode gate of a multimodal ingest: Shannon entropy of the
+    // raw bytes tells apart text (~2–3 nats), already-compressed or
+    // encrypted media (→ ln 256 ≈ 5.545) and truncated/zero-filled junk
+    // (→ 0) WITHOUT decoding anything. `byte_stats` (functions/
+    // ByteStats.scala) fuses histogram + entropy fold into one codegen
+    // loop per row — no per-byte explosion, no shuffle; the oracle
+    // replays the identical per-term e6-rounded arithmetic from an
+    // unnested byte table (the plan m05 exists to avoid). Downstream is
+    // exact integer math, so the query is hash-stable cross-engine.
+    "m05_byte_entropy" -> Q(
+      run = (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .withColumn("st",
+            graft.functions.GraftFunctions.byteStats(col("text").cast("binary")))
+          .select(col("doc_id"),
+            col("st").getItem(0).as("n_bytes"),
+            col("st").getItem(1).as("n_distinct"),
+            expr("st[2] div st[0]").as("entropy_e6"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH pos AS (SELECT doc_id, text,
+                            unnest(range(1, octet_length(text::BLOB) + 1)) AS i
+                     FROM documents),
+        byt AS (SELECT doc_id,
+                       ('0x' || hex(substr(text, CAST(i AS INT), 1)::BLOB))::INT
+                         AS b
+                FROM pos),
+        hist AS (SELECT doc_id, b, count(*) AS c FROM byt GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_distinct
+                FROM hist GROUP BY 1),
+        terms AS (SELECT h.doc_id,
+                         CAST(round(1000000 * h.c *
+                           ln(CAST(t.n AS DOUBLE) / CAST(h.c AS DOUBLE)))
+                           AS BIGINT) AS term
+                  FROM hist h JOIN tot t USING (doc_id))
+        SELECT t.doc_id, t.n AS n_bytes, t.n_distinct,
+               CAST(sum(term) // t.n AS BIGINT) AS entropy_e6
+        FROM terms JOIN tot t USING (doc_id)
+        GROUP BY t.doc_id, t.n, t.n_distinct
+        ORDER BY t.doc_id"""))
   )
 }

@@ -712,6 +712,59 @@ object PipelinePack extends QueryPack {
               FROM r JOIN w USING (source))
         SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
                  AS pos, source, doc_id
-        FROM k ORDER BY pos"""))
+        FROM k ORDER BY pos""")),
+
+    // ── Benchmark contamination SCORE (fraction + verdict) ─────────────
+    // p06 counts absolute 8-gram overlap for docs that hit the benchmark
+    // at all; this is the decision-grade completion: per-doc CONTAMINATED
+    // FRACTION (distinct 8-grams shared ÷ distinct 8-grams, integer ppm)
+    // for EVERY doc — zero-overlap docs included via the left join — and
+    // the ≥10% flag a pipeline actually filters on (GPT-3 appx-C style).
+    // Scale shape: one distinct-reduce of (doc, gram), a broadcast of the
+    // benchmark gram set (benchmark suites are dim-sized by definition),
+    // totals carried from a pre-join agg so the left join is row-per-doc
+    // against row-per-doc — the corpus is touched once.
+    "p17_contamination_score" -> Q(
+      run = (s, d) => {
+        val grams = expr(
+          """transform(sequence(1, size(split(text, ' ')) - 7),
+            |  i -> array_join(slice(split(text, ' '), i, 8), ' '))""".stripMargin)
+        val flat = Tables.documents(s, d)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"), explode(grams).as("g"))
+          .distinct()
+        val bench = flat.filter(col("doc_id") % 50 === 0)
+          .select("g").distinct()
+        val corpus = flat.filter(col("doc_id") % 50 =!= 0)
+        val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val hit = corpus.join(broadcast(bench), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        tot.join(hit, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            expr("coalesce(n_hit, 0L) * 1000000L div n_grams").as("contam_ppm"),
+            (expr("coalesce(n_hit, 0L) * 1000000L div n_grams") >= 100000L)
+              .as("flagged"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        flat AS (SELECT DISTINCT doc_id,
+                        unnest(list_transform(range(1, len(w) - 6),
+                          i -> array_to_string(w[i:i+7], ' '))) AS g
+                 FROM w WHERE len(w) >= 8),
+        bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 50 = 0),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM flat WHERE doc_id % 50 <> 0 GROUP BY 1),
+        hit AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+                FROM flat f JOIN bench b ON f.g = b.g
+                WHERE f.doc_id % 50 <> 0 GROUP BY 1)
+        SELECT t.doc_id, t.n_grams,
+               COALESCE(h.n_hit, 0) AS n_hit,
+               CAST(COALESCE(h.n_hit, 0) * 1000000 // t.n_grams AS BIGINT)
+                 AS contam_ppm,
+               COALESCE(h.n_hit, 0) * 1000000 // t.n_grams >= 100000 AS flagged
+        FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        ORDER BY t.doc_id"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -619,6 +620,71 @@ object TextPack extends QueryPack {
                (n_words BETWEEN 50 AND 100000
                  AND mwl_e6 BETWEEN 3000000 AND 10000000
                  AND alpha_e6 >= 800000 AND n_stop >= 1) AS passes
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ── Zipf-fit slope per source (corpus-health diagnostic) ───────────
+    // OLS slope of the log-log rank–frequency curve over each source's
+    // top-100 terms: natural text sits near −1; a slope far from that
+    // flags boilerplate floods or spam (too steep) and word-salad /
+    // deduplication failures (too flat). Exactness: each (rank, count)
+    // point becomes e3-scaled integer logs — every log term is computed
+    // from integers identically in both engines, rounded to an integer
+    // ONCE — so the OLS sums are integer arithmetic, order-independent,
+    // and the slope is integer ppm via one sign-handled positive
+    // division (integer div truncation differs across engines below
+    // zero; abs-then-negate keeps both sides on positive operands).
+    // Scale shape: one corpus-sized term-count agg, then a top-100
+    // bounded window and a 5-long-column fold per source — everything
+    // after the first shuffle is metadata-sized.
+    "t16_zipf_slope" -> Q(
+      run = (s, d) => {
+        val tc = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .filter(col("t") =!= "")
+          .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("source").orderBy(col("n").desc, col("t"))
+        val pts = tc.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 100)
+          .select(col("source"),
+            round(log(col("r").cast("double")) * 1000, 0).cast("long").as("x"),
+            round(log(col("n").cast("double")) * 1000, 0).cast("long").as("y"))
+        pts.groupBy("source").agg(
+            count(lit(1)).as("k"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("num", expr("k * sxy - sx * sy"))
+          .withColumn("den", expr("k * sxx - sx * sx"))
+          .select(col("source"),
+            expr("""CASE WHEN num >= 0 THEN abs(num) * 1000000L div den
+                         ELSE -(abs(num) * 1000000L div den) END""")
+              .as("slope_ppm"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        tc AS (SELECT source, t, count(*) AS n FROM tok WHERE t <> ''
+               GROUP BY 1, 2),
+        rk AS (SELECT source, t, n,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n DESC, t) AS r
+               FROM tc),
+        pts AS (SELECT source,
+                       CAST(round(1000 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS x,
+                       CAST(round(1000 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS y
+                FROM rk WHERE r <= 100),
+        s AS (SELECT source, CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x*y) AS BIGINT) AS sxy,
+                     CAST(sum(x*x) AS BIGINT) AS sxx
+              FROM pts GROUP BY 1),
+        fit AS (SELECT source, k*sxy - sx*sy AS num, k*sxx - sx*sx AS den
+                FROM s)
+        SELECT source,
+               CASE WHEN num >= 0 THEN CAST(abs(num) * 1000000 // den AS BIGINT)
+                    ELSE -CAST(abs(num) * 1000000 // den AS BIGINT) END
+                 AS slope_ppm
+        FROM fit ORDER BY source"""))
   )
 }
