@@ -303,6 +303,62 @@ class PlanSpec extends AnyFunSuite {
       "s14 within-cluster pair join degraded to all-pairs")
   }
 
+  test("g04: pair generation stays a middle-keyed equi-join, degrees broadcast") {
+    val p = planOf("g04_link_prediction")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "g04 common-neighbor pair stage degraded to all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "degree tables should broadcast back onto the pair counts")
+  }
+
+  test("p17: benchmark gram set broadcasts; zero-overlap docs kept via outer join") {
+    val p = planOf("p17_contamination_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark n-gram dictionary no longer broadcast")
+    assert(p.contains("LeftOuter"),
+      "totals-vs-hits join must be outer or zero-overlap docs vanish")
+  }
+
+  test("runtime bloom filter prunes the large join side from a selective dim") {
+    import org.apache.spark.sql.functions._
+    // InjectRuntimeFilter: at 100 TB a selective dim filter should cut
+    // fact-side shuffle volume via a bloom filter evaluated in the fact
+    // scan stage — pin that the machinery engages (thresholds lowered to
+    // fire at test SF; the default 10 MB/10 GB gates are size-, not
+    // shape-, dependent)
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "32KB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val l = graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${p.take(800)}")
+      // and it prunes the FACT side: the filter sits on the lineitem scan
+      assert(p.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_orderkey")),
+        "bloom filter not applied to the fact side")
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.sessionState.conf
+    val olds = pairs.map { case (k, _) =>
+      k -> (if (conf.contains(k)) Some(conf.getConfString(k)) else None)
+    }
+    pairs.foreach { case (k, v) => conf.setConfString(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.setConfString(k, v)
+      case (k, None)    => conf.unsetConf(k)
+    }
+  }
+
   test("q53: lang predicate prunes hive partitions at listing time") {
     val p = planOf("q53_partition_pruning")
     val scanLines = p.split("\n").filter(_.contains("FileScan")).mkString("\n")
