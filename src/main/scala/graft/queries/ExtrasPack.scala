@@ -1210,6 +1210,44 @@ object ExtrasPack extends QueryPack {
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
                count(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
-        GROUP BY 1 ORDER BY r_name"""))
+        GROUP BY 1 ORDER BY r_name""")),
+
+    // ── Robust dispersion: exact per-group median + MAD ────────────────
+    // q34's moment statistics are outlier-dominated at corpus scale;
+    // median absolute deviation is the robust pair every data-quality
+    // monitor wants. Two passes by necessity (MAD is a nested median):
+    // each is one two-phase `percentile` aggregate over integer cents,
+    // with the 5-row median table broadcast back between them — the
+    // corpus shuffles twice on the same low-cardinality key and nothing
+    // else moves. Exactness: q19's argument, one step further —
+    // midpoints of int64 cents are exact dyadic doubles, so deviations
+    // |cents − median| and THEIR interpolated median are bit-equal
+    // across engines.
+    "q55_median_mad" -> Q(
+      run = (s, d) => {
+        val b = Tables.orders(s, d)
+          .select(col("o_orderpriority"), cents(col("o_totalprice")).as("cents"))
+        val m = b.groupBy("o_orderpriority")
+          .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+        b.join(broadcast(m), "o_orderpriority")
+          .select(col("o_orderpriority"), col("median_cents"),
+            abs(col("cents") - col("median_cents")).as("dev"))
+          .groupBy("o_orderpriority", "median_cents")
+          .agg(expr("percentile(dev, 0.5)").as("mad_cents"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH b AS (SELECT o_orderpriority,
+                          CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                   FROM orders),
+        m AS (SELECT o_orderpriority, quantile_cont(cents, 0.5) AS median_cents
+              FROM b GROUP BY 1),
+        dv AS (SELECT b.o_orderpriority, m.median_cents,
+                      abs(b.cents - m.median_cents) AS dev
+               FROM b JOIN m USING (o_orderpriority))
+        SELECT o_orderpriority, median_cents,
+               quantile_cont(dev, 0.5) AS mad_cents, count(*) AS n
+        FROM dv GROUP BY 1, 2 ORDER BY 1"""))
   )
 }

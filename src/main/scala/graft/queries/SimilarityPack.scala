@@ -49,6 +49,8 @@ object SimilarityPack extends QueryPack {
   }
 
   private val numPlanes = 8
+  /** s15's coarser bucketing: the kNN graph wants DENSE buckets. */
+  private val knnPlanes = 4
   private val dim = 64
 
   /** s13's projected dimensionality. */
@@ -781,6 +783,63 @@ object SimilarityPack extends QueryPack {
                                      AND a.vec_id < b.vec_id)
         SELECT vec_id, cluster, min(ka) AS dup_of, max(cos_e6) AS max_cos_e6
         FROM pairs WHERE cos_e6 >= 450000
-        GROUP BY 1, 2 ORDER BY vec_id"""))
+        GROUP BY 1, 2 ORDER BY vec_id""")),
+
+    // ── kNN-graph construction (bucketed all-corpus top-k) ─────────────
+    // s01/s03 answer "top-k for a small QUERY set" (broadcast queries);
+    // this builds the k-nearest-neighbor GRAPH over the WHOLE corpus —
+    // the input structure of agglomerative clustering, SemDeDup-style
+    // analyses, and graph-based label propagation. 4 sign-LSH planes
+    // (coarser than s03's 8: the graph wants dense buckets) bucket the
+    // vectors; candidates come from ONE self-equi-join keyed by the
+    // bucket — cost Σ|bucket|², never |V|² — and each vector keeps its
+    // top-3 by exact cosine via a bounded keyed window. Vectors alone in
+    // their bucket emit no edges (the documented LSH trade; more/fewer
+    // planes trades recall vs cost — s05 is the measuring harness).
+    // At 100 TB: vectors shuffle ONCE keyed by bucket; output is ≤ 3|V|
+    // edges, linear in the corpus.
+    "s15_knn_graph" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD.as("v"))
+          .withColumn("nrm", norm(col("v")))
+        val bucket = (0 until knnPlanes).map { p =>
+          val plane = array((0 until dim).map(c => lit(planeWeight(p, c))): _*)
+          when(dot(col("v"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val eb = e.withColumn("bucket", bucket)
+        val q = eb.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+        val cos = dot(col("qv"), col("v")) / sqrt(col("qn")) / sqrt(col("nrm"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        q.join(eb, "bucket")
+          .filter(col("qid") =!= col("vec_id"))
+          .withColumn("cos", cos)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+            round(col("cos") * 1000000, 0).cast("long").as("cos_e6"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some {
+        val bucketSql = (0 until knnPlanes).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(list_zip(v,
+             |  list_transform(range(0, $dim),
+             |    c -> (('0x' || substr(md5($p || '_' || c), 1, 4))::INT - 32767.5) / 32767.5)),
+             |  s -> s[1]*s[2]), (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""
+        WITH $sqlVecs,
+        nb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n)
+        SELECT qid, rank, neighbor, cos_e6 FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                 CAST(round(($sqlCos) * 1000000) AS BIGINT) AS cos_e6,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+          FROM nb q JOIN nb c
+            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      })
   )
 }

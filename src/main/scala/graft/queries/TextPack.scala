@@ -685,6 +685,86 @@ object TextPack extends QueryPack {
                CASE WHEN num >= 0 THEN CAST(abs(num) * 1000000 // den AS BIGINT)
                     ELSE -CAST(abs(num) * 1000000 // den AS BIGINT) END
                  AS slope_ppm
-        FROM fit ORDER BY source"""))
+        FROM fit ORDER BY source""")),
+
+    // ── Classifier-eval rollup: per-language precision/recall/F1 ───────
+    // t03 emits the raw confusion matrix; this is the metrics table a
+    // model eval actually reads — per-class tp/fp/fn and integer-ppm
+    // precision, recall, F1 (harmonic mean computed from the ppm values,
+    // so it stays pure BIGINT arithmetic; zero-denominator classes —
+    // never-predicted languages — report 0, exercised by es/fr/zh whose
+    // stopword lists lose every tie to earlier languages here). Shape:
+    // the matrix is |classes|² rows after one corpus-sized agg, so the
+    // whole rollup — two tiny re-aggs and a left join keeping
+    // never-predicted classes — is metadata-sized at any corpus.
+    "t17_langid_eval" -> Q(
+      run = (s, d) => {
+        val hits = langStop.map { case (l, ws) =>
+          l -> size(filter(toks, t => t.isin(ws: _*)))
+        }
+        val g = greatest(hits.map(_._2): _*)
+        val pred = hits.foldLeft(lit(null).cast("string")) {
+          case (acc, (l, h)) => when(acc.isNotNull, acc)
+            .otherwise(when(h === g, lit(l)))
+        }
+        val cm = Tables.documents(s, d)
+          .select(col("lang"), pred.as("pred"))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        val tpfn = cm.groupBy("lang").agg(
+          coalesce(sum(when(col("pred") === col("lang"), col("n"))), lit(0L))
+            .as("tp"),
+          coalesce(sum(when(not(col("pred") <=> col("lang")), col("n"))),
+            lit(0L)).as("fn"))
+        val fp = cm.filter(col("pred").isNotNull && col("pred") =!= col("lang"))
+          .groupBy(col("pred").as("lang")).agg(sum(col("n")).as("fp"))
+        tpfn.join(fp, Seq("lang"), "left")
+          .select(col("lang"), col("tp"),
+            coalesce(col("fp"), lit(0L)).as("fp"), col("fn"))
+          .withColumn("precision_ppm",
+            expr("CASE WHEN tp + fp = 0 THEN 0L ELSE tp * 1000000L div (tp + fp) END"))
+          .withColumn("recall_ppm",
+            expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 1000000L div (tp + fn) END"))
+          .withColumn("f1_ppm",
+            expr("""CASE WHEN precision_ppm + recall_ppm = 0 THEN 0L
+                    ELSE 2 * precision_ppm * recall_ppm
+                         div (precision_ppm + recall_ppm) END"""))
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val hitsSql = langStop.map { case (l, ws) =>
+          l -> s"len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        }
+        val gSql = s"greatest(${hitsSql.map(_._2).mkString(", ")})"
+        val predSql = "CASE " + hitsSql.map { case (l, h) =>
+          s"WHEN $h = $gSql THEN '$l'"
+        }.mkString(" ") + " END"
+        s"""
+        WITH cm AS (SELECT lang, $predSql AS pred, count(*) AS n
+                    FROM documents GROUP BY 1, 2),
+        tpfn AS (SELECT lang,
+                        CAST(COALESCE(sum(n) FILTER (pred = lang), 0) AS BIGINT)
+                          AS tp,
+                        CAST(COALESCE(sum(n) FILTER (pred IS DISTINCT FROM lang),
+                          0) AS BIGINT) AS fn
+                 FROM cm GROUP BY 1),
+        fp AS (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS fp FROM cm
+               WHERE pred IS NOT NULL AND pred <> lang GROUP BY 1),
+        m AS (SELECT t.lang, t.tp, COALESCE(f.fp, 0) AS fp, t.fn,
+                     CASE WHEN t.tp + COALESCE(f.fp, 0) = 0 THEN 0
+                          ELSE t.tp * 1000000 // (t.tp + COALESCE(f.fp, 0))
+                     END AS precision_ppm,
+                     CASE WHEN t.tp + t.fn = 0 THEN 0
+                          ELSE t.tp * 1000000 // (t.tp + t.fn)
+                     END AS recall_ppm
+              FROM tpfn t LEFT JOIN fp f ON t.lang = f.lang)
+        SELECT lang, tp, fp, fn,
+               CAST(precision_ppm AS BIGINT) AS precision_ppm,
+               CAST(recall_ppm AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+                    ELSE 2 * precision_ppm * recall_ppm
+                         // (precision_ppm + recall_ppm)
+                    END AS BIGINT) AS f1_ppm
+        FROM m ORDER BY lang"""
+      })
   )
 }
