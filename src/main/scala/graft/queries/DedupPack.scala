@@ -718,6 +718,63 @@ object DedupPack extends QueryPack {
                CAST(round(shared * 10000.0 / x.sz) AS BIGINT) AS cont_e4
         FROM cand JOIN sz x ON da = x.doc_id
         WHERE CAST(round(shared * 10000.0 / x.sz) AS BIGINT) >= 6000
-        ORDER BY da, db"""))
+        ORDER BY da, db""")),
+
+    // ── Duplication census (the dedup audit card) ──────────────────────
+    // The observability readout a pipeline owner looks at before and
+    // after a dedup run: cluster-size histogram over the WHOLE corpus —
+    // singletons included (docs in no near-dup pair, reconstructed as
+    // n_docs − |clustered|) — with per-class document counts and the
+    // removable overhead Σ(size−1). Everything downstream of d06's
+    // cluster table is metadata-sized (|clusters| rows → 4 class rows);
+    // the corpus contributes one scalar count. At 100 TB this is the
+    // same d03+d06 work plus pennies.
+    "d13_dup_census" -> Q(
+      run = (s, d) => {
+        val cl = graft.SparkEntry.queries("d06_dup_clusters")(s, d)
+        val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        val cls = sizes.withColumn("size_class",
+          when(col("sz") === 2, lit("2"))
+            .when(col("sz") <= 5, lit("3-5")).otherwise(lit("6+")))
+          .groupBy("size_class")
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+            sum(col("sz") - 1).as("n_removable"))
+        val nDocs = Tables.documents(s, d)
+          .agg(count(lit(1)).as("total")).select(col("total"))
+        val clustered = cl.agg(count(lit(1)).as("in_cl")).select(col("in_cl"))
+        val singletons = nDocs.crossJoin(clustered)
+          .select(lit("1").as("size_class"),
+            (col("total") - col("in_cl")).as("n_clusters"),
+            (col("total") - col("in_cl")).as("n_docs"),
+            lit(0L).as("n_removable"))
+        singletons.unionByName(cls).orderBy("size_class")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS ($d03OracleSql),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        cl AS (SELECT n AS doc_id, min(m) AS cluster_id
+               FROM reach GROUP BY n),
+        sizes AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1),
+        cls AS (SELECT CASE WHEN sz = 2 THEN '2'
+                            WHEN sz <= 5 THEN '3-5' ELSE '6+' END AS size_class,
+                       CAST(count(*) AS BIGINT) AS n_clusters,
+                       CAST(sum(sz) AS BIGINT) AS n_docs,
+                       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+                FROM sizes GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM documents),
+        incl AS (SELECT count(*) AS in_cl FROM cl)
+        SELECT '1' AS size_class,
+               CAST(total - in_cl AS BIGINT) AS n_clusters,
+               CAST(total - in_cl AS BIGINT) AS n_docs,
+               CAST(0 AS BIGINT) AS n_removable
+        FROM tot, incl
+        UNION ALL
+        SELECT * FROM cls
+        ORDER BY size_class"""))
   )
 }

@@ -697,6 +697,47 @@ object EventsPack extends QueryPack {
                 FROM tr GROUP BY 1)
         SELECT tr.event_type, next_type, n, n * 1000000 // tot AS ppm
         FROM tr JOIN tot USING (event_type)
-        ORDER BY event_type, next_type"""))
+        ORDER BY event_type, next_type""")),
+
+    // ── Inter-event latency percentiles (p50/p90/p99 gap per type) ─────
+    // The arrival-process readout behind session-gap tuning (e03's 30 min
+    // threshold), anomaly baselines (e17) and capacity models: per-type
+    // distribution of the gap between a user's consecutive events. One
+    // (user, type)-keyed lag window (high-cardinality partitioning,
+    // bounded frames), then a per-type two-phase percentile aggregate —
+    // gaps are exact integer µs, and the interpolated quantiles are
+    // rounded to integer µs so the emitted cells are hash-stable even
+    // if the engines' interpolation differs in the last ulp (at 1e11 µs
+    // an ulp is ~1.5e-5 — far inside the round). At 100 TB the window
+    // shuffle carries the events once; the percentile state is per-type.
+    "e19_interevent_gaps" -> Q(
+      run = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("us"), col("event_id"))
+        ev.withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("CAST(round(percentile(gap, 0.5)) AS BIGINT)").as("p50_us"),
+            expr("CAST(round(percentile(gap, 0.9)) AS BIGINT)").as("p90_us"),
+            expr("CAST(round(percentile(gap, 0.99)) AS BIGINT)").as("p99_us"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us FROM events),
+        g AS (SELECT event_type,
+                     us - lag(us) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY us, event_id) AS gap
+              FROM ev)
+        SELECT event_type, count(*) AS n_gaps,
+               CAST(round(quantile_cont(gap, 0.5)) AS BIGINT) AS p50_us,
+               CAST(round(quantile_cont(gap, 0.9)) AS BIGINT) AS p90_us,
+               CAST(round(quantile_cont(gap, 0.99)) AS BIGINT) AS p99_us
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY 1 ORDER BY event_type"""))
   )
 }
