@@ -738,6 +738,53 @@ object EventsPack extends QueryPack {
                CAST(round(quantile_cont(gap, 0.9)) AS BIGINT) AS p90_us,
                CAST(round(quantile_cont(gap, 0.99)) AS BIGINT) AS p99_us
         FROM g WHERE gap IS NOT NULL
-        GROUP BY 1 ORDER BY event_type"""))
+        GROUP BY 1 ORDER BY event_type""")),
+
+    // ── Activity histogram (power-law / engagement-depth readout) ──────
+    // How concentrated is activity? Per event type, bucket users by
+    // their event count into power-of-two classes (1, 2-3, 4-7, …, 32+)
+    // and report users and events per class — the engagement curve that
+    // distinguishes a bot-heavy corpus (mass in the top bucket) from a
+    // drive-by one (mass at 1). Shape: one (type, user) hash agg over
+    // the corpus, then a class agg over the per-user table — the first
+    // shuffle carries the data once, everything after is user-table
+    // sized and partial-aggregated. Class edges are exact integer
+    // comparisons; counts are BIGINT — nothing engine-sensitive.
+    "e20_activity_histogram" -> Q(
+      run = (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val lo = when(col("n") === 1, 1L).when(col("n") <= 3, 2L)
+          .when(col("n") <= 7, 4L).when(col("n") <= 15, 8L)
+          .when(col("n") <= 31, 16L).otherwise(32L)
+        val label = when(col("n") === 1, "1").when(col("n") <= 3, "2-3")
+          .when(col("n") <= 7, "4-7").when(col("n") <= 15, "8-15")
+          .when(col("n") <= 31, "16-31").otherwise("32+")
+        perUser
+          .select(col("event_type"), lo.as("bucket_lo"), label.as("bucket"),
+            col("n"))
+          .groupBy("event_type", "bucket_lo", "bucket")
+          .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+          .orderBy("event_type", "bucket_lo")
+      },
+      oracle = Some("""
+        WITH per_user AS (
+          SELECT event_type, user_id, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        b AS (
+          SELECT event_type,
+                 CASE WHEN n = 1 THEN 1 WHEN n <= 3 THEN 2
+                      WHEN n <= 7 THEN 4 WHEN n <= 15 THEN 8
+                      WHEN n <= 31 THEN 16 ELSE 32 END AS bucket_lo,
+                 CASE WHEN n = 1 THEN '1' WHEN n <= 3 THEN '2-3'
+                      WHEN n <= 7 THEN '4-7' WHEN n <= 15 THEN '8-15'
+                      WHEN n <= 31 THEN '16-31' ELSE '32+' END AS bucket,
+                 n
+          FROM per_user)
+        SELECT event_type, CAST(bucket_lo AS BIGINT) AS bucket_lo, bucket,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM b GROUP BY 1, 2, 3 ORDER BY event_type, bucket_lo"""))
   )
 }

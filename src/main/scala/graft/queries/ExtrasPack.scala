@@ -1248,6 +1248,96 @@ object ExtrasPack extends QueryPack {
                FROM b JOIN m USING (o_orderpriority))
         SELECT o_orderpriority, median_cents,
                quantile_cont(dev, 0.5) AS mad_cents, count(*) AS n
-        FROM dv GROUP BY 1, 2 ORDER BY 1"""))
+        FROM dv GROUP BY 1, 2 ORDER BY 1""")),
+
+    // ── Data-quality profile (Deequ-style audit card) ──────────────────
+    // The constraint-validation readout every ingestion step runs before
+    // data is allowed downstream: per-column completeness (null counts),
+    // domain cardinality, exact min/max range, value-range violations,
+    // composite-key uniqueness, and referential integrity vs the parent
+    // table — one (metric, value) row each. Shape: ONE aggregation pass
+    // over lineitem computes every per-row metric (the count-distinct
+    // adds Spark's expand, still a single scan); uniqueness is one
+    // (orderkey, linenumber) hash agg; the FK audit is one left-anti
+    // join — the only stages that touch data, everything emitted is
+    // metadata-sized. At 100 TB this is exactly the profile pass a
+    // warehouse runs per partition-drop: no collect, no per-metric
+    // rescans. The synthetic fixture makes uniqueness genuinely dirty
+    // (duplicate (l_orderkey, l_linenumber) pairs exist), so the audit
+    // is a real signal, not an all-zeros card.
+    "q56_dq_profile" -> Q(
+      run = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val one = count(lit(1))
+        val wide = li.agg(
+          one.as("n_rows"),
+          (one - count(col("l_orderkey"))).as("nulls_orderkey"),
+          (one - count(col("l_extendedprice"))).as("nulls_extprice"),
+          (one - count(col("l_returnflag"))).as("nulls_returnflag"),
+          countDistinct(col("l_returnflag")).as("distinct_returnflag"),
+          round(min(col("l_extendedprice")) * 100, 0).cast("long")
+            .as("min_extprice_cents"),
+          round(max(col("l_extendedprice")) * 100, 0).cast("long")
+            .as("max_extprice_cents"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+            .as("viol_discount_range"),
+          count(when(col("l_quantity") <= 0, 1)).as("viol_quantity_pos"))
+        val scanMetrics = wide.selectExpr(
+          """stack(9,
+               'completeness_l_extendedprice_nulls', nulls_extprice,
+               'completeness_l_orderkey_nulls', nulls_orderkey,
+               'completeness_l_returnflag_nulls', nulls_returnflag,
+               'distinct_l_returnflag', distinct_returnflag,
+               'max_l_extendedprice_cents', max_extprice_cents,
+               'min_l_extendedprice_cents', min_extprice_cents,
+               'n_rows', n_rows,
+               'violations_l_discount_range', viol_discount_range,
+               'violations_l_quantity_nonpos', viol_quantity_pos)
+             AS (metric, value)""")
+        val orphans = li
+          .join(Tables.orders(s, d).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("fk_orphan_l_orderkey").as("metric"), col("value"))
+        val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(count(lit(1)).as("value"))
+          .select(lit("uniqueness_dup_line_keys").as("metric"), col("value"))
+        scanMetrics.unionByName(orphans).unionByName(dupKeys)
+          .select(col("metric"), col("value").cast("long"))
+          .orderBy("metric")
+      },
+      oracle = Some("""
+        WITH scan AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) - count(l_orderkey) AS BIGINT) AS nulls_orderkey,
+                 CAST(count(*) - count(l_extendedprice) AS BIGINT) AS nulls_extprice,
+                 CAST(count(*) - count(l_returnflag) AS BIGINT) AS nulls_returnflag,
+                 CAST(count(DISTINCT l_returnflag) AS BIGINT) AS distinct_returnflag,
+                 CAST(round(min(l_extendedprice)*100) AS BIGINT) AS min_extprice_cents,
+                 CAST(round(max(l_extendedprice)*100) AS BIGINT) AS max_extprice_cents,
+                 CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT) AS viol_discount_range,
+                 CAST(count(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT) AS viol_quantity_pos
+          FROM lineitem),
+        orphans AS (
+          SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)),
+        dupkeys AS (
+          SELECT CAST(count(*) AS BIGINT) AS v FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY 1, 2 HAVING count(*) > 1))
+        SELECT 'completeness_l_extendedprice_nulls' AS metric, nulls_extprice AS value FROM scan
+        UNION ALL SELECT 'completeness_l_orderkey_nulls', nulls_orderkey FROM scan
+        UNION ALL SELECT 'completeness_l_returnflag_nulls', nulls_returnflag FROM scan
+        UNION ALL SELECT 'distinct_l_returnflag', distinct_returnflag FROM scan
+        UNION ALL SELECT 'fk_orphan_l_orderkey', v FROM orphans
+        UNION ALL SELECT 'max_l_extendedprice_cents', max_extprice_cents FROM scan
+        UNION ALL SELECT 'min_l_extendedprice_cents', min_extprice_cents FROM scan
+        UNION ALL SELECT 'n_rows', n_rows FROM scan
+        UNION ALL SELECT 'uniqueness_dup_line_keys', v FROM dupkeys
+        UNION ALL SELECT 'violations_l_discount_range', viol_discount_range FROM scan
+        UNION ALL SELECT 'violations_l_quantity_nonpos', viol_quantity_pos FROM scan
+        ORDER BY metric"""))
   )
 }

@@ -840,6 +840,61 @@ object SimilarityPack extends QueryPack {
           FROM nb q JOIN nb c
             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
         WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
+    // ── Range (radius) similarity search ───────────────────────────────
+    // Top-k's sibling API: return EVERY in-bucket candidate with
+    // cosine ≥ τ — the retrieval mode semdedup (s14), near-dup pruning
+    // and "all sufficiently-similar evidence" RAG filters actually
+    // want, where k is unknowable up front. Same deterministic 4-plane
+    // sign-LSH bucketing as the kNN graph (coarse cells so recall
+    // stays useful at small corpus sizes); cosines are the s01
+    // left-fold IEEE sequence, so the τ comparison lands identically
+    // in both engines and the emitted score is e6-rounded. Shape: the
+    // bucket equi-join bounds candidates per query before any pairwise
+    // math; output is whatever clears τ — no window, no global sort
+    // beyond the final metadata-sized ORDER BY. At 100 TB the plan is
+    // the s03 story with the rank stage deleted.
+    "s16_range_search" -> Q(
+      run = (s, d) => {
+        val tau = 0.30
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD.as("v"))
+          .withColumn("nrm", norm(col("v")))
+        val bucket = (0 until knnPlanes).map { p =>
+          val plane = array((0 until dim).map(c => lit(planeWeight(p, c))): _*)
+          when(dot(col("v"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val eb = e.withColumn("bucket", bucket)
+        val q = eb.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket"))
+        val cos = dot(col("qv"), col("v")) / sqrt(col("qn")) / sqrt(col("nrm"))
+        broadcast(q).join(eb, "bucket")
+          .filter(col("qid") =!= col("vec_id"))
+          .withColumn("cos", cos)
+          .filter(col("cos") >= tau)
+          .select(col("qid"), col("vec_id").as("cand"),
+            round(col("cos") * 1000000, 0).cast("long").as("cos_e6"))
+          .orderBy("qid", "cand")
+      },
+      oracle = Some {
+        val bucketSql = (0 until knnPlanes).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(list_zip(v,
+             |  list_transform(range(0, $dim),
+             |    c -> (('0x' || substr(md5($p || '_' || c), 1, 4))::INT - 32767.5) / 32767.5)),
+             |  s -> s[1]*s[2]), (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""
+        WITH $sqlVecs,
+        nb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n)
+        SELECT q.vec_id AS qid, c.vec_id AS cand,
+               CAST(round(($sqlCos) * 1000000) AS BIGINT) AS cos_e6
+        FROM nb q JOIN nb c
+          ON q.vec_id < $numQueries AND q.bucket = c.bucket
+         AND q.vec_id <> c.vec_id
+        WHERE ($sqlCos) >= 0.30
+        ORDER BY qid, cand"""
       })
   )
 }

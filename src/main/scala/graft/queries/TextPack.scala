@@ -765,6 +765,55 @@ object TextPack extends QueryPack {
                          // (precision_ppm + recall_ppm)
                     END AS BIGINT) AS f1_ppm
         FROM m ORDER BY lang"""
-      })
+      }),
+
+    // ── Linear classifier inference via feature hashing ────────────────
+    // The quality-classifier shape (fastText / logistic filters) as a
+    // pipeline operator: hash each token into a fixed F=1024-bucket
+    // feature space (md5 → first 8 hex digits → mod F — the hashing
+    // trick, no vocabulary to build or broadcast), look the bucket's
+    // weight up in a model that here is a deterministic integer formula
+    // (a real deployment broadcasts the trained weight array; same
+    // plan), and score each document as bias + Σ token-weights. All
+    // arithmetic is int64 (weights ∈ [-1000,1000], ≤1e3 tokens/doc —
+    // no overflow, no float drift), so DuckDB replays it bit-for-bit;
+    // the keep/drop decision is the sign of the logit. Shape: one
+    // narrow explode→map, ONE doc_id hash agg (map-side partial) — the
+    // classifier adds zero shuffles beyond the tokenize pass, which is
+    // why this inference style scales to 100 TB while a per-doc model
+    // RPC does not.
+    "t18_hashed_classifier" -> Q(
+      run = (s, d) => {
+        val bucket =
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 1024
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .select(col("doc_id"),
+            ((bucket * lit(2654435761L)) % 2001 - 1000).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            (lit(37L) + sum(col("w"))).as("logit"))
+          .select(col("doc_id"), col("n_tokens"), col("logit"),
+            when(col("logit") > 0, lit("keep")).otherwise(lit("drop"))
+              .as("label"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        feat AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+          FROM tok),
+        scored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(37 + sum((bucket * 2654435761) % 2001 - 1000) AS BIGINT)
+                   AS logit
+          FROM feat GROUP BY doc_id)
+        SELECT doc_id, n_tokens, logit,
+               CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS label
+        FROM scored ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mr.SparkTestSession
+
+class KCoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Symmetrize an undirected edge list and run KCore. */
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val e = edges.toDF("u", "v")
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    KCore.core(sym, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pendant chain cascades away, clique core survives (k=2)") {
+    // clique {1,2,3,4} with a pendant chain 4-5-6-7: peeling at k=2
+    // must remove 7 (deg 1), then 6, then 5 — a 3-round cascade —
+    // leaving exactly the clique, every member at degree 3.
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got = core(clique ++ chain, 2)
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("k above the degeneracy empties the graph") {
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L)) // triangle: 2-core max
+    assert(core(clique, 3) === Map.empty)
+  }
+
+  test("k=1 keeps every non-isolated node with its full degree") {
+    val edges = Seq((1L, 2L), (2L, 3L))
+    assert(core(edges, 1) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("two components peel independently") {
+    // triangle {1,2,3} and a 4-cycle {10,11,12,13} with one chord
+    // removed: at k=2 both survive whole; at k=3 only nothing survives
+    // from the cycle and the triangle dies too (all deg 2).
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val cyc = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val got2 = core(tri ++ cyc, 2)
+    assert(got2.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    assert(core(tri ++ cyc, 3) === Map.empty)
+  }
+}

@@ -311,6 +311,41 @@ class PlanSpec extends AnyFunSuite {
       "degree tables should broadcast back onto the pair counts")
   }
 
+  test("s16: range search keeps the bucketed candidate join, no all-pairs") {
+    val p = planOf("s16_range_search")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "s16 candidate stage degraded to all-pairs")
+    assert(!p.contains("Window"),
+      "range search needs no window — the rank stage should be gone")
+  }
+
+  test("t18: classifier inference is one two-phase doc agg, no join") {
+    val p = planOf("t18_hashed_classifier")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate around the doc_id exchange")
+    assert(!p.contains("Join"),
+      "hashed weights are arithmetic — inference must not join a model table")
+  }
+
+  test("e20: activity histogram partial-aggregates before its one data shuffle") {
+    val p = planOf("e20_activity_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair on (type, user)")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "class rollup needs neither windows nor joins")
+  }
+
+  test("q56: dq scan metrics fold in one pass; FK audit is an anti-join") {
+    val p = planOf("q56_dq_profile")
+    // every scan-wide metric (incl. the distinct) sits in ONE aggregate
+    // that the stack() unpivot reads — no per-metric rescans
+    assert(p.contains("Generate stack(9"),
+      "metric card no longer unpivots a single wide aggregate")
+    assert(p.contains("LeftAnti"),
+      "FK orphan audit must be a left-anti join")
+    assert(!p.contains("CartesianProduct"), "dq profile must not cross-join")
+  }
+
   test("p17: benchmark gram set broadcasts; zero-overlap docs kept via outer join") {
     val p = planOf("p17_contamination_score")
     assert(p.contains("BroadcastHashJoin"),
