@@ -775,6 +775,49 @@ object DedupPack extends QueryPack {
         FROM tot, incl
         UNION ALL
         SELECT * FROM cls
-        ORDER BY size_class"""))
+        ORDER BY size_class""")),
+
+    // ── Soft dedup: downweight duplicates instead of dropping ──────────
+    // The SlimPajama-style alternative to d09's hard keep: every doc
+    // survives, but its training weight is 1/|cluster| (integer ppm),
+    // so a 3-way near-dup family contributes one document's worth of
+    // gradient in expectation. Shape: d06's cluster table → |clusters|-
+    // sized size agg → two left joins back onto documents (the cluster
+    // map is dup-table-sized, broadcastable in practice; the corpus is
+    // touched once). Singletons never join and default to weight 1e6 —
+    // the LEFT joins are load-bearing, an inner join would silently
+    // drop every unique doc. At 100 TB the only corpus-sized stage is
+    // the final join; everything upstream is d03+d06 work already paid.
+    "d14_dup_weighting" -> Q(
+      run = (s, d) => {
+        val cl = graft.SparkEntry.queries("d06_dup_clusters")(s, d)
+        val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(cl, Seq("doc_id"), "left")
+          .join(sizes, Seq("cluster_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("csize"), lit(1L)).as("cluster_size"),
+            expr("CAST(1000000 div coalesce(csize, 1L) AS BIGINT)")
+              .as("weight_ppm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS ($d03OracleSql),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        cl AS (SELECT n AS doc_id, min(m) AS cluster_id
+               FROM reach GROUP BY n),
+        sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+               CAST(1000000 // COALESCE(s.csize, 1) AS BIGINT) AS weight_ppm
+        FROM documents d
+        LEFT JOIN cl ON d.doc_id = cl.doc_id
+        LEFT JOIN sz s ON cl.cluster_id = s.cluster_id
+        ORDER BY d.doc_id"""))
   )
 }

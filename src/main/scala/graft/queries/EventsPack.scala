@@ -785,6 +785,60 @@ object EventsPack extends QueryPack {
         SELECT event_type, CAST(bucket_lo AS BIGINT) AS bucket_lo, bucket,
                CAST(count(*) AS BIGINT) AS n_users,
                CAST(sum(n) AS BIGINT) AS n_events
-        FROM b GROUP BY 1, 2, 3 ORDER BY event_type, bucket_lo"""))
+        FROM b GROUP BY 1, 2, 3 ORDER BY event_type, bucket_lo""")),
+
+    // ── Time-bounded funnel (conversion windows between stages) ────────
+    // e10 with the constraint real funnel products enforce: each stage
+    // must follow the previous within 24 h, or the journey doesn't
+    // count (a purchase a month after the click is not attributable).
+    // Same single-exchange shape as e10 — three chained conditional
+    // mins over ONE user_id window partitioning, the gap bound is just
+    // an extra predicate inside each min — so the bounded variant costs
+    // exactly what the unbounded one does at any scale. The 24 h bound
+    // genuinely bites on the fixture (150 view → 60 click → 25
+    // purchase at sf0.01 vs e10's near-total conversion), so the
+    // hash compare proves the window arithmetic, not just the chain.
+    "e21_bounded_funnel" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 24L * 3600L * 1000000L
+        val w = Window.partitionBy("user_id")
+        val staged = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("us") > col("t1")
+              && col("us") <= col("t1") + gapUs, col("us"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("us") > col("t2")
+              && col("us") <= col("t2") + gapUs, col("us"))).over(w))
+        staged.groupBy("user_id")
+          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_view_click"),
+            count(col("t3")).as("n_funnel"),
+            sum(col("t3") - col("t1")).as("sum_funnel_us"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, min(us) FILTER (WHERE event_type = 'view') AS t1
+               FROM e GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.us) AS t2
+               FROM e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.us > s1.t1
+                 AND e.us <= s1.t1 + 86400000000 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.us) AS t3
+               FROM e JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.us > s2.t2
+                 AND e.us <= s2.t2 + 86400000000 GROUP BY 1)
+        SELECT count(*) AS n_users,
+               count(t1) AS n_view,
+               count(t2) AS n_view_click,
+               count(t3) AS n_funnel,
+               CAST(sum(t3 - t1) AS BIGINT) AS sum_funnel_us
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""))
   )
 }

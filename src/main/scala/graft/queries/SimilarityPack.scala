@@ -895,6 +895,51 @@ object SimilarityPack extends QueryPack {
          AND q.vec_id <> c.vec_id
         WHERE ($sqlCos) >= 0.30
         ORDER BY qid, cand"""
-      })
+      }),
+
+    // ── Maximum inner-product search (MIPS top-k) ──────────────────────
+    // The retrieval metric recommender/em-retriever serving actually
+    // ranks by — raw inner product, NOT cosine: a long (confident,
+    // frequently-updated) item vector SHOULD outrank a short one at
+    // equal angle, which is exactly what normalization erases. Exact
+    // form: the s01 plan with the norm divisions deleted — broadcast
+    // query set, one left-fold dot per (query, corpus) pair (identical
+    // IEEE sequence both engines), per-query bounded top-k window. At
+    // scale MIPS reduces to cosine ANN by norm augmentation (append
+    // sqrt(M²−‖v‖²) to corpus vectors, 0 to queries — Bachrach et al.'s
+    // trick), after which s03's sign-LSH bucketing applies unchanged;
+    // the exact scan here is the recall yardstick for that path, the
+    // same role s01 plays for s03.
+    "s17_mips_topk" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD.as("v"))
+        val q = e.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("ip").desc, col("vec_id"))
+        broadcast(q).join(e, col("qid") =!= col("vec_id"))
+          .withColumn("ip", dot(col("qv"), col("v")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+            round(col("ip") * 1000000, 0).cast("long").as("ip_e6"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT qid, rank, neighbor, ip_e6 FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                 CAST(round((list_reduce(
+                   list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]),
+                   (acc, x) -> acc + x)) * 1000000) AS BIGINT) AS ip_e6,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_reduce(
+                     list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]),
+                     (acc, x) -> acc + x) DESC, c.vec_id) AS rank
+          FROM e q JOIN e c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id)
+        WHERE rank <= $topK ORDER BY qid, rank"""))
   )
 }

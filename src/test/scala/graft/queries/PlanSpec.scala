@@ -346,6 +346,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "dq profile must not cross-join")
   }
 
+  test("d14: weight joins onto documents stay LEFT so singletons survive") {
+    val p = planOf("d14_dup_weighting")
+    assert(p.contains("LeftOuter"),
+      "soft-dedup weight join degraded from LEFT — singletons would drop")
+  }
+
   test("p17: benchmark gram set broadcasts; zero-overlap docs kept via outer join") {
     val p = planOf("p17_contamination_score")
     assert(p.contains("BroadcastHashJoin"),
