@@ -818,6 +818,51 @@ object DedupPack extends QueryPack {
         FROM documents d
         LEFT JOIN cl ON d.doc_id = cl.doc_id
         LEFT JOIN sz s ON cl.cluster_id = s.cluster_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ── LSH banding recall eval (the dedup-quality harness) ────────────
+    // s05's role for the dedup stack: how many of the TRUE near-dup
+    // pairs (d02's exhaustive shared-shingle join, the exact ground
+    // truth) does d03's MinHash banding actually surface? Both sides
+    // verify candidates at the same exact-Jaccard ≥ 0.3 cut, so d03 ⊆
+    // d02 and precision is 1 by construction — the number that moves
+    // (and that band/row tuning trades against cost) is RECALL. This is
+    // the measurement behind SCALE.md's "d03 is d02's scale path" claim
+    // and the dial a 100 TB run turns before committing to a banding
+    // config. Both inputs are pair-list-sized; the eval join and the
+    // scalar card are metadata work.
+    "d15_lsh_eval" -> Q(
+      run = (s, d) => {
+        val exact = graft.SparkEntry.queries("d02_ngram_jaccard")(s, d)
+          .select(col("da"), col("db"))
+        val lsh = graft.SparkEntry.queries("d03_minhash_lsh")(s, d)
+          .select(col("da").as("lda"), col("db").as("ldb"))
+        exact.join(lsh,
+          col("da") === col("lda") && col("db") === col("ldb"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("lda")).as("n_lsh_hit"))
+          .select(col("n_exact"), col("n_lsh_hit"),
+            (col("n_exact") - col("n_lsh_hit")).as("n_missed"),
+            round(col("n_lsh_hit") * lit(10000.0) / col("n_exact"), 0)
+              .cast("long").as("recall_e4"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                 FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        exact AS (
+          SELECT da, db
+          FROM cand JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+          WHERE CAST(round(shared * 10000.0 / (x.sz + y.sz - shared))
+                AS BIGINT) >= 3000),
+        lsh AS (SELECT da, db FROM ($d03OracleSql))
+        SELECT CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(l.da) AS BIGINT) AS n_lsh_hit,
+               CAST(count(*) - count(l.da) AS BIGINT) AS n_missed,
+               CAST(round(count(l.da) * 10000.0 / count(*)) AS BIGINT)
+                 AS recall_e4
+        FROM exact e LEFT JOIN lsh l ON e.da = l.da AND e.db = l.db"""))
   )
 }
