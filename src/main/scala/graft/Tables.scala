@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * TESTDATA.md plus `documents` and `embeddings` (used by the dedup /
   * similarity / text-analysis packs).
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). [[events]]
-  * reads it via `spark.sql.legacy.parquet.nanosAsLong` and rebuilds a
-  * microsecond TimestampType column with integer division (ns values
-  * ~1.7e18 exceed double's 2^53 exact range, so a double roundtrip would
-  * corrupt them). Oracle SQL on `events.ts` must therefore only observe
-  * µs-or-coarser views of the column (epoch_us, date_trunc, strftime).
+  * `events.parquet` has shipped `ts` in two encodings across fixture
+  * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+  * rejects outright ([PARQUET_TYPE_ILLEGAL]), so [[events]] reads it via
+  * `spark.sql.legacy.parquet.nanosAsLong` and rebuilds a microsecond
+  * TimestampType column with integer division (ns values ~1.7e18 exceed
+  * double's 2^53 exact range, so a double roundtrip would corrupt them) —
+  * and plain timestamp[us] (no tz → Spark infers TIMESTAMP_NTZ), which is
+  * cast to TimestampType. The session timezone is UTC in every entrypoint,
+  * so the NTZ→LTZ cast is value-identical to DuckDB's naive read. Oracle
+  * SQL on `events.ts` must only observe µs-or-coarser views of the column
+  * (epoch_us, date_trunc, strftime), which both encodings preserve.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -39,8 +43,13 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) fixture
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>                                   // timestamp[us] fixture
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
