@@ -839,6 +839,66 @@ object EventsPack extends QueryPack {
                count(t2) AS n_view_click,
                count(t3) AS n_funnel,
                CAST(sum(t3 - t1) AS BIGINT) AS sum_funnel_us
-        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""))
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // ── Watermark lateness accounting (batch twin of streaming
+    //    late-data metrics) ──────────────────────────────────────────────
+    // The question every watermark setting answers: "at delay D, how
+    // much data would I have dropped?" The fixture's event_ids are
+    // strictly time-ordered, so raw replay has zero lateness; arrival
+    // disorder is simulated with a CONTENT-STABLE md5 jitter (≤ 1 h,
+    // the p03 technique — deterministic across engines, unlike RNG).
+    // Arrival batches are 30-min buckets of arrival time; the watermark
+    // of batch b is the max EVENT time seen in earlier batches minus
+    // D = 10 min; an event is late iff its event time < its batch's
+    // watermark. Scale shape: one corpus shuffle on abatch for the
+    // per-batch max/count (partial agg map-side), a metadata-sized
+    // running max over the ~batch-count rows (unpartitioned window is
+    // fine: rows = corpus / 30 min, not corpus), and the watermark
+    // BROADCAST back onto the corpus for the late test — the corpus
+    // never sorts globally and never moves twice on the same key.
+    "e22_late_events" -> Q(
+      run = (s, d) => {
+        val jitterUs = 3600000000L   // ≤ 1 h simulated network disorder
+        val batchUs  = 1800000000L   // 30-min arrival buckets
+        val delayUs  = 600000000L    // withWatermark("10 minutes")
+        val e = Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            (unix_micros(col("ts")) +
+              conv(substring(md5(col("event_id").cast("string")), 1, 8),
+                16, 10).cast("long") % jitterUs).as("arr"))
+          .select(col("us"), expr(s"arr div ${batchUs}L").as("abatch"))
+        val perBatch = e.groupBy("abatch")
+          .agg(max("us").as("mx"), count(lit(1)).as("n_events"))
+        // ~1437 rows at sf0.01: metadata, not data — the one place an
+        // unpartitioned window is the right plan (SCALE.md e22)
+        val wmW = Window.orderBy("abatch")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wm = perBatch.select(col("abatch"), col("n_events"),
+          (max("mx").over(wmW) - delayUs).as("wm"))
+        e.join(broadcast(wm), "abatch")
+          .groupBy(col("abatch"), col("n_events"))
+          .agg(sum(when(col("us") < col("wm"), 1L).otherwise(0L))
+            .as("n_late"))
+          .orderBy("abatch")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_us(ts) AS us,
+                 (epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 3600000000) // 1800000000 AS abatch
+          FROM events),
+        pb AS (SELECT abatch, max(us) AS mx, count(*) AS n_events
+               FROM e GROUP BY 1),
+        wm AS (SELECT abatch, n_events,
+                      max(mx) OVER (ORDER BY abatch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - 600000000 AS wm
+               FROM pb)
+        SELECT w.abatch, CAST(w.n_events AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN e.us < w.wm THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late
+        FROM e JOIN wm w USING (abatch)
+        GROUP BY w.abatch, w.n_events ORDER BY w.abatch"""))
   )
 }

@@ -765,6 +765,64 @@ object PipelinePack extends QueryPack {
                  AS contam_ppm,
                COALESCE(h.n_hit, 0) * 1000000 // t.n_grams >= 100000 AS flagged
         FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ── Per-language token cap with surplus redistribution ─────────────
+    // Mix design under a dominance cap: no language may exceed 30 % of
+    // the token budget (the fixture's `en` is ~44 %); a capped
+    // language's surplus is redistributed to the uncapped ones
+    // proportionally to their size — one unrolled round of water-
+    // filling (recipients that a second round would re-cap are a
+    // documented non-goal; p11's temperature mix is the smooth
+    // alternative). Everything after the first aggregation is
+    // metadata: ONE corpus-sized hash agg to lang totals (5 rows,
+    // partial-agg'd), then the cap/surplus math as unpartitioned
+    // window aggregates OVER that 5-row relation — the corpus is
+    // scanned once (a naive cross-join-of-aggregates formulation
+    // re-plans the corpus subtree per reference: 5 scans), and the
+    // single-partition windows hold lang-cardinality rows, not data.
+    // All shares in exact integer arithmetic (div, not double ratios)
+    // so both engines agree bit-for-bit.
+    "p18_source_cap" -> Q(
+      run = (s, d) => {
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy("lang").agg(sum("n").as("orig_tokens"))
+          .selectExpr("lang", "orig_tokens",
+            "sum(orig_tokens) OVER () * 30 div 100 AS cap")
+          .selectExpr("lang", "orig_tokens", "cap",
+            """sum(CASE WHEN orig_tokens > cap
+                        THEN orig_tokens - cap ELSE 0L END) OVER ()
+               AS surplus""",
+            """sum(CASE WHEN orig_tokens <= cap
+                        THEN orig_tokens ELSE 0L END) OVER ()
+               AS uncapped_tot""")
+          .selectExpr("lang", "orig_tokens",
+            "orig_tokens > cap AS capped",
+            """CASE WHEN orig_tokens > cap THEN cap
+               ELSE orig_tokens + surplus * orig_tokens div uncapped_tot
+               END AS final_tokens""")
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH per AS (SELECT lang,
+                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                              AS orig_tokens
+                     FROM documents GROUP BY 1),
+        cap AS (SELECT CAST(sum(orig_tokens) * 30 // 100 AS BIGINT) AS cap
+                FROM per),
+        st AS (SELECT CAST(sum(CASE WHEN orig_tokens > cap
+                                    THEN orig_tokens - cap ELSE 0 END)
+                        AS BIGINT) AS surplus,
+                      CAST(sum(CASE WHEN orig_tokens <= cap
+                                    THEN orig_tokens ELSE 0 END)
+                        AS BIGINT) AS uncapped_tot
+               FROM per, cap)
+        SELECT lang, orig_tokens, orig_tokens > cap AS capped,
+               CAST(CASE WHEN orig_tokens > cap THEN cap
+                    ELSE orig_tokens + surplus * orig_tokens // uncapped_tot
+                    END AS BIGINT) AS final_tokens
+        FROM per, cap, st ORDER BY lang"""))
   )
 }

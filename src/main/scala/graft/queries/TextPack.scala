@@ -814,6 +814,50 @@ object TextPack extends QueryPack {
           FROM feat GROUP BY doc_id)
         SELECT doc_id, n_tokens, logit,
                CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS label
-        FROM scored ORDER BY doc_id"""))
+        FROM scored ORDER BY doc_id""")),
+
+    // ── Lexical diversity per source (type-token ratio + hapax rate) ───
+    // Corpus-quality profiling: low TTR / low hapax share flags
+    // template-generated or heavily repeated sources (the same signal
+    // t09's intra-doc repetition gives, lifted to the source level).
+    // Scale shape: explode → ONE (source, token) hash agg — the only
+    // corpus-sized shuffle, partial-agg'd map-side so each task emits
+    // its local vocabulary once, not its token stream — then a
+    // source-cardinality rollup. distinct/hapax/total all derive from
+    // the same term-frequency relation: one exchange feeds every
+    // metric, where the naive plan would rescan the corpus per metric
+    // (countDistinct + two filtered counts = three shuffles).
+    "t19_lexical_diversity" -> Q(
+      run = (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        tf.groupBy("source")
+          .agg(sum("c").as("total_tokens"),
+            count(lit(1)).as("distinct_tokens"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+          .select(col("source"), col("total_tokens"),
+            col("distinct_tokens"), col("hapax"),
+            expr("distinct_tokens * 1000000L div total_tokens")
+              .as("ttr_ppm"),
+            expr("hapax * 1000000L div total_tokens").as("hapax_ppm"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT source, tok, count(*) AS c FROM tf GROUP BY 1, 2),
+        agg AS (SELECT source,
+                       CAST(sum(c) AS BIGINT) AS total_tokens,
+                       CAST(count(*) AS BIGINT) AS distinct_tokens,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS hapax
+                FROM c GROUP BY 1)
+        SELECT source, total_tokens, distinct_tokens, hapax,
+               distinct_tokens * 1000000 // total_tokens AS ttr_ppm,
+               hapax * 1000000 // total_tokens AS hapax_ppm
+        FROM agg ORDER BY source"""))
   )
 }

@@ -412,4 +412,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
       s"scan reads more than the two needed data columns; scans:\n$scanLines")
   }
+
+  test("e22: watermark broadcasts back onto the corpus; no global sort of events") {
+    val p = planOf("e22_late_events")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-batch watermark table should broadcast back onto the events")
+    assert(!p.contains("SortMergeJoin"),
+      "watermark join degraded to sort-merge — the wm side is metadata")
+    // the only Sort feeds the metadata-sized running-max window / final
+    // ORDER BY, never a corpus-sized exchange before a join
+    assert(!p.contains("CartesianProduct"), "e22 must not cross-join")
+  }
+
+  test("t19: all three diversity metrics derive from ONE term-frequency exchange") {
+    val p = planOf("t19_lexical_diversity")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected two partial+final agg pairs: (source,tok) then source")
+    assert(!p.contains("Join"),
+      "distinct/hapax/total must share the tf relation, not re-join the corpus")
+    assert(!p.contains("Expand"),
+      "countDistinct-style Expand means the corpus is aggregated per-metric")
+  }
+
+  test("p18: corpus aggregates once; cap math is broadcast-tiny cross joins") {
+    val p = planOf("p18_source_cap")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "lang totals must partial-aggregate before their one shuffle")
+    // cap/surplus math is windows over the 5-row lang relation; what
+    // must NOT appear is a second corpus scan (AQE's toString repeats
+    // the plan under "== Initial Plan ==", so count the final section)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.split("\n").count(_.contains("FileScan")) <= 1,
+      "corpus scanned more than once — cap math should reuse the lang totals")
+  }
 }
