@@ -286,6 +286,80 @@ object GraphPack extends QueryPack {
         ${peel("p5", "p6")}
         SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
         FROM p6 GROUP BY u ORDER BY node"""
+      }),
+
+    // ── Semi-supervised label propagation (2 clamped rounds) ───────────
+    // A third of the suppliers are seeded with their nation; labels
+    // spread over the symmetrized trade graph by majority vote among
+    // labeled neighbors (ties broken by smallest label — DETERMINISTIC,
+    // unlike textbook random tie-breaks), seeds and previously won
+    // labels clamped. Round 1 reaches customers of seeded suppliers,
+    // round 2 flows back to unseeded suppliers. Shape per round: one
+    // edge⋈labels equi-join shuffled on node, one (node,label) count
+    // agg, one node-partitioned argmax window — all keyed on node id,
+    // never all-pairs; rounds are unrolled here (2), and an unbounded
+    // version belongs in an operators/-style loop with localCheckpoint
+    // per round, exactly like ConnectedComponents. The DuckDB twin
+    // unrolls the same two rounds as MATERIALIZED CTEs.
+    "g06_label_propagation" -> Q(
+      run = (s, d) => {
+        val e0 = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("u"),
+            (col("o_custkey") + lit(1000000L)).as("v"))
+          .distinct()
+        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 3 === 0)
+          .select(col("s_suppkey").cast("long").as("node"),
+            col("s_nationkey").cast("long").as("label"))
+        var labels = seeds
+        for (_ <- 1 to 2) {
+          val votes = edges
+            .join(labels, col("u") === col("node"))
+            .select(col("v").as("cand"), col("label"))
+            .join(labels.select(col("node").as("seen")),
+              col("cand") === col("seen"), "left_anti")
+            .groupBy("cand", "label").agg(count(lit(1)).as("n"))
+          val won = votes
+            .withColumn("rk", row_number().over(Window.partitionBy(col("cand"))
+              .orderBy(col("n").desc, col("label"))))
+            .filter(col("rk") === 1)
+            .select(col("cand").as("node"), col("label"))
+          labels = labels.union(won)
+        }
+        labels.orderBy("node")
+      },
+      oracle = Some {
+        def round(prev: String, out: String): String =
+          s"""c$out AS MATERIALIZED (
+             |  SELECT e.v AS cand, p.label, count(*) AS n
+             |  FROM edges e JOIN $prev p ON e.u = p.node
+             |  WHERE e.v NOT IN (SELECT node FROM $prev)
+             |  GROUP BY 1, 2),
+             |w$out AS (
+             |  SELECT cand AS node, label FROM (
+             |    SELECT cand, label, row_number() OVER (PARTITION BY cand
+             |      ORDER BY n DESC, label) AS rk FROM c$out)
+             |  WHERE rk = 1),
+             |$out AS MATERIALIZED (
+             |  SELECT node, label FROM $prev
+             |  UNION ALL SELECT node, label FROM w$out)""".stripMargin
+        s"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        l0 AS MATERIALIZED (
+          SELECT CAST(s_suppkey AS BIGINT) AS node,
+                 CAST(s_nationkey AS BIGINT) AS label
+          FROM supplier WHERE s_suppkey % 3 = 0),
+        ${round("l0", "l1")},
+        ${round("l1", "l2")}
+        SELECT node, label FROM l2 ORDER BY node"""
       })
   )
 }

@@ -940,6 +940,96 @@ object SimilarityPack extends QueryPack {
                      list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]),
                      (acc, x) -> acc + x) DESC, c.vec_id) AS rank
           FROM e q JOIN e c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id)
-        WHERE rank <= $topK ORDER BY qid, rank"""))
+        WHERE rank <= $topK ORDER BY qid, rank""")),
+
+    // ── Multi-probe LSH (hamming-radius-1 probing) ─────────────────────
+    // Multi-probe LSH (Lv et al., VLDB '07): instead of building more
+    // hash tables, each query ALSO probes the buckets one bit-flip
+    // away — 1 + 8 probes over the single s03 table recover much of
+    // the recall extra tables would buy, at zero extra index storage.
+    // Scale shape: probe expansion multiplies the QUERY side only
+    // (9 × queries rows — queries are always the small relation); the
+    // corpus is bucketed ONCE and the candidate stage stays a
+    // bucket-keyed equi-join, pinned never-all-pairs in PlanSpec.
+    // Scored per query against the s01 exact top-k with the same
+    // yardstick as s05 (which scores single-probe s03) — the two
+    // outputs side by side are the measured multi-probe recall lift.
+    "s18_multiprobe_lsh" -> Q(
+      run = (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD.as("v"))
+          .withColumn("nrm", norm(col("v")))
+        val bucket = (0 until numPlanes).map { p =>
+          val plane = array((0 until dim).map(c => lit(planeWeight(p, c))): _*)
+          when(dot(col("v"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val eb = e.withColumn("bucket", bucket)
+        val probes = (lit(0) +: (0 until numPlanes).map(i => lit(1 << i)))
+          .map(m => col("bucket").bitwiseXOR(m))
+        val q = eb.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"),
+            explode(array(probes: _*)).as("pbucket"))
+        val cos = dot(col("qv"), col("v")) / sqrt(col("qn")) / sqrt(col("nrm"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val approx = broadcast(q)
+          .join(eb, col("pbucket") === col("bucket")
+            && col("qid") =!= col("vec_id"))
+          .withColumn("cos", cos)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("qid").as("aqid"), col("vec_id").as("aneighbor"))
+        val exact = graft.SparkEntry.queries("s01_cosine_topk")(s, d)
+          .select(col("qid"), col("neighbor"))
+        exact.join(approx,
+          col("qid") === col("aqid") && col("neighbor") === col("aneighbor"),
+          "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("aneighbor")).as("n_hit"))
+          .select(col("qid"), col("n_exact"), col("n_hit"),
+            round(col("n_hit") * lit(10000.0) / col("n_exact"), 0)
+              .cast("long").as("recall_e4"))
+          .orderBy("qid")
+      },
+      oracle = Some {
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(list_zip(v,
+             |  list_transform(range(0, $dim),
+             |    c -> (('0x' || substr(md5($p || '_' || c), 1, 4))::INT - 32767.5) / 32767.5)),
+             |  s -> s[1]*s[2]), (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        val probeList = ("bucket" +: (0 until numPlanes)
+          .map(i => s"xor(bucket, ${1 << i})")).mkString("[", ", ", "]")
+        val exactSql = s"""
+          SELECT qid, neighbor FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+            FROM n q JOIN n c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id)
+          WHERE rank <= $topK"""
+        val mpSql = s"""
+          SELECT qid, neighbor FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+            FROM qp q JOIN nb c
+              ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id)
+          WHERE rank <= $topK"""
+        s"""
+        WITH $sqlVecs,
+        nb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+        qp AS (SELECT vec_id, v, nrm, unnest($probeList) AS pbucket
+               FROM nb WHERE vec_id < $numQueries),
+        exact AS ($exactSql),
+        mp AS ($mpSql)
+        SELECT e.qid, count(*) AS n_exact, count(m.neighbor) AS n_hit,
+               CAST(round(count(m.neighbor) * 10000.0 / count(*)) AS BIGINT)
+                 AS recall_e4
+        FROM exact e LEFT JOIN mp m
+          ON e.qid = m.qid AND e.neighbor = m.neighbor
+        GROUP BY e.qid ORDER BY e.qid"""
+      })
   )
 }

@@ -858,6 +858,52 @@ object TextPack extends QueryPack {
         SELECT source, total_tokens, distinct_tokens, hapax,
                distinct_tokens * 1000000 // total_tokens AS ttr_ppm,
                hapax * 1000000 // total_tokens AS hapax_ppm
-        FROM agg ORDER BY source"""))
+        FROM agg ORDER BY source""")),
+
+    // ── N-gram novelty curve (first-occurrence attribution) ────────────
+    // Originality profiling by ingestion order: a doc's novelty is the
+    // share of its distinct 5-grams whose GLOBAL first occurrence
+    // (min doc_id) is this doc — boilerplate-heavy docs score low,
+    // template sources decay fast. This is the memorization-risk
+    // ranking that picks what to re-crawl. Shape: one distinct-reduce
+    // of (doc, gram), one gram-keyed min agg (partial map-side), one
+    // gram-keyed join back — all three stages shuffle on the gram key,
+    // nothing all-pairs; at 100 TB the gram relation is the working
+    // set and it behaves exactly like d02's shingle relation (same
+    // hot-gram caveat, same mitigation).
+    "t20_ngram_novelty" -> Q(
+      run = (s, d) => {
+        val grams = expr(
+          """transform(sequence(1, size(split(text, ' ')) - 4),
+            |  i -> array_join(slice(split(text, ' '), i, 5), ' '))""".stripMargin)
+        val flat = Tables.documents(s, d)
+          .filter(size(split(col("text"), " ")) >= 5)
+          .select(col("doc_id"), explode(grams).as("g"))
+          .distinct()
+        val first = flat.groupBy("g").agg(min("doc_id").as("first_doc"))
+        flat.join(first, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            expr("n_novel * 1000000L div n_grams").as("novelty_ppm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        flat AS (SELECT DISTINCT doc_id,
+                        unnest(list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))) AS g
+                 FROM w WHERE len(w) >= 5),
+        first AS (SELECT g, min(doc_id) AS first_doc FROM flat GROUP BY 1)
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN fi.first_doc = f.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN fi.first_doc = f.doc_id THEN 1 ELSE 0 END)
+                 * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+        FROM flat f JOIN first fi USING (g)
+        GROUP BY f.doc_id ORDER BY f.doc_id"""))
   )
 }

@@ -445,4 +445,31 @@ class PlanSpec extends AnyFunSuite {
     assert(finalSection.split("\n").count(_.contains("FileScan")) <= 1,
       "corpus scanned more than once — cap math should reuse the lang totals")
   }
+
+  test("s18: multi-probe candidates stay a bucket-keyed equi-join") {
+    val p = planOf("s18_multiprobe_lsh")
+    // the plan embeds s01's exact top-k as the recall yardstick, which
+    // IS brute-force by design (one BNLJ from that subtree is expected);
+    // the multi-probe candidate stage itself must join on the bucket key
+    assert("BroadcastHashJoin \\[pbucket".r.findFirstIn(p).isDefined,
+      "multi-probe candidate stage is not a bucket-keyed equi-join")
+    assert(p.contains("Generate explode"),
+      "probe expansion should be an explode on the query side")
+  }
+
+  test("g06: propagation rounds are node-keyed joins, never all-pairs") {
+    val p = planOf("g06_label_propagation")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "label-vote stage degraded to all-pairs")
+    assert(p.contains("LeftAnti"),
+      "clamping (labeled nodes don't re-vote) must be a left-anti join")
+  }
+
+  test("t20: novelty derives from gram-keyed agg + join, no corpus re-expansion") {
+    val p = planOf("t20_ngram_novelty")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "first-occurrence join degraded to all-pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final aggs for both the distinct-reduce and min(first_doc)")
+  }
 }
