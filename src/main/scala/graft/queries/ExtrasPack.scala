@@ -1338,6 +1338,36 @@ object ExtrasPack extends QueryPack {
         UNION ALL SELECT 'uniqueness_dup_line_keys', v FROM dupkeys
         UNION ALL SELECT 'violations_l_discount_range', viol_discount_range FROM scan
         UNION ALL SELECT 'violations_l_quantity_nonpos', viol_quantity_pos FROM scan
-        ORDER BY metric"""))
+        ORDER BY metric""")),
+
+    // ── Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) ─────────────
+    // The join-semantics corner q05–q07/q46 leave open: under plain `=`
+    // a NULL key matches nothing (the null-aware anti-join of q46 is
+    // one consequence); under `<=>` NULL matches NULL. Exercised by
+    // NULLing out one nation on both sides: the null group pairs up
+    // cross-wise, every other group behaves as a plain equi-join.
+    // Catalyst plans `<=>` as a HASH join key (EqualNullSafe is
+    // sargable — nulls hash to one partition), NOT a BNLJ residual —
+    // that, plus one two-phase count agg, is the whole plan; the
+    // null-key hot partition is the documented skew caveat (a real
+    // corpus null-safe join salts the null key like q47).
+    "q57_nullsafe_join" -> Q(
+      run = (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(nullif(col("c_nationkey"), lit(3)).as("ck"))
+        val supp = Tables.supplier(s, d)
+          .select(nullif(col("s_nationkey"), lit(3)).as("sk"))
+        cust.join(supp, col("ck") <=> col("sk"))
+          .groupBy(coalesce(col("ck"), lit(-1L)).as("nation_key"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("nation_key")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT nullif(c_nationkey, 3) AS ck FROM customer),
+             s AS (SELECT nullif(s_nationkey, 3) AS sk FROM supplier)
+        SELECT CAST(coalesce(ck, -1) AS BIGINT) AS nation_key,
+               count(*) AS n_pairs
+        FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+        GROUP BY 1 ORDER BY nation_key"""))
   )
 }

@@ -217,6 +217,68 @@ object MultimodalPack extends QueryPack {
                CAST(sum(term) // t.n AS BIGINT) AS entropy_e6
         FROM terms JOIN tot t USING (doc_id)
         GROUP BY t.doc_id, t.n, t.n_distinct
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ── Payload integrity quarantine (pre-decode validation pass) ──────
+    // The audit every multimodal ingest runs BEFORE spending decoder
+    // cycles: does the payload's magic byte match its declared
+    // modality, and does the stored checksum match the recomputed one?
+    // The magic/modality rules are stubs in this pack's contract (no
+    // real codecs here: declared modality from the source id, "magic"
+    // = first payload byte class; checksum corruption injected at
+    // doc_id % 97 = 0), but the plan is the production one: a narrow
+    // per-row map over the binary column (substr + md5, no decode),
+    // one source-keyed two-phase rollup, zero joins — quarantine at
+    // 100 TB costs one scan, which is why it runs before m02's decoder
+    // and not after.
+    "m06_payload_quarantine" -> Q(
+      run = (s, d) => {
+        val declared = when(
+          expr("CAST(substr(source, 4) AS INT)") % 2 === 0, "img")
+          .otherwise("audio")
+        val head = substring(col("text"), 1, 1)
+        val magicOk = when(col("modality") === "img",
+          head >= "a" && head <= "m")
+          .otherwise(head >= "n" && head <= "z")
+        val actualSum = substring(md5(col("text").cast("binary")), 1, 2)
+        val storedSum = when(col("doc_id") % 97 === 0, lit("!!"))
+          .otherwise(actualSum)
+        Tables.documents(s, d)
+          .withColumn("modality", declared)
+          .select(col("source"), col("modality"),
+            (!magicOk).cast("long").as("bad_magic"),
+            (storedSum =!= actualSum).cast("long").as("bad_sum"))
+          .groupBy("source", "modality")
+          .agg(count(lit(1)).as("n_payloads"),
+            sum("bad_magic").as("n_wrong_magic"),
+            sum("bad_sum").as("n_checksum_fail"),
+            sum(greatest(col("bad_magic"), col("bad_sum")))
+              .as("n_quarantined"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT source,
+                 CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+                      THEN 'img' ELSE 'audio' END AS modality,
+                 substr(text, 1, 1) AS head,
+                 CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS bad_sum,
+                 doc_id
+          FROM documents),
+        f AS (SELECT source, modality,
+                     CASE WHEN modality = 'img'
+                          THEN CASE WHEN head BETWEEN 'a' AND 'm'
+                                    THEN 0 ELSE 1 END
+                          ELSE CASE WHEN head BETWEEN 'n' AND 'z'
+                                    THEN 0 ELSE 1 END END AS bad_magic,
+                     bad_sum
+              FROM v)
+        SELECT source, modality,
+               count(*) AS n_payloads,
+               CAST(sum(bad_magic) AS BIGINT) AS n_wrong_magic,
+               CAST(sum(bad_sum) AS BIGINT) AS n_checksum_fail,
+               CAST(sum(greatest(bad_magic, bad_sum)) AS BIGINT)
+                 AS n_quarantined
+        FROM f GROUP BY 1, 2 ORDER BY source"""))
   )
 }

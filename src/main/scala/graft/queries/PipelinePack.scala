@@ -823,6 +823,63 @@ object PipelinePack extends QueryPack {
                CAST(CASE WHEN orig_tokens > cap THEN cap
                     ELSE orig_tokens + surplus * orig_tokens // uncapped_tot
                     END AS BIGINT) AS final_tokens
-        FROM per, cap, st ORDER BY lang"""))
+        FROM per, cap, st ORDER BY lang""")),
+
+    // ── Snapshot diff (incremental-ingestion change ledger) ────────────
+    // The report every incremental crawl run starts from: keyed
+    // full-outer join of two corpus snapshots on doc_id, change class
+    // from null-ness + content-hash compare (added / removed /
+    // modified / unchanged), rolled up to class counts + byte deltas.
+    // Snapshots are deterministic fixture slices (v1 drops doc_id%10=0,
+    // v2 drops %7=0 and rewrites %5=0 uppercase) — the operator under
+    // test is the diff, not the slicing. Scale shape: ONE doc_id-keyed
+    // full-outer shuffle joins row-per-doc relations carrying only
+    // (id, md5, bytes) — content compares by 16-byte hash, never by
+    // payload — then a 4-group rollup. This is q40's CDC machinery
+    // pointed at corpus management; d07 is the same idea keyed by
+    // content instead of id.
+    "p19_snapshot_diff" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h1"),
+            octet_length(col("text")).cast("long").as("b1"))
+        val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, upper(col("text")))
+              .otherwise(col("text")).as("t2"))
+          .select(col("doc_id"), md5(col("t2").cast("binary")).as("h2"),
+            octet_length(col("t2")).cast("long").as("b2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") === col("h2"), "unchanged")
+              .otherwise("modified").as("class"),
+            coalesce(col("b2"), lit(0L)).as("b2"),
+            coalesce(col("b1"), lit(0L)).as("b1"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("b2") - col("b1")).as("byte_delta"))
+          .orderBy("class")
+      },
+      oracle = Some("""
+        WITH v1 AS (SELECT doc_id, md5(text) AS h1,
+                           octet_length(text::BLOB) AS b1
+                    FROM documents WHERE doc_id % 10 <> 0),
+        v2 AS (SELECT doc_id, md5(t2) AS h2, octet_length(t2::BLOB) AS b2
+               FROM (SELECT doc_id,
+                            CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                                 ELSE text END AS t2
+                     FROM documents WHERE doc_id % 7 <> 0))
+        SELECT CASE WHEN h1 IS NULL THEN 'added'
+                    WHEN h2 IS NULL THEN 'removed'
+                    WHEN h1 = h2 THEN 'unchanged'
+                    ELSE 'modified' END AS class,
+               count(*) AS n_docs,
+               CAST(sum(coalesce(b2, 0) - coalesce(b1, 0)) AS BIGINT)
+                 AS byte_delta
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        GROUP BY 1 ORDER BY class"""))
   )
 }

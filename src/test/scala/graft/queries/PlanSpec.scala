@@ -472,4 +472,29 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       "expected partial+final aggs for both the distinct-reduce and min(first_doc)")
   }
+
+  test("q57: null-safe equality plans as a hash-joinable key, not a residual") {
+    val p = planOf("q57_nullsafe_join")
+    // Catalyst rewrites `a <=> b` keys to (coalesce(a,_), isnull(a)) so
+    // the join stays hash-partitionable; a BNLJ here would mean <=> fell
+    // out of the equi-key set and became an all-pairs residual
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "null-safe join degraded to all-pairs")
+    assert(p.contains("Join") && p.contains("coalesce"),
+      "expected the coalesce/isnull null-safe key rewrite in a hash join")
+  }
+
+  test("p19: snapshot diff is ONE keyed full-outer join of hash-per-doc relations") {
+    val p = planOf("p19_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff join must be full-outer")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "diff degraded to all-pairs")
+  }
+
+  test("m06: quarantine audit is one scan + one two-phase rollup, no joins") {
+    val p = planOf("m06_payload_quarantine")
+    assert(!p.contains("Join"), "integrity audit must not join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final source rollup")
+  }
 }
