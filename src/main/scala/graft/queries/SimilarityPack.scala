@@ -1030,6 +1030,74 @@ object SimilarityPack extends QueryPack {
         FROM exact e LEFT JOIN mp m
           ON e.qid = m.qid AND e.neighbor = m.neighbor
         GROUP BY e.qid ORDER BY e.qid"""
+      }),
+
+    // ── Recall@k curve (k = 1, 3, 5) ───────────────────────────────────
+    // The CURVE, not one point: recall@1 (does the top hit survive
+    // bucketing?) vs recall@5 tell different tuning stories, and an
+    // index that's fine at @5 but poor at @1 needs reranking, not more
+    // probes. Defined as |top-k(exact) ∩ top-k(approx)| / (k·queries),
+    // aggregated over the query set per k. Pure eval arithmetic over
+    // the two (queries·topK)-row rank relations — the corpus-scale
+    // work happens inside s01/s03 with their adjudicated shapes; the
+    // k-expansion cross join multiplies a 3-row literal by rank rows.
+    "s19_recall_curve" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val exact = graft.SparkEntry.queries("s01_cosine_topk")(s, d)
+          .select(col("qid"), col("rank").as("erank"), col("neighbor"))
+        val approx = graft.SparkEntry.queries("s03_signlsh_ann")(s, d)
+          .select(col("qid").as("aqid"), col("rank").as("arank"),
+            col("neighbor").as("aneighbor"))
+        Seq(1, 3, 5).toDF("k")
+          .crossJoin(exact).filter(col("erank") <= col("k"))
+          .join(approx,
+            col("qid") === col("aqid")
+              && col("neighbor") === col("aneighbor")
+              && col("arank") <= col("k"), "left")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_considered"),
+            count(col("aneighbor")).as("n_hits"))
+          .select(col("k").cast("long").as("k"), col("n_considered"),
+            col("n_hits"),
+            expr("n_hits * 1000000L div n_considered").as("recall_ppm"))
+          .orderBy("k")
+      },
+      oracle = Some {
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(list_zip(v,
+             |  list_transform(range(0, $dim),
+             |    c -> (('0x' || substr(md5($p || '_' || c), 1, 4))::INT - 32767.5) / 32767.5)),
+             |  s -> s[1]*s[2]), (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""
+        WITH $sqlVecs,
+        nb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+        exact AS (
+          SELECT qid, rank AS erank, neighbor FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+            FROM n q JOIN n c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id)
+          WHERE rank <= $topK),
+        approx AS (
+          SELECT qid, rank AS arank, neighbor FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($sqlCos) DESC, c.vec_id) AS rank
+            FROM nb q JOIN nb c
+              ON q.vec_id < $numQueries AND q.bucket = c.bucket
+             AND q.vec_id <> c.vec_id)
+          WHERE rank <= $topK),
+        ks AS (SELECT unnest([1, 3, 5]) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               count(*) AS n_considered,
+               count(a.neighbor) AS n_hits,
+               count(a.neighbor) * 1000000 // count(*) AS recall_ppm
+        FROM ks JOIN exact e ON e.erank <= ks.k
+        LEFT JOIN approx a
+          ON e.qid = a.qid AND e.neighbor = a.neighbor AND a.arank <= ks.k
+        GROUP BY ks.k ORDER BY k"""
       })
   )
 }

@@ -904,6 +904,55 @@ object TextPack extends QueryPack {
                CAST(sum(CASE WHEN fi.first_doc = f.doc_id THEN 1 ELSE 0 END)
                  * 1000000 // count(*) AS BIGINT) AS novelty_ppm
         FROM flat f JOIN first fi USING (g)
-        GROUP BY f.doc_id ORDER BY f.doc_id"""))
+        GROUP BY f.doc_id ORDER BY f.doc_id""")),
+
+    // ── Term burstiness (variance/mean of doc-timeline gaps) ───────────
+    // Dispersion analysis over the ingestion timeline (doc_id as time):
+    // a term whose occurrences CLUMP (burst_ppm ≫ 1e6, i.e. var ≫ mean)
+    // signals topical/templated injections; uniform background vocab
+    // sits near/below 1e6. Computed for common terms (≥50 docs) from
+    // per-term gap series: one distinct-reduce of (tok, doc), one
+    // tok-PARTITIONED lag window (high-cardinality key — never a
+    // global sort), one tok rollup. var/mean is folded into a single
+    // integer expression, burst_ppm = 1e6·(m·Σg² − (Σg)²) / (m·Σg)
+    // with m = gaps — exact int64 end-to-end, no float variance
+    // (engines disagree on Welford vs two-pass; integers don't).
+    "t21_burstiness" -> Q(
+      run = (s, d) => {
+        val occ = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+        occ
+          .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1).over(w))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("gap")).as("m"),
+            sum(col("gap")).as("sg"),
+            sum(col("gap") * col("gap")).as("sg2"))
+          .filter(col("n_docs") >= 50)
+          .select(col("tok"), col("n_docs"),
+            expr("1000000L * (m * sg2 - sg * sg) div (m * sg)")
+              .as("burst_ppm"))
+          .orderBy("tok")
+      },
+      oracle = Some("""
+        WITH occ AS (SELECT DISTINCT doc_id,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        gaps AS (SELECT tok,
+                        doc_id - lag(doc_id) OVER (PARTITION BY tok
+                          ORDER BY doc_id) AS gap
+                 FROM occ),
+        agg AS (SELECT tok,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(gap) AS BIGINT) AS m,
+                       CAST(sum(gap) AS BIGINT) AS sg,
+                       CAST(sum(gap * gap) AS BIGINT) AS sg2
+                FROM gaps GROUP BY 1)
+        SELECT tok, n_docs,
+               CAST(1000000 * (m * sg2 - sg * sg) // (m * sg) AS BIGINT)
+                 AS burst_ppm
+        FROM agg WHERE n_docs >= 50 ORDER BY tok"""))
   )
 }

@@ -114,6 +114,37 @@ object TypedPack extends QueryPack {
                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_quantity >= 45
-        GROUP BY 1, 2 ORDER BY status, flag"""))
+        GROUP BY 1, 2 ORDER BY status, flag""")),
+
+    // ── groupByKey + reduceGroups (typed argmax fold) ──────────────────
+    // The fourth typed primitive: a binary associative reduce instead
+    // of a full group iterator — Spark runs it as a PARTIAL typed
+    // aggregate (objectHashAgg partial+final), so unlike ty01's
+    // mapGroups (which must see whole groups post-shuffle) each map
+    // task pre-folds its slice. The fold is "longest doc, ties to the
+    // smaller doc_id" — associative, commutative, deterministic: the
+    // typed twin of an argmax the untyped packs write as a
+    // row_number window.
+    "ty04_typed_reducegroups" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .groupByKey(_._2)
+          .reduceGroups { (a: (Long, String, Long), b: (Long, String, Long)) =>
+            if (a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)) a else b
+          }
+          .map { case (lang, (docId, _, nChars)) => (lang, docId, nChars) }
+          .toDF("lang", "doc_id", "n_chars")
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+        WHERE rk = 1 ORDER BY lang"""))
   )
 }

@@ -497,4 +497,18 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "expected partial+final source rollup")
   }
+
+  test("t21: gap series is a tok-PARTITIONED window, never a global sort") {
+    val p = planOf("t21_burstiness")
+    assert(p.contains("Window"), "lag over the doc timeline should be a window")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("windowspecdefinition"),
+      "burstiness window lost its tok partitioning")
+    assert(!p.contains("Join"), "burstiness needs no join")
+  }
+
+  test("ty04: reduceGroups pre-folds map-side (partial typed aggregate)") {
+    val p = planOf("ty04_typed_reducegroups")
+    assert(p.contains("partial_reduceaggregator"),
+      "reduceGroups lost its map-side partial fold — each task should pre-reduce")
+  }
 }
