@@ -863,6 +863,46 @@ object DedupPack extends QueryPack {
                CAST(count(*) - count(l.da) AS BIGINT) AS n_missed,
                CAST(round(count(l.da) * 10000.0 / count(*)) AS BIGINT)
                  AS recall_e4
-        FROM exact e LEFT JOIN lsh l ON e.da = l.da AND e.db = l.db"""))
+        FROM exact e LEFT JOIN lsh l ON e.da = l.da AND e.db = l.db""")),
+
+    // ── Hot-shingle skew audit (the d02-vs-d03 routing decision) ───────
+    // SCALE.md's standing caveat on every shared-token join is "hot
+    // shingles go quadratic"; this is the audit that MEASURES it before
+    // a run commits to the exact path: per-shingle doc frequency c
+    // contributes c·(c−1)/2 candidate pairs, so the top-k hot shingles
+    // + each one's share of the total pair budget (ppm) IS the routing
+    // decision — a head shingle carrying double-digit percent of all
+    // pairs says "band it (d03) or drop it (stopword-filter the join)".
+    // Shape: the memoized shingle relation → one shingle-keyed count
+    // agg (partial map-side) → pair math per row → global top-20 via
+    // TakeOrdered (never a full sort); the total-pairs denominator is a
+    // one-row scalar agg crossed back broadcast (the p01 pattern).
+    "d16_hot_shingles" -> Q(
+      run = (s, d) => {
+        val freq = shingled(s, d)
+          .select(explode(col("s")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c"))
+          .select(col("g"), col("c"),
+            (col("c") * (col("c") - 1) / 2).cast("long").as("pairs"))
+        val tot = freq.agg(sum("pairs").as("tot_pairs"))
+        freq.crossJoin(broadcast(tot))
+          .select(col("g"), col("c").as("n_docs"), col("pairs"),
+            expr("pairs * 1000000L div tot_pairs").as("pair_share_ppm"))
+          .orderBy(col("pairs").desc, col("g"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        freq AS (SELECT g, count(*) AS c FROM
+                   (SELECT doc_id, unnest(s) AS g FROM sh)
+                 GROUP BY 1),
+        p AS (SELECT g, CAST(c AS BIGINT) AS n_docs,
+                     CAST(c * (c - 1) // 2 AS BIGINT) AS pairs
+              FROM freq),
+        tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS tot_pairs FROM p)
+        SELECT g, n_docs, pairs,
+               pairs * 1000000 // tot_pairs AS pair_share_ppm
+        FROM p, tot
+        ORDER BY pairs DESC, g LIMIT 20"""))
   )
 }

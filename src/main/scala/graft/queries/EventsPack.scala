@@ -900,5 +900,74 @@ object EventsPack extends QueryPack {
                  AS n_late
         FROM e JOIN wm w USING (abatch)
         GROUP BY w.abatch, w.n_events ORDER BY w.abatch"""))
+    ,
+
+    // ── Watermark delay sweep (the curve that PICKS the delay) ─────────
+    // e22 accounts lateness at one delay; this sweeps D ∈ {1 min,
+    // 10 min, 1 h} in a single pass and emits the drop-rate curve —
+    // the number a team actually stares at when trading staleness for
+    // completeness. Because the delays are constants, the sweep costs
+    // NOTHING extra at scale: the per-event watermark base joins back
+    // once (broadcast, e22's shape) and the three delay thresholds are
+    // three conditional sums inside ONE scalar aggregate — no
+    // per-delay rescan, no cross join of the corpus; the 3-row curve
+    // is unpivoted from the one-row aggregate with stack().
+    "e23_delay_sweep" -> Q(
+      run = (s, d) => {
+        val jitterUs = 3600000000L
+        val batchUs  = 1800000000L
+        val e = Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            (unix_micros(col("ts")) +
+              conv(substring(md5(col("event_id").cast("string")), 1, 8),
+                16, 10).cast("long") % jitterUs).as("arr"))
+          .select(col("us"), expr(s"arr div ${batchUs}L").as("abatch"))
+        val perBatch = e.groupBy("abatch").agg(max("us").as("mx"))
+        val wmW = Window.orderBy("abatch")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wm = perBatch.select(col("abatch"),
+          max("mx").over(wmW).as("hi"))
+        def late(delayUs: Long) =
+          sum(when(col("us") < col("hi") - delayUs, 1L).otherwise(0L))
+        e.join(broadcast(wm), "abatch")
+          .agg(count(lit(1)).as("n_events"),
+            late(60000000L).as("l1"),
+            late(600000000L).as("l2"),
+            late(3600000000L).as("l3"))
+          .selectExpr("n_events",
+            "stack(3, 60L, l1, 600L, l2, 3600L, l3) AS (delay_s, n_late)")
+          .select(col("delay_s"), col("n_events"), col("n_late"),
+            expr("n_late * 1000000L div n_events").as("late_ppm"))
+          .orderBy("delay_s")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_us(ts) AS us,
+                 (epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 3600000000) // 1800000000 AS abatch
+          FROM events),
+        pb AS (SELECT abatch, max(us) AS mx FROM e GROUP BY 1),
+        wm AS (SELECT abatch,
+                      max(mx) OVER (ORDER BY abatch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS hi
+               FROM pb),
+        j AS (SELECT e.us, w.hi FROM e JOIN wm w USING (abatch)),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CASE WHEN us < hi - 60000000
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+                     CAST(sum(CASE WHEN us < hi - 600000000
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+                     CAST(sum(CASE WHEN us < hi - 3600000000
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS l3
+              FROM j)
+        SELECT delay_s, n_events, n_late,
+               n_late * 1000000 // n_events AS late_ppm
+        FROM (SELECT CAST(60 AS BIGINT) AS delay_s, n_events, l1 AS n_late FROM a
+              UNION ALL
+              SELECT 600, n_events, l2 FROM a
+              UNION ALL
+              SELECT 3600, n_events, l3 FROM a)
+        ORDER BY delay_s"""))
   )
 }

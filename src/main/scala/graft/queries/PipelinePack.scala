@@ -880,6 +880,56 @@ object PipelinePack extends QueryPack {
                CAST(sum(coalesce(b2, 0) - coalesce(b1, 0)) AS BIGINT)
                  AS byte_delta
         FROM v1 FULL OUTER JOIN v2 USING (doc_id)
-        GROUP BY 1 ORDER BY class"""))
+        GROUP BY 1 ORDER BY class""")),
+
+    // ── Data-loader shard manifest (balanced by construction) ──────────
+    // The last mile of the pipeline: deal the (seeded, p14-ordered)
+    // corpus onto 16 loader shards round-robin — shard = pos % 16 —
+    // and emit the manifest a distributed loader consumes: per-shard
+    // doc and token totals plus each shard's deviation from the mean
+    // token load (ppm). Round-robin over the hash order balances BOTH
+    // count (exactly ±1) and tokens (hash order is token-independent),
+    // unlike contiguous range sharding which inherits any length
+    // drift. Shape: the rank comes from GlobalRank's two-pass
+    // range-partitioned machinery (p14 — no single-partition stage);
+    // then one 16-group agg and a mean from a window OVER the 16-row
+    // manifest. The deviation column is the audit: a loader reading
+    // this manifest knows its stragglers BEFORE the epoch starts.
+    "p20_shard_manifest" -> Q(
+      run = (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            md5(concat(lit("7|"), col("doc_id").cast("string"))).as("h"))
+        graft.operators.GlobalRank.withRowNumber(hashed,
+            Seq(col("h"), col("doc_id")), "pos")
+          .select(((col("pos") - 1) % 16).as("shard"), col("n_tokens"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("tokens"))
+          // dev = tokens/mean − 1 in ppm, with the division kept over
+          // POSITIVE operands: Spark's `div` truncates toward zero while
+          // DuckDB's `//` floors, so a negative numerator would make the
+          // engines disagree by one ulp on some fixtures
+          .selectExpr("shard", "n_docs", "tokens",
+            """tokens * 1000000L div (sum(tokens) OVER () div 16)
+               - 1000000L AS dev_ppm""")
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        WITH r AS (SELECT doc_id,
+                          len(string_split(text, ' ')) AS n_tokens,
+                          CAST(row_number() OVER (
+                            ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS BIGINT) AS pos
+                   FROM documents),
+        sh AS (SELECT (pos - 1) % 16 AS shard,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_tokens) AS BIGINT) AS tokens
+               FROM r GROUP BY 1),
+        m AS (SELECT CAST(sum(tokens) // 16 AS BIGINT) AS mean FROM sh)
+        SELECT shard, n_docs, tokens,
+               tokens * 1000000 // mean - 1000000 AS dev_ppm
+        FROM sh, m ORDER BY shard"""))
   )
 }

@@ -511,4 +511,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_reduceaggregator"),
       "reduceGroups lost its map-side partial fold — each task should pre-reduce")
   }
+
+  test("d16: hot-shingle audit tops out via TakeOrdered, never a full sort") {
+    val p = planOf("d16_hot_shingles")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 hot shingles degraded to a global sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "shingle frequency must partial-aggregate before its shuffle")
+  }
+
+  test("e23: three delays cost ONE aggregate — no per-delay rescan, wm broadcast") {
+    val p = planOf("e23_delay_sweep")
+    assert(p.contains("BroadcastHashJoin"),
+      "watermark base should broadcast back onto the events")
+    assert(!p.contains("SortMergeJoin"), "wm join degraded to sort-merge")
+    assert(p.contains("Generate stack(3"),
+      "delay curve should unpivot the single scalar aggregate")
+  }
+
+  test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
+    val p = planOf("p20_shard_manifest")
+    // GlobalRank's range shuffle runs in its own upstream job (the plan
+    // shows its output as Scan ExistingRDD); what must NOT appear is a
+    // WindowExec row_number over the raw corpus — that's the w04 pin
+    assert(p.contains("Scan ExistingRDD"),
+      "expected GlobalRank's two-pass RDD output feeding the manifest")
+    assert(!p.contains("row_number"),
+      "rank fell back to a window row_number — the single-partition trap")
+  }
 }
