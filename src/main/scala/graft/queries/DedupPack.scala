@@ -903,6 +903,88 @@ object DedupPack extends QueryPack {
         SELECT g, n_docs, pairs,
                pairs * 1000000 // tot_pairs AS pair_share_ppm
         FROM p, tot
-        ORDER BY pairs DESC, g LIMIT 20"""))
+        ORDER BY pairs DESC, g LIMIT 20""")),
+
+    // ── LSH candidate precision / F1 (the other half of d15) ───────────
+    // d15 scores the banding's RECALL; this scores its candidate-stage
+    // PRECISION — the fraction of banded candidate pairs that survive
+    // exact verification — which is the verify-stage cost knob: more
+    // bands buy recall but each extra band dilutes precision and every
+    // false candidate pays a full Jaccard verification. TP counted via
+    // ONE full-outer join of the two pair relations (both orders of
+    // magnitude smaller than the corpus); F1 derives exactly from
+    // integer counts (2·TP/(|C|+|E|)), no float chain. Together
+    // d15+d17 are the band-count tuning instrument, the way s05/s18/
+    // s19 tune planes/probes.
+    "d17_lsh_precision" -> Q(
+      run = (s, d) => {
+        val sig = signatures(s, d)
+        val bandKeys = (0 until numBands).map { b =>
+          concat_ws("|",
+            (0 until bandSize).map(j => col(s"sig${b * bandSize + j}")): _*)
+        }
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val exact = graft.SparkEntry.queries("d02_ngram_jaccard")(s, d)
+          .select(col("da").as("eda"), col("db").as("edb"))
+        cand.join(exact,
+            col("da") === col("eda") && col("db") === col("edb"),
+            "full_outer")
+          .agg(count(col("da")).as("n_cand"),
+            count(col("eda")).as("n_exact"),
+            sum(when(col("da").isNotNull && col("eda").isNotNull, 1L)
+              .otherwise(0L)).as("n_tp"))
+          .select(col("n_cand"), col("n_exact"), col("n_tp"),
+            round(col("n_tp") * lit(10000.0) / col("n_cand"), 0)
+              .cast("long").as("precision_e4"),
+            round(col("n_tp") * lit(10000.0) / col("n_exact"), 0)
+              .cast("long").as("recall_e4"),
+            round(col("n_tp") * lit(20000.0)
+              / (col("n_cand") + col("n_exact")), 0)
+              .cast("long").as("f1_e4"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        exx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cnt AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                FROM exx a JOIN exx b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        exact AS (SELECT da, db
+                  FROM cnt JOIN sz x ON da = x.doc_id
+                           JOIN sz y ON db = y.doc_id
+                  WHERE CAST(round(shared * 10000.0
+                        / (x.sz + y.sz - shared)) AS BIGINT) >= 3000),
+        sig AS (SELECT doc_id, s,
+               $sigSql
+               FROM sh),
+        bands AS ($bandSql),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id),
+        j AS (SELECT c.da AS cda, e.da AS eda
+              FROM cand c FULL OUTER JOIN exact e
+                ON c.da = e.da AND c.db = e.db),
+        agg AS (SELECT CAST(count(cda) AS BIGINT) AS n_cand,
+                       CAST(count(eda) AS BIGINT) AS n_exact,
+                       CAST(sum(CASE WHEN cda IS NOT NULL
+                                      AND eda IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+                FROM j)
+        SELECT n_cand, n_exact, n_tp,
+               CAST(round(n_tp * 10000.0 / n_cand) AS BIGINT)
+                 AS precision_e4,
+               CAST(round(n_tp * 10000.0 / n_exact) AS BIGINT)
+                 AS recall_e4,
+               CAST(round(n_tp * 20000.0 / (n_cand + n_exact)) AS BIGINT)
+                 AS f1_e4
+        FROM agg"""))
   )
 }

@@ -954,5 +954,89 @@ object TextPack extends QueryPack {
                CAST(1000000 * (m * sg2 - sg * sg) // (m * sg) AS BIGINT)
                  AS burst_ppm
         FROM agg WHERE n_docs >= 50 ORDER BY tok"""))
+    ,
+
+    // ── RAKE keyword extraction (stopword-delimited phrases) ───────────
+    // Rapid Automatic Keyword Extraction (Rose et al. 2010), integer-
+    // exact: candidate phrases are maximal stopword-free token runs;
+    // word score = degree/freq in ppm (degree = Σ lengths of phrases
+    // containing the word — co-occurrence weighting that favors words
+    // living in long collocations); phrase score = Σ member-word
+    // scores; emit the global top 15. Shape: phrase segmentation is a
+    // doc-PARTITIONED running count of stopwords (high-cardinality
+    // window key), then three hash aggs — (doc,phrase) bounds, corpus
+    // word stats, distinct-phrase scores — and a TakeOrdered top-15.
+    // Word stats are vocabulary-sized; nothing joins the corpus to
+    // itself. All scores are integer ppm (div), so both engines agree
+    // bit-for-bit.
+    "t22_rake_keywords" -> Q(
+      run = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val pos = toks
+          .select(col("doc_id"), col("toks"),
+            posexplode(col("toks")).as(Seq("pos", "tok")))
+          .withColumn("is_stop", col("tok").isin(stop: _*).cast("int"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val seg = pos.withColumn("phrase_id", sum(col("is_stop")).over(w))
+          .filter(col("is_stop") === 0)
+        val phrases = seg.groupBy(col("doc_id"), col("phrase_id"))
+          .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"),
+            count(lit(1)).as("plen"), first(col("toks")).as("toks"))
+          .select(expr("array_join(slice(toks, p0 + 1, p1 - p0 + 1), ' ')")
+            .as("phrase"), col("plen"))
+        val wordStats = phrases
+          .select(col("plen"), explode(split(col("phrase"), " ")).as("wd"))
+          .groupBy("wd")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+          .select(col("wd"),
+            expr("degree * 1000000L div freq").as("wscore_ppm"))
+        phrases.select(col("phrase")).distinct()
+          .select(col("phrase"),
+            explode(split(col("phrase"), " ")).as("wd"))
+          .join(wordStats, "wd")
+          .groupBy("phrase")
+          .agg(count(lit(1)).as("n_words"),
+            sum("wscore_ppm").as("score_ppm"))
+          .orderBy(col("score_ppm").desc, col("phrase"))
+          .limit(15)
+      },
+      oracle = Some(s"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+        pos AS (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS pos
+                FROM tk),
+        tagged AS (SELECT doc_id, toks, pos, toks[pos] AS tok,
+                          CASE WHEN toks[pos] IN ($sqlStop)
+                               THEN 1 ELSE 0 END AS is_stop
+                   FROM pos),
+        seg AS (SELECT doc_id, toks, pos,
+                       sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS phrase_id, is_stop
+                FROM tagged),
+        ph AS (SELECT array_to_string(
+                        any_value(toks)[min(pos):max(pos)], ' ') AS phrase,
+                      CAST(count(*) AS BIGINT) AS plen
+               FROM seg WHERE is_stop = 0
+               GROUP BY doc_id, phrase_id),
+        ws AS (SELECT wd,
+                      CAST(sum(plen) * 1000000 // count(*) AS BIGINT)
+                        AS wscore_ppm
+               FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS wd
+                     FROM ph)
+               GROUP BY 1),
+        dp AS (SELECT DISTINCT phrase FROM ph),
+        scored AS (SELECT p.phrase,
+                          CAST(count(*) AS BIGINT) AS n_words,
+                          CAST(sum(ws.wscore_ppm) AS BIGINT) AS score_ppm
+                   FROM (SELECT phrase,
+                                unnest(string_split(phrase, ' ')) AS wd
+                         FROM dp) p
+                   JOIN ws USING (wd)
+                   GROUP BY 1)
+        SELECT phrase, n_words, score_ppm
+        FROM scored ORDER BY score_ppm DESC, phrase LIMIT 15"""))
   )
 }

@@ -529,6 +529,22 @@ class PlanSpec extends AnyFunSuite {
       "delay curve should unpivot the single scalar aggregate")
   }
 
+  test("d17: precision eval joins two pair relations, never re-expands the corpus") {
+    val p = planOf("d17_lsh_precision")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate/exact pair comparison degraded to all-pairs")
+    assert(p.contains("FullOuter"),
+      "TP/FP/FN accounting needs the full-outer pair join")
+  }
+
+  test("t22: RAKE is doc-keyed windows + vocab-sized aggs, top-15 via TakeOrdered") {
+    val p = planOf("t22_rake_keywords")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "phrase/word scoring degraded to all-pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-15 phrases degraded to a full sort")
+  }
+
   test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
     val p = planOf("p20_shard_manifest")
     // GlobalRank's range shuffle runs in its own upstream job (the plan
