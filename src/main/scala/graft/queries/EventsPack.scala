@@ -968,6 +968,66 @@ object EventsPack extends QueryPack {
               SELECT 600, n_events, l2 FROM a
               UNION ALL
               SELECT 3600, n_events, l3 FROM a)
-        ORDER BY delay_s"""))
+        ORDER BY delay_s""")),
+
+    // ── Peak concurrent sessions (sweep-line over session intervals) ───
+    // Capacity planning from e03's sessions: how many sessions were
+    // simultaneously active at the worst minute? The sweep-line
+    // formulation keeps it scale-shaped where the naive minute×session
+    // expansion would multiply the corpus by session length: each
+    // session contributes exactly TWO delta rows (+1 at its start
+    // minute, −1 one past its end minute), deltas hash-aggregate per
+    // minute (one shuffle of 2 rows/session), and the running sum runs
+    // over the DISTINCT-MINUTE relation — metadata bounded by the time
+    // span (~526k rows/year at any corpus width), the e22 window
+    // argument again. Peaks can only occur at delta minutes, so the
+    // top-5 via TakeOrdered over that relation is exact.
+    "e24_peak_concurrency" -> Q(
+      run = (s, d) => {
+        val sess = graft.SparkEntry.queries("e03_sessionize")(s, d)
+          .select(expr("start_us div 60000000L").as("m0"),
+            expr("(start_us + dur_us) div 60000000L + 1L").as("m1"))
+        val deltas = sess.select(col("m0").as("minute"), lit(1L).as("d"))
+          .union(sess.select(col("m1").as("minute"), lit(-1L).as("d")))
+          .groupBy("minute").agg(sum("d").as("delta"))
+        val w = Window.orderBy("minute")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("n_active", sum(col("delta")).over(w))
+          .select(col("minute"), col("n_active"))
+          .orderBy(col("n_active").desc, col("minute"))
+          .limit(5)
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us, 1) OVER w IS NULL
+                        OR us - lag(us, 1) OVER w > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM t
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sessions AS (
+          SELECT user_id, us,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+          FROM flagged),
+        iv AS (SELECT min(us) // 60000000 AS m0,
+                      max(us) // 60000000 + 1 AS m1
+               FROM sessions GROUP BY user_id, sess_id),
+        deltas AS (
+          SELECT minute, CAST(sum(d) AS BIGINT) AS delta FROM (
+            SELECT m0 AS minute, 1 AS d FROM iv
+            UNION ALL SELECT m1, -1 FROM iv)
+          GROUP BY 1),
+        run AS (SELECT CAST(minute AS BIGINT) AS minute,
+                       CAST(sum(delta) OVER (ORDER BY minute
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS n_active
+                FROM deltas)
+        SELECT minute, n_active FROM run
+        ORDER BY n_active DESC, minute LIMIT 5"""))
   )
 }

@@ -930,6 +930,50 @@ object PipelinePack extends QueryPack {
         m AS (SELECT CAST(sum(tokens) // 16 AS BIGINT) AS mean FROM sh)
         SELECT shard, n_docs, tokens,
                tokens * 1000000 // mean - 1000000 AS dev_ppm
-        FROM sh, m ORDER BY shard"""))
+        FROM sh, m ORDER BY shard""")),
+
+    // ── Tokenizer fertility by language ────────────────────────────────
+    // The tokenizer-eval number a mix designer needs before p11/p12's
+    // token budgeting means anything: fertility = subword tokens per
+    // whitespace word (t06's BPE-ish pre-tokenizer), and bytes per
+    // subword token, per language — a language whose fertility runs
+    // hot consumes budget faster than its byte share suggests, and a
+    // budget computed in WORDS for one language and TOKENS for another
+    // is silently wrong. One scan, per-row regexp counts, one
+    // lang-keyed two-phase agg; integer ppm/e4 outputs.
+    "p21_tokenizer_fertility" -> Q(
+      run = (s, d) => {
+        val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("words"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .cast("long").as("subs"),
+            col("n_chars"))
+          .groupBy("lang")
+          .agg(sum("words").as("words"), sum("subs").as("subtokens"),
+            sum("n_chars").as("bytes"))
+          .select(col("lang"), col("words"), col("subtokens"),
+            expr("subtokens * 1000000L div words").as("fertility_ppm"),
+            expr("bytes * 10000L div subtokens").as("bytes_per_tok_e4"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                 CAST(len(regexp_extract_all(text,
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS subs,
+                 n_chars
+          FROM documents),
+        agg AS (SELECT lang,
+                       CAST(sum(words) AS BIGINT) AS words,
+                       CAST(sum(subs) AS BIGINT) AS subtokens,
+                       CAST(sum(n_chars) AS BIGINT) AS bytes
+                FROM per GROUP BY 1)
+        SELECT lang, words, subtokens,
+               subtokens * 1000000 // words AS fertility_ppm,
+               bytes * 10000 // subtokens AS bytes_per_tok_e4
+        FROM agg ORDER BY lang"""))
   )
 }

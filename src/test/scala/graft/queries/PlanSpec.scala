@@ -545,6 +545,21 @@ class PlanSpec extends AnyFunSuite {
       "global top-15 phrases degraded to a full sort")
   }
 
+  test("e24: sweep-line peaks via TakeOrdered; sessions never expand per-minute") {
+    val p = planOf("e24_peak_concurrency")
+    assert(p.contains("TakeOrderedAndProject"),
+      "peak top-5 degraded to a full sort")
+    assert(!p.contains("Generate explode") && !p.contains("sequence("),
+      "session intervals expanded to per-minute rows — use the 2-delta sweep-line")
+  }
+
+  test("p21: fertility is one scan + one lang-keyed two-phase agg") {
+    val p = planOf("p21_tokenizer_fertility")
+    assert(!p.contains("Join"), "fertility needs no join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "lang totals must partial-aggregate before their one shuffle")
+  }
+
   test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
     val p = planOf("p20_shard_manifest")
     // GlobalRank's range shuffle runs in its own upstream job (the plan
