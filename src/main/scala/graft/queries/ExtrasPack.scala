@@ -1368,6 +1368,41 @@ object ExtrasPack extends QueryPack {
         SELECT CAST(coalesce(ck, -1) AS BIGINT) AS nation_key,
                count(*) AS n_pairs
         FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
-        GROUP BY 1 ORDER BY nation_key"""))
+        GROUP BY 1 ORDER BY nation_key""")),
+
+    // ── GROUPING() disambiguation of rollup NULLs ──────────────────────
+    // The correctness corner q09–q11 leave open: a NULL in a rollup
+    // output is ambiguous — "subtotal row" or "NULL data value"? The
+    // SQL answer is the GROUPING() indicator (1 = column rolled up,
+    // 0 = real value — including a real NULL). Exercised by injecting
+    // genuine NULLs (nullif on one status) into a CUBE: coalesce-based
+    // labeling would merge the NULL-data rows into the subtotal rows
+    // and double-count; the grouping flags keep them apart, pinned by
+    // the oracle's identical flag columns. Plan shape is q10's: one
+    // Expand (×4 grouping sets) + one two-phase hash agg.
+    "q58_grouping_id" -> Q(
+      run = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q58_orders")
+        s.sql("""
+          SELECT coalesce(nullif(o_orderstatus, 'P'), '?') AS status,
+                 coalesce(o_orderpriority, '?') AS priority,
+                 CAST(grouping(nullif(o_orderstatus, 'P')) AS BIGINT)
+                   AS g_status,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+                 count(*) AS n
+          FROM q58_orders
+          GROUP BY CUBE (nullif(o_orderstatus, 'P'), o_orderpriority)
+          ORDER BY g_status, g_priority, status, priority""")
+      },
+      oracle = Some("""
+        SELECT coalesce(nullif(o_orderstatus, 'P'), '?') AS status,
+               coalesce(o_orderpriority, '?') AS priority,
+               CAST(GROUPING(nullif(o_orderstatus, 'P')) AS BIGINT)
+                 AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (nullif(o_orderstatus, 'P'), o_orderpriority)
+        ORDER BY g_status, g_priority, status, priority"""))
   )
 }

@@ -974,6 +974,44 @@ object PipelinePack extends QueryPack {
         SELECT lang, words, subtokens,
                subtokens * 1000000 // words AS fertility_ppm,
                bytes * 10000 // subtokens AS bytes_per_tok_e4
-        FROM agg ORDER BY lang"""))
+        FROM agg ORDER BY lang""")),
+
+    // ── Canary-string leak scan (eval-integrity sweep) ─────────────────
+    // The eval-integrity check n-gram decontamination (p06/p17) cannot
+    // replace: canaries are matched as raw SUBSTRINGS, so they catch
+    // re-tokenized, re-wrapped, or punctuation-mangled copies that
+    // token-n-gram joins miss. Canary phrases are derived from the
+    // fixture itself (first 3 tokens of every 100th doc — the stand-in
+    // for a benchmark's planted GUIDs); the scan is the canonical
+    // tiny-broadcast shape: the canary list broadcasts (benchmark
+    // canary sets are dozens of strings by construction) and the
+    // corpus takes ONE substring-predicate pass — a 5-row BNLJ, the
+    // adjudicated q17/p06 pattern, NOT a corpus-sized join. Emits
+    // hits-per-canary + first occurrence; n_hits > 1 is a leak.
+    "p22_canary_scan" -> Q(
+      run = (s, d) => {
+        val can = Tables.documents(s, d)
+          .filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("canary_doc"),
+            expr("array_join(slice(split(text, ' '), 1, 3), ' ')")
+              .as("canary"))
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .join(broadcast(can), expr("contains(text, canary)"))
+          .groupBy("canary_doc")
+          .agg(count(lit(1)).as("n_hits"),
+            min(col("doc_id")).as("first_hit_doc"))
+          .orderBy("canary_doc")
+      },
+      oracle = Some("""
+        WITH can AS (
+          SELECT doc_id AS canary_doc,
+                 array_to_string(string_split(text, ' ')[1:3], ' ')
+                   AS canary
+          FROM documents WHERE doc_id % 100 = 0)
+        SELECT canary_doc,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(min(d.doc_id) AS BIGINT) AS first_hit_doc
+        FROM can JOIN documents d ON contains(d.text, can.canary)
+        GROUP BY 1 ORDER BY canary_doc"""))
   )
 }

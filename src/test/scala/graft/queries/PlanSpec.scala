@@ -560,6 +560,22 @@ class PlanSpec extends AnyFunSuite {
       "lang totals must partial-aggregate before their one shuffle")
   }
 
+  test("q58: cube with grouping flags is one Expand + one two-phase agg") {
+    val p = planOf("q58_grouping_id")
+    assert(p.contains("Expand"),
+      "CUBE lost its Expand — grouping sets should multiply rows once")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "cube agg must stay partial+final")
+  }
+
+  test("p22: canary list broadcasts; corpus takes one substring pass") {
+    val p = planOf("p22_canary_scan")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "substring scan should be the tiny-broadcast BNLJ (canary side is dozens of rows)")
+    assert(p.split("\n").count(_.contains("SortMergeJoin")) == 0,
+      "canary join degraded to a corpus-sized shuffle join")
+  }
+
   test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
     val p = planOf("p20_shard_manifest")
     // GlobalRank's range shuffle runs in its own upstream job (the plan
