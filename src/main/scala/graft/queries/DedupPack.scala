@@ -882,8 +882,10 @@ object DedupPack extends QueryPack {
         val freq = shingled(s, d)
           .select(explode(col("s")).as("g"))
           .groupBy("g").agg(count(lit(1)).as("c"))
+          // exact int64 pair math (matches the oracle's `//`): never the
+          // float Divide path, which silently loses bits past 2^53
           .select(col("g"), col("c"),
-            (col("c") * (col("c") - 1) / 2).cast("long").as("pairs"))
+            expr("c * (c - 1) div 2").as("pairs"))
         val tot = freq.agg(sum("pairs").as("tot_pairs"))
         freq.crossJoin(broadcast(tot))
           .select(col("g"), col("c").as("n_docs"), col("pairs"),

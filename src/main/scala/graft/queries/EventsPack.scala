@@ -88,7 +88,7 @@ object EventsPack extends QueryPack {
         WITH t AS (
           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         flagged AS (
-          SELECT user_id, us,
+          SELECT user_id, event_id, us,
                  CASE WHEN lag(us, 1) OVER w IS NULL
                         OR us - lag(us, 1) OVER w > 1800 * 1000000
                       THEN 1 ELSE 0 END AS new_sess
@@ -96,7 +96,8 @@ object EventsPack extends QueryPack {
           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         sessions AS (
           SELECT user_id, us,
-                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
           FROM flagged)
         SELECT user_id, sess_id, count(*) AS n_events,
@@ -1002,7 +1003,7 @@ object EventsPack extends QueryPack {
         WITH t AS (
           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         flagged AS (
-          SELECT user_id, us,
+          SELECT user_id, event_id, us,
                  CASE WHEN lag(us, 1) OVER w IS NULL
                         OR us - lag(us, 1) OVER w > 1800 * 1000000
                       THEN 1 ELSE 0 END AS new_sess
@@ -1010,7 +1011,8 @@ object EventsPack extends QueryPack {
           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         sessions AS (
           SELECT user_id, us,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                 sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS sess_id
           FROM flagged),

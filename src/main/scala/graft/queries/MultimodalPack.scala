@@ -233,8 +233,11 @@ object MultimodalPack extends QueryPack {
     // and not after.
     "m06_payload_quarantine" -> Q(
       run = (s, d) => {
+        // to-end suffix + TRY_CAST on BOTH engines: a fixture whose
+        // source ids grow or go non-numeric fails the gate comparably
+        // instead of diverging on silent substr/cast differences
         val declared = when(
-          expr("CAST(substr(source, 4) AS INT)") % 2 === 0, "img")
+          expr("TRY_CAST(substr(source, 4) AS INT)") % 2 === 0, "img")
           .otherwise("audio")
         val head = substring(col("text"), 1, 1)
         val magicOk = when(col("modality") === "img",
@@ -259,7 +262,7 @@ object MultimodalPack extends QueryPack {
       oracle = Some("""
         WITH v AS (
           SELECT source,
-                 CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+                 CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
                       THEN 'img' ELSE 'audio' END AS modality,
                  substr(text, 1, 1) AS head,
                  CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS bad_sum,
