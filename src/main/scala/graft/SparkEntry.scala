@@ -38,4 +38,8 @@ object SparkEntry {
 
   /** Headline queries timed by [[Bench]]. */
   def benchQueries: Seq[String] = all.collect { case (n, q) if q.bench => n }
+
+  /** Iterative-operator group timed by [[Bench]], reported separately. */
+  def benchIterQueries: Seq[String] =
+    all.collect { case (n, q) if q.benchIter => n }
 }

@@ -326,7 +326,8 @@ object DedupPack extends QueryPack {
           UNION
           SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
         SELECT n AS doc_id, min(m) AS cluster_id
-        FROM reach GROUP BY n ORDER BY doc_id""")),
+        FROM reach GROUP BY n ORDER BY doc_id"""),
+      benchIter = true),
 
     // ── Incremental (delta) near-dup: new docs vs the whole corpus ─────
     // The operation a production pipeline actually runs: yesterday's

@@ -60,7 +60,8 @@ object GraphPack extends QueryPack {
         ${duckStep("r0", "i1")},
         ${duckStep("i1", "i2")},
         ${duckStep("i2", "i3")}
-        SELECT node, r AS rank_e6 FROM i3 ORDER BY node""")),
+        SELECT node, r AS rank_e6 FROM i3 ORDER BY node"""),
+      benchIter = true),
 
     // ── Bounded BFS hop distance ───────────────────────────────────────
     // Min-hop distance from supplier 1 over the same symmetrized trade
@@ -286,7 +287,8 @@ object GraphPack extends QueryPack {
         ${peel("p5", "p6")}
         SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
         FROM p6 GROUP BY u ORDER BY node"""
-      }),
+      },
+      benchIter = true),
 
     // ── Semi-supervised label propagation (2 clamped rounds) ───────────
     // A third of the suppliers are seeded with their nation; labels

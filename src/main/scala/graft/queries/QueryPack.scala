@@ -27,7 +27,13 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
     /** Queries included in the Bench headline set. */
-    bench: Boolean = false)
+    bench: Boolean = false,
+    /** Queries in Bench's ITERATIVE group (loop-shaped engines: CC,
+      * PageRank, k-means, k-core). Timed and reported separately so the
+      * fixed 14-query headline total stays comparable across rounds
+      * while the per-round lineage-cut cost — the least-measured scale
+      * risk of the fixpoint operators — gets its own floor. */
+    benchIter: Boolean = false)
 
 trait QueryPack {
   def queries: Seq[(String, Q)]

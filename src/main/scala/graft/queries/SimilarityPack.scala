@@ -535,7 +535,8 @@ object SimilarityPack extends QueryPack {
                            ORDER BY dist, cid) AS rn
                   FROM a2d) WHERE rn = 1)
         SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist
-        FROM a2 ORDER BY vec_id""")),
+        FROM a2 ORDER BY vec_id"""),
+      benchIter = true),
 
     // ── Distributed Gram matrix (PCA / whitening prep) ─────────────────
     // The linear-algebra primitive behind PCA, whitening, and dense

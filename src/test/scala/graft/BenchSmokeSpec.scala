@@ -27,4 +27,12 @@ class BenchSmokeSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("iterative bench group is the four loop-shaped engines") {
+    // The group exists to floor the fixpoint operators' per-round
+    // lineage-cut cost; membership is pinned so a refactor can't
+    // silently drop one from the driver's BENCH_r{N} report.
+    assert(SparkEntry.benchIterQueries.sorted ==
+      Seq("d06_dup_clusters", "g01_pagerank", "g05_kcore", "s09_int_kmeans"))
+  }
 }
