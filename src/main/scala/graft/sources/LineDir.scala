@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -120,7 +120,14 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
             s"requested ${f.dataType.simpleString}")
     }
     new LineDirScanBuilder(path, tableSchema,
-      Option(options.get("targetPartitionBytes")).map(_.toLong))
+      Option(options.get("targetPartitionBytes")).map(_.toLong),
+      StreamOptions(
+        maxFilesPerTrigger =
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        maxFileAgeMs = Option(options.get("maxFileAgeMs")).map(_.toLong),
+        compactInterval =
+          Option(options.get("logCompactInterval")).map(_.toInt)
+            .getOrElse(10)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -133,23 +140,33 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
 
 // ── read path ─────────────────────────────────────────────────────────
 
+/** Streaming-read tuning knobs (ignored by the batch path). */
+private[sources] case class StreamOptions(
+    maxFilesPerTrigger: Option[Int],
+    maxFileAgeMs: Option[Long],
+    compactInterval: Int)
+
 private[sources] class LineDirScanBuilder(path: String,
-    tableSchema: StructType, targetBytes: Option[Long])
+    tableSchema: StructType, targetBytes: Option[Long],
+    streamOpts: StreamOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new LineDirScan(path, required, targetBytes)
+  override def build(): Scan =
+    new LineDirScan(path, required, targetBytes, streamOpts)
 }
 
 private[sources] class LineDirScan(path: String, required: StructType,
-    targetBytes: Option[Long]) extends Scan with Batch {
+    targetBytes: Option[Long], streamOpts: StreamOptions)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LineDirMicroBatchStream(path, required.fieldNames)
+    new LineDirMicroBatchStream(path, required.fieldNames,
+      checkpointLocation, streamOpts)
 
   /** Default: one partition per file (reference split parity). With
     * targetPartitionBytes: greedy first-fit over the SORTED listing —
@@ -186,52 +203,117 @@ private[sources] case class LineDirPartition(dir: String, files: Seq[String])
 
 // ── streaming read path ───────────────────────────────────────────────
 
-/** File-arrival offset: the sorted set of filenames seen so far. A
-  * micro-batch (start, end] reads exactly the files in `end` but not in
-  * `start`, so arrival order never matters (a late file whose name
-  * sorts before already-seen ones is still picked up) and a
-  * checkpoint-restart replans the same batch from the logged offsets.
-  *
-  * Scale posture: the offset carries the full name list, so the offset
-  * log grows with file count — the right shape for the reference's
-  * one-dir-per-job model (thousands of parts). A production source for
-  * unbounded dirs would swap this for Spark's FileStreamSource-style
-  * compacted seen-file log + retention window; the (start, end] batch
-  * semantics here would not change. */
-private[sources] case class LineDirOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
-    files.map(f => "\"" + f.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\"").mkString("[", ",", "]")
+/** File-arrival offset: an INDEX into the source's own seen-file log
+  * (below) — O(1) JSON regardless of how many files have ever been
+  * seen, so Spark's offset/commit logs stay constant-size per batch. A
+  * micro-batch (start, end] reads exactly the files recorded in the
+  * log's delta entries start+1..end, so arrival order never matters (a
+  * late file whose name sorts before already-seen ones lands in a later
+  * delta) and a checkpoint-restart replans the identical batch from the
+  * persisted deltas. batchId -1 is the empty initial offset. */
+private[sources] case class LineDirOffset(batchId: Long) extends Offset {
+  override def json(): String = s"""{"batch":$batchId}"""
 }
 
 private[sources] object LineDirOffset {
-  /** Inverse of json() — a tiny string-array parser (filenames only). */
   def fromJson(j: String): LineDirOffset = {
-    val out = Seq.newBuilder[String]
-    val sb = new StringBuilder
-    var i = 0; var inStr = false
-    while (i < j.length) {
-      val c = j.charAt(i)
-      if (!inStr) {
-        if (c == '"') { inStr = true; sb.clear() }
-        i += 1
-      } else c match {
-        case '"' => out += sb.toString; inStr = false; i += 1
-        case '\\' =>
-          j.charAt(i + 1) match {
-            case 'u' =>
-              sb += Integer.parseInt(j.substring(i + 2, i + 6), 16).toChar
-              i += 6
-            case e => sb += (if (e == 'n') '\n' else e); i += 2
-          }
-        case c => sb += c; i += 1
-      }
+    val m = """-?\d+""".r.findFirstIn(j).getOrElse(
+      throw new IllegalArgumentException(s"bad linedir offset: $j"))
+    LineDirOffset(m.toLong)
+  }
+}
+
+/** The source's persistent seen-file log (FileStreamSource's design,
+  * re-expressed): under `<checkpoint>/linedir-seen/`, each batch N
+  * writes `N.delta` — the files first seen in that batch, one
+  * `<mtimeMs>\t<escaped name>` line each — and every `compactInterval`
+  * batches also `N.compact`, the FULL retained seen-set at N. Restore
+  * reads the newest compact plus the deltas after it, so neither
+  * restart cost nor (after `commit` prunes deltas folded into the
+  * newest committed compact) checkpoint size grows with the total
+  * number of batches ever run. With `maxFileAgeMs` set, compaction
+  * additionally evicts entries whose recorded mtime has aged out — and
+  * candidate files older than the window are ignored outright — so the
+  * compact itself is bounded by the retention window, not by the
+  * lifetime of the input dir. Without it, the compact grows with
+  * distinct files seen (exact semantics — nothing is ever re-read). */
+private[sources] class LineDirSeenLog(dir: Path) {
+  Files.createDirectories(dir)
+
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\t' => "\\t"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        sb += (s.charAt(i + 1) match {
+          case 't' => '\t'; case 'n' => '\n'; case 'r' => '\r'; case c => c
+        }); i += 2
+      } else { sb += s.charAt(i); i += 1 }
     }
-    LineDirOffset(out.result())
+    sb.toString
+  }
+
+  private def write(p: Path, entries: Seq[(String, Long)]): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, entries.map { case (n, mt) => s"$mt\t${esc(n)}" }
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def read(p: Path): Seq[(String, Long)] =
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        (unesc(l.substring(i + 1)), l.substring(0, i).toLong)
+      }
+
+  private def ids(suffix: String): Seq[Long] =
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(suffix))
+      .map(_.stripSuffix(suffix).toLong).toSeq.sorted
+
+  def deltaPath(id: Long): Path = dir.resolve(s"$id.delta")
+  private def compactPath(id: Long): Path = dir.resolve(s"$id.compact")
+
+  def writeDelta(id: Long, entries: Seq[(String, Long)]): Unit =
+    write(deltaPath(id), entries)
+  def readDelta(id: Long): Seq[(String, Long)] = read(deltaPath(id))
+  def writeCompact(id: Long, entries: Seq[(String, Long)]): Unit =
+    write(compactPath(id), entries)
+
+  /** (lastBatchId, seen name→mtime) from newest compact + later deltas. */
+  def restore(): (Long, scala.collection.mutable.HashMap[String, Long]) = {
+    val seen = scala.collection.mutable.HashMap.empty[String, Long]
+    val compactIds = ids(".compact")
+    val base = compactIds.lastOption.getOrElse(-1L)
+    if (base >= 0) seen ++= read(compactPath(base))
+    val deltaIds = ids(".delta").filter(_ > base)
+    deltaIds.foreach(id => seen ++= readDelta(id))
+    ((deltaIds :+ base).max, seen)
+  }
+
+  /** Prune entries a committed batch makes redundant: deltas folded
+    * into the newest compact ≤ end, and older compacts. The engine
+    * never replans a committed batch, and restore() only reads the
+    * newest compact forward — so post-commit the log holds ONE compact
+    * plus at most compactInterval live deltas, regardless of how many
+    * batches have ever run. */
+  def pruneUpTo(end: Long): Unit = {
+    val compactIds = ids(".compact").filter(_ <= end)
+    compactIds.lastOption.foreach { keep =>
+      ids(".delta").filter(_ <= keep)
+        .foreach(id => Files.deleteIfExists(deltaPath(id)))
+      compactIds.filter(_ < keep)
+        .foreach(id => Files.deleteIfExists(compactPath(id)))
+    }
   }
 }
 
@@ -239,20 +321,117 @@ private[sources] object LineDirOffset {
   * files that arrived since the last offset (reference input model is a
   * static dir enumerated once, manager/__main__.py:371-374 — this is
   * its continuous twin). One InputPartition per new file, sorted, same
-  * reader and column pruning as the batch scan. */
+  * reader and column pruning as the batch scan.
+  *
+  * Admission control: `.option("maxFilesPerTrigger", n)` caps each
+  * micro-batch at n new files (sorted order), so a backlog becomes a
+  * sequence of bounded batches instead of one giant one; implements
+  * SupportsTriggerAvailableNow so Trigger.AvailableNow respects the
+  * cap too (the files present at query start are drained in n-file
+  * batches, files arriving later wait for the next run — the
+  * FileStreamSource contract).
+  *
+  * State discipline: the seen-set is restored ONCE per run from the
+  * source's own log, never from the engine-passed start offset —
+  * Spark's AvailableNow wrapper passes initialOffset() even on
+  * restart, and an offset that merely indexes the log could not carry
+  * the seen-set anyway. A delta written by a latestOffset whose offset
+  * never reached Spark's offset log (crash between the two writes) is
+  * re-adopted on restart exactly like FileStreamSource's orphan
+  * metadata-log batch: restore() counts it, the next latestOffset
+  * returns its id, and the engine plans it as the next batch — no file
+  * is lost or read twice. */
 private[sources] class LineDirMicroBatchStream(path: String,
-    fields: Array[String]) extends MicroBatchStream {
+    fields: Array[String], checkpointLocation: String,
+    opts: StreamOptions)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  override def initialOffset(): Offset = LineDirOffset(Nil)
+  // Spark passes the per-source checkpoint dir as a URI string
+  // (file:/...); this connector is local-FS (like its write path), so
+  // resolve the file scheme and reject others loudly.
+  private val ckptDir: Path = {
+    val u = java.net.URI.create(checkpointLocation
+      .replace(" ", "%20"))
+    Option(u.getScheme) match {
+      case None => Paths.get(checkpointLocation)
+      case Some("file") => Paths.get(u.getPath)
+      case Some(other) => throw new IllegalArgumentException(
+        s"linedir streaming checkpoint must be a local path, got scheme " +
+          s"$other ($checkpointLocation)")
+    }
+  }
+  private val log = new LineDirSeenLog(ckptDir.resolve("linedir-seen"))
+  // restored lazily so a stream that only deserializes offsets (e.g.
+  // during recovery planning) doesn't pay the log read
+  private var lastBatchId: Long = -2L // -2 = not yet restored
+  private var seen: scala.collection.mutable.HashMap[String, Long] = _
+  // Trigger.AvailableNow: the run drains only files present at start
+  private var availableNowTarget: Option[Set[String]] = None
+
+  private def ensureRestored(): Unit = if (lastBatchId == -2L) {
+    val (id, s) = log.restore()
+    lastBatchId = id; seen = s
+  }
+
+  override def initialOffset(): Offset = LineDirOffset(-1L)
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    ensureRestored()
+    availableNowTarget = Some(LineDir.listSorted(path).toSet)
+  }
 
   override def latestOffset(): Offset =
-    LineDirOffset(LineDir.listSorted(path))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    ensureRestored()
+    val now = System.currentTimeMillis()
+    val minMtime = opts.maxFileAgeMs.map(now - _)
+    val candidates = LineDir.listSorted(path)
+      .filter(f => availableNowTarget.forall(_.contains(f)))
+      .filterNot(f => seen.contains(f))
+      .map(f => (f, Files.getLastModifiedTime(Paths.get(path, f)).toMillis))
+      .filter { case (_, mt) => minMtime.forall(min => mt >= min) }
+    def maxFilesOf(l: ReadLimit): Option[Int] = l match {
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.flatMap(maxFilesOf(_)).minOption
+      case _ => None
+    }
+    val admitted = maxFilesOf(limit) match {
+      case Some(n) => candidates.take(n)
+      case None => candidates
+    }
+    if (admitted.nonEmpty) {
+      lastBatchId += 1
+      log.writeDelta(lastBatchId, admitted)
+      seen ++= admitted
+      if (lastBatchId % opts.compactInterval == 0) {
+        val retained = minMtime match {
+          case Some(min) => seen.filter(_._2 >= min)
+          case None => seen
+        }
+        log.writeCompact(lastBatchId, retained.toSeq.sortBy(_._1))
+        minMtime.foreach(min => seen.filterInPlace((_, mt) => mt >= min))
+      }
+    }
+    LineDirOffset(lastBatchId max -1L)
+  }
+
+  override def reportLatestOffset(): Offset =
+    LineDirOffset(lastBatchId max -1L)
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[LineDirOffset].files.toSet
-    end.asInstanceOf[LineDirOffset].files
-      .filterNot(seen)
+    val s = start.asInstanceOf[LineDirOffset].batchId
+    val e = end.asInstanceOf[LineDirOffset].batchId
+    ((s + 1) to e).flatMap(id => log.readDelta(id).map(_._1))
+      .sorted
       .map(f => LineDirPartition(path, Seq(f)): InputPartition)
       .toArray
   }
@@ -263,7 +442,8 @@ private[sources] class LineDirMicroBatchStream(path: String,
   override def deserializeOffset(json: String): Offset =
     LineDirOffset.fromJson(json)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    log.pruneUpTo(end.asInstanceOf[LineDirOffset].batchId)
   override def stop(): Unit = ()
 }
 

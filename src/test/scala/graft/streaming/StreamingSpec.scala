@@ -355,6 +355,121 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("linedir streaming: offsets are O(1) and the seen-file log " +
+    "compacts + prunes — checkpoint size is bounded over a long replay") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val work = Files.createTempDirectory("graft-ldcompact")
+    val in = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(in))
+    def put(name: String): Unit =
+      Files.write(Paths.get(in, name), s"line of $name\n".getBytes("UTF-8"))
+    (0 until 12).foreach(i => put(f"f$i%02d.txt"))
+    def run(): Unit = {
+      val q = spark.readStream.format("linedir")
+        .option("maxFilesPerTrigger", 1)
+        .option("logCompactInterval", 4)
+        .load(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    // 12 one-file micro-batches ran; every logged offset is a constant-
+    // size {"batch":N} index, NOT the seen-file list (the round-5 shape
+    // grew O(total files ever seen) per offset entry)
+    val offsetFiles = Files.list(Paths.get(ckpt, "offsets"))
+      .iterator().asScala.filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith(".")).toSeq
+    assert(offsetFiles.size == 12)
+    // each entry = constant engine metadata header + {"batch":N}; sizes
+    // across 12 batches may differ by a few digits/conf chars, never by
+    // the seen-file list (which is ~16 bytes/file × files-so-far)
+    val sizes = offsetFiles.map(Files.size(_))
+    assert(sizes.max - sizes.min < 50,
+      s"offset entries grow with seen-file count: $sizes")
+    // the source's own seen-log compacted (interval 4 → compacts at
+    // batches 0,4,8) and commit pruned everything the newest compact
+    // folds in: ≤ 1 compact + interval live deltas survive 12 batches
+    val seenDir = Files.walk(Paths.get(ckpt)).iterator().asScala
+      .find(_.getFileName.toString == "linedir-seen").get
+    val logFiles = Files.list(seenDir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(logFiles.count(_.endsWith(".compact")) == 1, logFiles.toString)
+    assert(logFiles.count(_.endsWith(".delta")) <= 4, logFiles.toString)
+    // restart-exact resume: a 13th file is one more batch, nothing replays
+    put("f12.txt")
+    run()
+    val got = spark.read.parquet(out)
+      .select($"value", $"file").as[(String, String)].collect().toSet
+    val batch = spark.read.format("linedir").load(in)
+      .select($"value", $"file").as[(String, String)].collect().toSet
+    assert(got === batch)
+    assert(got.size == 13)
+  }
+
+  test("linedir streaming: maxFilesPerTrigger splits a backlog into " +
+    "bounded batches with results ≡ the unthrottled replay") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft-ldadmit")
+    val in = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(in))
+    (1 to 5).foreach { i =>
+      Files.write(Paths.get(in, s"f$i.txt"), s"a $i\nb $i\n".getBytes)
+    }
+    val q = spark.readStream.format("linedir")
+      .option("maxFilesPerTrigger", 2)
+      .load(in)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 5-file backlog at 2 files/trigger → 3 batches of 2/2/1 files
+    // (2 lines per file); SupportsTriggerAvailableNow makes AvailableNow
+    // honor the cap instead of draining everything in one batch
+    val perBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(perBatch.sorted.toSeq == Seq(2L, 4L, 4L),
+      s"expected 3 capped batches, got ${perBatch.mkString(",")}")
+    val got = spark.read.parquet(out)
+      .select($"value", $"file", $"line").as[(String, String, Long)]
+      .collect().toSet
+    val batch = spark.read.format("linedir").load(in)
+      .select($"value", $"file", $"line").as[(String, String, Long)]
+      .collect().toSet
+    assert(got === batch)
+  }
+
+  test("linedir streaming: maxFileAgeMs retention ignores aged-out " +
+    "files and bounds the compacted seen-set") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val work = Files.createTempDirectory("graft-ldage")
+    val in = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(in, "old.txt"), "stale\n".getBytes)
+    Files.setLastModifiedTime(Paths.get(in, "old.txt"),
+      FileTime.fromMillis(946684800000L)) // 2000-01-01
+    Files.write(Paths.get(in, "new.txt"), "fresh\n".getBytes)
+    val q = spark.readStream.format("linedir")
+      .option("maxFileAgeMs", 3600L * 1000L)
+      .load(in)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select($"value").as[String].collect().toSet
+    assert(got === Set("fresh"),
+      "a file older than the retention window must be ignored")
+  }
+
   test("linedir streaming read drives a watermarked agg ≡ batch twin") {
     import java.nio.file.{Files, Paths}
     val work = Files.createTempDirectory("graft-ldagg")
