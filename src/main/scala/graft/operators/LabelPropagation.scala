@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Semi-supervised label propagation with clamped labels and convergence
+  * detection — the fixpoint twin of the 2-round unroll in
+  * g06_label_propagation (GraphPack), promoted to an `operators/` loop
+  * with the same contract as [[ConnectedComponents]] / [[KCore]].
+  *
+  * Semantics (identical per round to g06): a node that already has a
+  * label keeps it forever (seeds and previously-won labels are CLAMPED);
+  * each round, every still-unlabeled neighbor of a labeled node takes
+  * the majority label among its labeled in-neighbors, ties broken by the
+  * SMALLEST label — deterministic, unlike textbook random tie-breaks.
+  * Convergence: the frontier is monotone (labels only ever grow), so the
+  * loop stops the first round that wins no new node, or at
+  * `maxIterations`.
+  *
+  * Shape per round — all keyed on node id, never all-pairs:
+  * one edges⋈labels equi-join shuffled on node, one (node,label) count
+  * aggregate (partial map-side), one node-partitioned argmax window.
+  * Each round's label table is eagerly cut from lineage exactly like
+  * ConnectedComponents (scaladoc there explains why): `localCheckpoint`
+  * by default (executor blocks, no I/O — fine on local[n], fragile
+  * under executor loss), reliable `checkpoint(dir)` when
+  * `checkpointDir` is set (survives executor preemption; the production
+  * default at 100 TB).
+  */
+object LabelPropagation {
+
+  /** Propagate `seeds` (node, label) over `edges` (src, dst — directed
+    * as given; pass a symmetrized list for undirected semantics).
+    * Returns (node, label) for every labeled node: all seeds plus every
+    * node reached by propagation. Callers must supply at most one label
+    * per seed node (duplicate seed nodes make the vote ill-defined).
+    *
+    * @param checkpointDir when set, per-round lineage cuts go through
+    *                      reliable `checkpoint` into this directory
+    *                      (survives executor loss) instead of
+    *                      `localCheckpoint` */
+  def propagate(edges: DataFrame, seeds: DataFrame,
+      maxIterations: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = edges.toDF("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cut(seeds.toDF("node", "label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val votes = e
+        .join(labels, e("u") === labels("node"))
+        .select(e("v").as("cand"), labels("label"))
+        .join(labels.select(col("node").as("seen")),
+          col("cand") === col("seen"), "left_anti")
+        .groupBy("cand", "label").agg(count(lit(1)).as("n"))
+      val won = cut(votes
+        .withColumn("rk", row_number().over(Window.partitionBy(col("cand"))
+          .orderBy(col("n").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("cand").as("node"), col("label")))
+      if (won.limit(1).count() == 0L) converged = true
+      else labels = cut(labels.union(won))
+      i += 1
+    }
+    e.unpersist()
+    labels
+  }
+}

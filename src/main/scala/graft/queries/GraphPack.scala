@@ -299,9 +299,9 @@ object GraphPack extends QueryPack {
     // round 2 flows back to unseeded suppliers. Shape per round: one
     // edge⋈labels equi-join shuffled on node, one (node,label) count
     // agg, one node-partitioned argmax window — all keyed on node id,
-    // never all-pairs; rounds are unrolled here (2), and an unbounded
-    // version belongs in an operators/-style loop with localCheckpoint
-    // per round, exactly like ConnectedComponents. The DuckDB twin
+    // never all-pairs; the loop is operators.LabelPropagation (fixpoint
+    // with convergence detection + per-round lineage cut, the CC/KCore
+    // contract), pinned to 2 rounds here because the DuckDB twin
     // unrolls the same two rounds as MATERIALIZED CTEs.
     "g06_label_propagation" -> Q(
       run = (s, d) => {
@@ -317,22 +317,12 @@ object GraphPack extends QueryPack {
           .filter(col("s_suppkey") % 3 === 0)
           .select(col("s_suppkey").cast("long").as("node"),
             col("s_nationkey").cast("long").as("label"))
-        var labels = seeds
-        for (_ <- 1 to 2) {
-          val votes = edges
-            .join(labels, col("u") === col("node"))
-            .select(col("v").as("cand"), col("label"))
-            .join(labels.select(col("node").as("seen")),
-              col("cand") === col("seen"), "left_anti")
-            .groupBy("cand", "label").agg(count(lit(1)).as("n"))
-          val won = votes
-            .withColumn("rk", row_number().over(Window.partitionBy(col("cand"))
-              .orderBy(col("n").desc, col("label"))))
-            .filter(col("rk") === 1)
-            .select(col("cand").as("node"), col("label"))
-          labels = labels.union(won)
-        }
-        labels.orderBy("node")
+        // 2 fixed rounds of the fixpoint operator (oracle necessity: the
+        // DuckDB twin unrolls exactly 2 rounds); the unbounded
+        // convergence-detected loop is the operator's default contract
+        graft.operators.LabelPropagation
+          .propagate(edges, seeds, maxIterations = 2)
+          .orderBy("node")
       },
       oracle = Some {
         def round(prev: String, out: String): String =
