@@ -23,6 +23,30 @@ object PipelinePack extends QueryPack {
   private def sqlStop = stop.map(s => s"'$s'").mkString(", ")
   private val qualityThreshold = 3000L
 
+  /** Hard ceiling on a canary list. The p22 broadcast contains-scan is
+    * adjudicated as a tiny-broadcast BNLJ *because* benchmark canary
+    * sets are dozens of strings by construction; a corpus-proportional
+    * list would silently turn it into an O(n·m) substring sweep. */
+  val MaxCanaries = 1000L
+
+  /** The p22 scan shape, guarded: canaries (canary_doc, canary) must be
+    * a bounded list — the guard counts at most MaxCanaries+1 rows (one
+    * `limit` scan, never a full count of an oversized relation) and
+    * refuses to broadcast anything bigger. */
+  def canaryScan(docs: DataFrame, canaries: DataFrame): DataFrame = {
+    val n = canaries.limit((MaxCanaries + 1).toInt).count()
+    require(n <= MaxCanaries,
+      s"canary list has >$MaxCanaries entries ($n+): the broadcast " +
+        "contains-scan is only valid for a fixed benchmark canary set, " +
+        "not a corpus-derived list — route a large list through the " +
+        "n-gram decontamination join (p06/p17) instead")
+    docs.join(broadcast(canaries), expr("contains(text, canary)"))
+      .groupBy("canary_doc")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("doc_id")).as("first_hit_doc"))
+      .orderBy("canary_doc")
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     "p01_corpus_pipeline" -> Q(
       run = (s, d) => {
@@ -988,6 +1012,10 @@ object PipelinePack extends QueryPack {
     // corpus takes ONE substring-predicate pass — a 5-row BNLJ, the
     // adjudicated q17/p06 pattern, NOT a corpus-sized join. Emits
     // hits-per-canary + first occurrence; n_hits > 1 is a leak.
+    // CONTRACT (enforced): canaryScan REFUSES a list above MaxCanaries —
+    // the fixture's doc_id%100 derivation is corpus-proportional and
+    // would cross the ceiling near sf≈20, long before the BNLJ's
+    // O(n·m) cost could silently pass for a scan at scale.
     "p22_canary_scan" -> Q(
       run = (s, d) => {
         val can = Tables.documents(s, d)
@@ -995,12 +1023,8 @@ object PipelinePack extends QueryPack {
           .select(col("doc_id").as("canary_doc"),
             expr("array_join(slice(split(text, ' '), 1, 3), ' ')")
               .as("canary"))
-        Tables.documents(s, d).select(col("doc_id"), col("text"))
-          .join(broadcast(can), expr("contains(text, canary)"))
-          .groupBy("canary_doc")
-          .agg(count(lit(1)).as("n_hits"),
-            min(col("doc_id")).as("first_hit_doc"))
-          .orderBy("canary_doc")
+        canaryScan(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          can)
       },
       oracle = Some("""
         WITH can AS (

@@ -95,4 +95,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(fast("wau") =!= naive("wau")).count() === 0)
     assert(fast.count() === naive.count())
   }
+
+  test("p22: canaryScan refuses a corpus-proportional canary list") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    // one over the ceiling → loud failure, not a silent O(n·m) sweep
+    val oversized = spark.range(PipelinePack.MaxCanaries + 1)
+      .select(col("id").as("canary_doc"),
+        concat(lit("canary-"), col("id")).as("canary"))
+    val e = intercept[IllegalArgumentException] {
+      PipelinePack.canaryScan(docs, oversized)
+    }
+    assert(e.getMessage.contains("canary list"))
+    // at the ceiling it still runs (and finds the planted hit)
+    val ok = spark.range(3)
+      .select(col("id").as("canary_doc"),
+        when(col("id") === 0, "hello").otherwise(concat(lit("x"), col("id")))
+          .as("canary"))
+    val hits = PipelinePack.canaryScan(docs, ok).collect()
+    assert(hits.length === 1 && hits.head.getLong(0) === 0L)
+  }
 }
