@@ -53,22 +53,31 @@ object LabelPropagation {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      val votes = e
-        .join(labels, e("u") === labels("node"))
-        .select(e("v").as("cand"), labels("label"))
-        .join(labels.select(col("node").as("seen")),
-          col("cand") === col("seen"), "left_anti")
-        .groupBy("cand", "label").agg(count(lit(1)).as("n"))
-      val won = cut(votes
-        .withColumn("rk", row_number().over(Window.partitionBy(col("cand"))
-          .orderBy(col("n").desc, col("label"))))
-        .filter(col("rk") === 1)
-        .select(col("cand").as("node"), col("label")))
+      val won = cut(round(e, labels))
       if (won.limit(1).count() == 0L) converged = true
       else labels = cut(labels.union(won))
       i += 1
     }
     e.unpersist()
     labels
+  }
+
+  /** One propagation round: (node, label) wins among the still-unlabeled
+    * neighbors of labeled nodes. Exposed (package-private) so plan
+    * audits can pin the EXACT per-round dataflow the loop runs — the
+    * eager lineage cuts make it invisible in the final plan.
+    * `e` must have columns (u, v), `labels` (node, label). */
+  private[graft] def round(e: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = e
+      .join(labels, e("u") === labels("node"))
+      .select(e("v").as("cand"), labels("label"))
+      .join(labels.select(col("node").as("seen")),
+        col("cand") === col("seen"), "left_anti")
+      .groupBy("cand", "label").agg(count(lit(1)).as("n"))
+    votes
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cand"))
+        .orderBy(col("n").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("cand").as("node"), col("label"))
   }
 }

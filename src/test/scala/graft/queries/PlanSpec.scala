@@ -458,11 +458,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("g06: propagation rounds are node-keyed joins, never all-pairs") {
-    val p = planOf("g06_label_propagation")
+    // the final g06 plan is a sort over the operator's checkpointed
+    // labels (lineage cuts hide the rounds), so audit the exact
+    // per-round dataflow the LabelPropagation loop runs
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("u", "v")
+    val labels = Seq((1L, 10L)).toDF("node", "label")
+    val df = graft.operators.LabelPropagation.round(e, labels)
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "label-vote stage degraded to all-pairs")
     assert(p.contains("LeftAnti"),
       "clamping (labeled nodes don't re-vote) must be a left-anti join")
+    // the final assembled query stays all-pairs-free too
+    val full = planOf("g06_label_propagation")
+    assert(!full.contains("BroadcastNestedLoopJoin")
+      && !full.contains("CartesianProduct"))
   }
 
   test("t20: novelty derives from gram-keyed agg + join, no corpus re-expansion") {
