@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -124,6 +124,8 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
       StreamOptions(
         maxFilesPerTrigger =
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        maxBytesPerTrigger =
+          Option(options.get("maxBytesPerTrigger")).map(_.toLong),
         maxFileAgeMs = Option(options.get("maxFileAgeMs")).map(_.toLong),
         compactInterval =
           Option(options.get("logCompactInterval")).map(_.toInt)
@@ -143,8 +145,14 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
 /** Streaming-read tuning knobs (ignored by the batch path). */
 private[sources] case class StreamOptions(
     maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long],
     maxFileAgeMs: Option[Long],
-    compactInterval: Int)
+    compactInterval: Int) {
+  maxFilesPerTrigger.foreach(n =>
+    require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
+  maxBytesPerTrigger.foreach(b =>
+    require(b > 0, s"maxBytesPerTrigger must be positive, got $b"))
+}
 
 private[sources] class LineDirScanBuilder(path: String,
     tableSchema: StructType, targetBytes: Option[Long],
@@ -324,12 +332,14 @@ private[sources] class LineDirSeenLog(dir: Path) {
   * reader and column pruning as the batch scan.
   *
   * Admission control: `.option("maxFilesPerTrigger", n)` caps each
-  * micro-batch at n new files (sorted order), so a backlog becomes a
-  * sequence of bounded batches instead of one giant one; implements
-  * SupportsTriggerAvailableNow so Trigger.AvailableNow respects the
-  * cap too (the files present at query start are drained in n-file
-  * batches, files arriving later wait for the next run — the
-  * FileStreamSource contract).
+  * micro-batch at n new files (sorted order) and
+  * `.option("maxBytesPerTrigger", b)` at ~b bytes (soft cap — at least
+  * one file per batch so an over-cap file can't wedge the stream; both
+  * caps compose), so a backlog becomes a sequence of bounded batches
+  * instead of one giant one; implements SupportsTriggerAvailableNow so
+  * Trigger.AvailableNow respects the caps too (the files present at
+  * query start are drained in capped batches, files arriving later
+  * wait for the next run — the FileStreamSource contract).
   *
   * State discipline: the seen-set is restored ONCE per run from the
   * source's own log, never from the engine-passed start offset —
@@ -375,9 +385,15 @@ private[sources] class LineDirMicroBatchStream(path: String,
 
   override def initialOffset(): Offset = LineDirOffset(-1L)
 
-  override def getDefaultReadLimit: ReadLimit =
-    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      opts.maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def prepareForTriggerAvailableNow(): Unit = {
     ensureRestored()
@@ -397,15 +413,27 @@ private[sources] class LineDirMicroBatchStream(path: String,
       .filterNot(f => seen.contains(f))
       .map(f => (f, Files.getLastModifiedTime(Paths.get(path, f)).toMillis))
       .filter { case (_, mt) => minMtime.forall(min => mt >= min) }
-    def maxFilesOf(l: ReadLimit): Option[Int] = l match {
-      case m: ReadMaxFiles => Some(m.maxFiles())
-      case c: CompositeReadLimit =>
-        c.getReadLimits.flatMap(maxFilesOf(_)).minOption
-      case _ => None
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
     }
-    val admitted = maxFilesOf(limit) match {
-      case Some(n) => candidates.take(n)
-      case None => candidates
+    val ls = flatten(limit)
+    val maxFiles = ls.collect { case m: ReadMaxFiles => m.maxFiles() }
+      .minOption
+    val maxBytes = ls.collect { case m: ReadMaxBytes => m.maxBytes() }
+      .minOption
+    // maxBytes is a SOFT cap (at least one file per batch, like
+    // FileStreamSource): a single over-cap file must still make
+    // progress, not wedge the stream
+    val admitted = {
+      var bytes = 0L
+      candidates.zipWithIndex.takeWhile { case ((f, _), i) =>
+        val ok = maxFiles.forall(i < _) &&
+          (i == 0 || maxBytes.forall(bytes +
+            Files.size(Paths.get(path, f)) <= _))
+        if (ok) bytes += Files.size(Paths.get(path, f))
+        ok
+      }.map(_._1)
     }
     if (admitted.nonEmpty) {
       lastBatchId += 1

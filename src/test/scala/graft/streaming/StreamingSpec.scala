@@ -444,6 +444,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("linedir streaming: maxBytesPerTrigger soft-caps batch bytes, " +
+    "one over-cap file still progresses") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft-ldbytes")
+    val in = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(in))
+    // f1+f2 fit one 40-byte batch; f3 alone exceeds the cap but must
+    // still be admitted (soft cap); f4 follows in its own batch
+    Files.write(Paths.get(in, "f1.txt"), ("a" * 15 + "\n").getBytes)
+    Files.write(Paths.get(in, "f2.txt"), ("b" * 15 + "\n").getBytes)
+    Files.write(Paths.get(in, "f3.txt"), ("c" * 99 + "\n").getBytes)
+    Files.write(Paths.get(in, "f4.txt"), ("d" * 15 + "\n").getBytes)
+    val q = spark.readStream.format("linedir")
+      .option("maxBytesPerTrigger", 40L)
+      .load(in)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // batches: {f1,f2} (32B ≤ 40), {f3} (over-cap alone), {f4}
+    val perBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(perBatch.sorted.toSeq == Seq(1L, 1L, 2L),
+      s"expected 3 byte-capped batches, got ${perBatch.mkString(",")}")
+    val got = spark.read.parquet(out)
+      .select($"file").as[String].collect().toSet
+    assert(got === Set("f1.txt", "f2.txt", "f3.txt", "f4.txt"))
+  }
+
   test("linedir streaming: maxFileAgeMs retention ignores aged-out " +
     "files and bounds the compacted seen-set") {
     import java.nio.file.{Files, Paths}
