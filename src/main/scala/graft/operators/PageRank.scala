@@ -23,9 +23,16 @@ object PageRank {
   def ranks(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+    // contribution edges (u, v, d) built ONCE and pre-partitioned on the
+    // join key: the loop used to redo e⋈deg every round, shuffling the
+    // full edge list per iteration; now each round reshuffles only the
+    // rank table (one row per node) plus the destination-keyed sum
+    val ed = e.join(deg, "u")
+      .repartition(col("u"))
+      .localCheckpoint(true)
     var r = deg.select(col("u").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iterations) {
-      r = e.join(deg, "u")
+      r = ed
         .join(r, col("node") === col("u"))
         .groupBy(col("v"))
         .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
