@@ -25,13 +25,22 @@ object Bfs {
     val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     var dist = sources.select(col("node"), lit(0L).as("hop"))
       .distinct().localCheckpoint(true)
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val frontier = dist.filter(col("hop") === (h - 1))
-      val next = frontier.join(e, frontier("node") === e("u"))
-        .select(e("v").as("node"), lit(h.toLong).as("hop"))
-      dist = dist.union(next)
-        .groupBy("node").agg(min("hop").as("hop"))
-        .localCheckpoint(true)
+      // an empty frontier can never add rows — stop instead of running
+      // the remaining maxHops rounds as no-ops (matters when callers
+      // pass a generous bound rather than the graph's diameter)
+      if (frontier.limit(1).count() == 0L) exhausted = true
+      else {
+        val next = frontier.join(e, frontier("node") === e("u"))
+          .select(e("v").as("node"), lit(h.toLong).as("hop"))
+        dist = dist.union(next)
+          .groupBy("node").agg(min("hop").as("hop"))
+          .localCheckpoint(true)
+      }
+      h += 1
     }
     dist
   }

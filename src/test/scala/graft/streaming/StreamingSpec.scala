@@ -474,6 +474,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set("f1.txt", "f2.txt", "f3.txt", "f4.txt"))
   }
 
+  test("linedir streaming: seen-log round-trips filenames with tabs " +
+    "and backslashes across a restart") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft-ldesc")
+    val in = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(in))
+    // legal-on-linux hostile names: the log stores one '<mtime>\t<name>'
+    // line per file, so an unescaped tab or backslash would corrupt the
+    // restart restore
+    val weird = Seq("a\tb.txt", "c\\d.txt", "plain.txt")
+    weird.foreach(n =>
+      Files.write(Paths.get(in, n), s"line in $n\n".getBytes("UTF-8")))
+    def run(): Unit = {
+      val q = spark.readStream.format("linedir").load(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    // restart: the restored seen-set must match the hostile names
+    // exactly — a mis-parse would re-read (dupes) or drop them
+    run()
+    val got = spark.read.parquet(out)
+      .select($"file").as[String].collect().toSeq.sorted
+    assert(got === weird.sorted,
+      "each file must appear exactly once across restarts")
+  }
+
   test("linedir streaming: maxFileAgeMs retention ignores aged-out " +
     "files and bounds the compacted seen-set") {
     import java.nio.file.{Files, Paths}
