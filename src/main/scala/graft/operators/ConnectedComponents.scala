@@ -64,16 +64,21 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
+      // change detection rides the SAME aggregate: each node's own label
+      // travels in the union flagged `own`, the agg keeps min(all) and
+      // the own label, and "any node improved" is a cheap filter over
+      // the already-checkpointed result — one join + one agg per round,
+      // not join + agg + a second labels⋈next join just to diff.
       val msgs = sym
         .join(labels, sym("a") === labels("node"))
-        .select(sym("b").as("node"), labels("label"))
-        .union(labels)
-      val next = cut(msgs.groupBy("node").agg(min("label").as("label")))
-      val changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
+        .select(sym("b").as("node"), labels("label"), lit(0L).as("own"))
+        .union(labels.withColumn("own", lit(1L)))
+      val next = cut(msgs.groupBy("node")
+        .agg(min("label").as("label"),
+          max(when(col("own") === 1L, col("label"))).as("prev")))
+      val changed = next.filter(col("label") < col("prev"))
         .limit(1).count()
-      labels = next
+      labels = next.select("node", "label")
       converged = changed == 0L
       i += 1
     }
