@@ -14,17 +14,29 @@ import org.apache.spark.sql.functions._
   * last round), so per-round work is frontier × out-degree, not
   * nodes × edges; the running distance table (one row per reached
   * node) is eagerly checkpointed per round to keep the plan
-  * constant-size.
+  * constant-size. Lineage cuts follow the [[ConnectedComponents]]
+  * contract: `checkpointDir = None` → `localCheckpoint` (local[n] /
+  * restartable batch); `Some(dir)` → reliable `checkpoint` into that
+  * directory, the production default at 100 TB where a deep BFS
+  * outlives preempted executors.
   */
 object Bfs {
 
   /** @param edges   long columns `u` (src) and `v` (dst)
     * @param sources long column `node` — hop-0 seed set
+    * @param checkpointDir when set, per-round lineage cuts go through
+    *                      reliable `checkpoint` into this directory
+    *                      (survives executor loss) instead of
+    *                      `localCheckpoint`
     * @return columns `node`, `hop` (min hops from any source, ≤ maxHops) */
-  def hops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
-    var dist = sources.select(col("node"), lit(0L).as("hop"))
-      .distinct().localCheckpoint(true)
+  def hops(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = cut(edges.select(col("u"), col("v")))
+    var dist = cut(sources.select(col("node"), lit(0L).as("hop")).distinct())
     var h = 1
     var exhausted = false
     while (h <= maxHops && !exhausted) {
@@ -36,9 +48,8 @@ object Bfs {
       else {
         val next = frontier.join(e, frontier("node") === e("u"))
           .select(e("v").as("node"), lit(h.toLong).as("hop"))
-        dist = dist.union(next)
-          .groupBy("node").agg(min("hop").as("hop"))
-          .localCheckpoint(true)
+        dist = cut(dist.union(next)
+          .groupBy("node").agg(min("hop").as("hop")))
       }
       h += 1
     }

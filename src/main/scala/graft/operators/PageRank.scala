@@ -10,36 +10,106 @@ import org.apache.spark.sql.functions._
   *   r'(v) = 150000 + (85 * Σ_{(u,v)∈E} (r(u) div deg(u))) div 100
   * (damping 0.85 with the 1-d teleport folded in at the same scale).
   *
-  * Nodes are whatever appears as an edge SOURCE (callers wanting no
-  * dangling mass pass a symmetrized edge list — see g01). The edge
-  * list is checkpointed once; each iteration is one shuffle keyed by
-  * destination with map-side partial sums, and each round's rank
-  * state (one row per node) is eagerly checkpointed so the plan stays
-  * constant-size across iterations.
+  * Two input contracts, chosen by `redistributeDangling`:
+  *   - false (default, g01's mode): nodes are whatever appears as an
+  *     edge SOURCE, and dangling mass is NOT redistributed — callers
+  *     pass a symmetrized edge list so every node has out-degree and
+  *     nothing dangles. On a general directed graph this mode silently
+  *     under-ranks (sink nodes absorb mass and drop out after round 1),
+  *     so it `require`s symmetry: every node seen as a destination must
+  *     also appear as a source.
+  *   - true (g07's mode): nodes are the union of sources and
+  *     destinations; each round the summed rank of dangling nodes
+  *     (no out-edges) is split uniformly, `dsum div N` to every node,
+  *     inside the same damped update — the standard dangling-mass
+  *     completion, still in exact integer arithmetic:
+  *   r'(n) = 150000 + (85 * (Σ_{(u,n)∈E} (r(u) div deg(u)) + dsum div N)) div 100
+  *     The per-round dangling sum stays IN-PLAN (a one-row aggregate
+  *     broadcast via cross join), never a driver collect.
+  *
+  * The edge list is checkpointed once; each iteration is one shuffle
+  * keyed by destination with map-side partial sums, and each round's
+  * rank state (one row per node) is eagerly checkpointed so the plan
+  * stays constant-size across iterations. Lineage cuts follow the
+  * [[ConnectedComponents]] contract: `checkpointDir = None` uses
+  * `localCheckpoint` (no extra I/O, but blocks pin executors and die
+  * with them — fine on local[n]); `Some(dir)` uses reliable
+  * `checkpoint` into that directory (survives executor loss — the
+  * production default at 100 TB, and PageRank is the operator most
+  * likely to run long enough to see one die).
   */
 object PageRank {
 
-  /** @param edges DataFrame with long columns `u` (src) and `v` (dst). */
-  def ranks(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+  /** @param edges         DataFrame with long columns `u` (src) and `v` (dst).
+    * @param checkpointDir when set, per-round lineage cuts go through
+    *                      reliable `checkpoint` into this directory
+    *                      (survives executor loss) instead of
+    *                      `localCheckpoint`
+    * @param redistributeDangling false → require symmetric input, nodes
+    *                      = sources (g01 contract); true → nodes =
+    *                      sources ∪ destinations, dangling mass split
+    *                      uniformly each round */
+  def ranks(edges: DataFrame, iterations: Int,
+      checkpointDir: Option[String] = None,
+      redistributeDangling: Boolean = false): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = cut(edges.select(col("u"), col("v")))
     val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
     // contribution edges (u, v, d) built ONCE and pre-partitioned on the
     // join key: the loop used to redo e⋈deg every round, shuffling the
     // full edge list per iteration; now each round reshuffles only the
     // rank table (one row per node) plus the destination-keyed sum
-    val ed = e.join(deg, "u")
-      .repartition(col("u"))
-      .localCheckpoint(true)
-    var r = deg.select(col("u").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iterations) {
-      r = ed
-        .join(r, col("node") === col("u"))
-        .groupBy(col("v"))
-        .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
-          .as("r2"))
-        .select(col("v").as("node"), col("r2").as("r"))
-        .localCheckpoint(true)
+    val ed = cut(e.join(deg, "u").repartition(col("u")))
+
+    if (!redistributeDangling) {
+      // loud guard for the documented contract (scaladoc above): a
+      // destination with no out-edges would silently absorb rank
+      val dangling = e.select(col("v").as("u")).distinct()
+        .join(deg, Seq("u"), "left_anti").limit(1).count()
+      require(dangling == 0L,
+        "PageRank(redistributeDangling=false) requires a symmetrized edge " +
+          "list (every destination must also be a source); found dangling " +
+          "destinations — symmetrize the input or pass redistributeDangling=true")
+      var r = deg.select(col("u").as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to iterations) {
+        r = cut(ed
+          .join(r, col("node") === col("u"))
+          .groupBy(col("v"))
+          .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
+            .as("r2"))
+          .select(col("v").as("node"), col("r2").as("r")))
+      }
+      r
+    } else {
+      val nodes = cut(e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node"))).distinct())
+      // graph cardinality is fixed across rounds — one setup count, a
+      // literal thereafter (metadata-sized, not a per-round collect)
+      val n = nodes.count()
+      val danglingNodes = nodes.join(
+        deg.select(col("u").as("node")), Seq("node"), "left_anti")
+      var r = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to iterations) {
+        // one-row dangling-mass aggregate, broadcast into every node's
+        // update via cross join — stays distributed, no driver round-trip
+        val dsum = r.join(danglingNodes, Seq("node"), "left_semi")
+          .agg(coalesce(sum("r"), lit(0L)).as("dsum"))
+        val inflow = ed
+          .join(r, col("node") === col("u"))
+          .groupBy(col("v"))
+          .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
+          .select(col("v").as("node"), col("inflow"))
+        r = cut(nodes
+          .join(inflow, Seq("node"), "left_outer")
+          .crossJoin(broadcast(dsum))
+          .select(col("node"),
+            expr(s"CAST(150000 + (85 * (coalesce(inflow, 0L) + dsum div ${n}L))" +
+              " div 100 AS BIGINT)").as("r")))
+      }
+      r
     }
-    r
   }
 }

@@ -63,6 +63,60 @@ object GraphPack extends QueryPack {
         SELECT node, r AS rank_e6 FROM i3 ORDER BY node"""),
       benchIter = true),
 
+    // ── PageRank with dangling-mass redistribution ─────────────────────
+    // The GENUINELY DIRECTED variant: customer→supplier trade edges, NOT
+    // symmetrized, so every supplier is a sink (no out-edges). g01's
+    // contract would drop their mass (and now refuses such input with a
+    // require); this exercises the operator's redistributeDangling mode —
+    // each round the summed sink rank is split uniformly (dsum div N)
+    // inside the same exact-integer damped update. The per-round
+    // dangling sum is a one-row in-plan aggregate broadcast by cross
+    // join, never a driver collect. DuckDB unrolls the same two rounds
+    // with scalar subqueries for dsum and N.
+    "g07_pagerank_dangling" -> Q(
+      run = (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") + lit(1000000L)).as("u"),
+            col("l_suppkey").as("v"))
+          .distinct()
+        graft.operators.PageRank.ranks(edges, 2, redistributeDangling = true)
+          .select(col("node"), col("r").as("rank_e6")).orderBy("node")
+      },
+      oracle = Some {
+        def step(prev: String, out: String): String =
+          s"""s$out AS (
+             |  SELECT coalesce(sum(p.r), 0) AS dsum
+             |  FROM $prev p JOIN dang dg ON p.node = dg.node),
+             |$out AS MATERIALIZED (
+             |  SELECT nd.node,
+             |         CAST(150000 + (85 * (coalesce(inf.s, 0)
+             |           + (SELECT dsum FROM s$out) // (SELECT n FROM nn)))
+             |           // 100 AS BIGINT) AS r
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.v AS node, sum(p.r // dg.d) AS s
+             |    FROM e0 e JOIN deg dg ON e.u = dg.u
+             |    JOIN $prev p ON p.node = e.u
+             |    GROUP BY e.v) inf ON nd.node = inf.node)""".stripMargin
+        s"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT o_custkey + 1000000 AS u, l_suppkey AS v
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS MATERIALIZED (
+          SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT u, count(*) AS d FROM e0 GROUP BY u),
+        dang AS (SELECT node FROM nodes
+                 WHERE node NOT IN (SELECT u FROM deg)),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        ${step("r0", "i1")},
+        ${step("i1", "i2")}
+        SELECT CAST(node AS BIGINT) AS node, r AS rank_e6
+        FROM i2 ORDER BY node"""
+      }),
+
     // ── Bounded BFS hop distance ───────────────────────────────────────
     // Min-hop distance from supplier 1 over the same symmetrized trade
     // graph, 4 rounds of frontier expansion (operators.Bfs). The DuckDB

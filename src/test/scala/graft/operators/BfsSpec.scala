@@ -30,4 +30,16 @@ class BfsSpec extends AnyFunSuite {
     assert(hops(ring, Seq(1L, 3L), 4) ===
       Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
   }
+
+  test("reliable checkpoint mode: identical hops, files on disk") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bfs-ckpt")
+    val reliable = Bfs
+      .hops(chain.toDF("u", "v"), Seq(1L).toDF("node"), 4,
+        checkpointDir = Some(ckpt.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === hops(chain, Seq(1L), 4),
+      "reliable-checkpoint mode changed the answer")
+    assert(java.nio.file.Files.list(ckpt).count() > 0,
+      "checkpoint dir is empty — rounds did not go through the reliable path")
+  }
 }

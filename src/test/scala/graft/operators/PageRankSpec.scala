@@ -43,4 +43,50 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
   }
+
+  test("reliable checkpoint mode: identical ranks, files on disk") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+    val reliable = PageRank
+      .ranks(star.toDF("u", "v"), 3, checkpointDir = Some(ckpt.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === ranks(star, 3),
+      "reliable-checkpoint mode changed the answer")
+    assert(java.nio.file.Files.list(ckpt).count() > 0,
+      "checkpoint dir is empty — rounds did not go through the reliable path")
+  }
+
+  test("asymmetric input without dangling redistribution is refused") {
+    // 1→2, 1→3: nodes 2 and 3 are pure sinks — the default contract
+    // must fail loudly instead of silently dropping their mass
+    val sinks = Seq((1L, 2L), (1L, 3L))
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.ranks(sinks.toDF("u", "v"), 1).collect()
+    }
+    assert(ex.getMessage.contains("symmetrized"))
+  }
+
+  // dangling mode on 1→2, 1→3 (N=3, sinks {2,3}), hand-computed:
+  //   i1: dsum = 2000000, dsum div 3 = 666666
+  //       r(1) = 150000 + 85*666666 div 100          = 716666
+  //       r(2) = r(3) = 150000 + 85*(500000+666666) div 100 = 1141666
+  //   i2: dsum = 2283332, dsum div 3 = 761110
+  //       r(1) = 150000 + 85*761110 div 100          = 796943
+  //       r(2) = r(3) = 150000 + 85*(358333+761110) div 100 = 1101526
+  test("dangling-mass redistribution: hand-computed integer steps") {
+    val sinks = Seq((1L, 2L), (1L, 3L))
+    def dr(iters: Int): Map[Long, Long] =
+      PageRank.ranks(sinks.toDF("u", "v"), iters,
+          redistributeDangling = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dr(1) === Map(1L -> 716666L, 2L -> 1141666L, 3L -> 1141666L))
+    assert(dr(2) === Map(1L -> 796943L, 2L -> 1101526L, 3L -> 1101526L))
+  }
+
+  test("dangling mode on a symmetric graph matches the default mode") {
+    // no dangling nodes → dsum = 0 every round → the two modes coincide
+    val got = PageRank.ranks(star.toDF("u", "v"), 3,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
+  }
 }
