@@ -66,6 +66,27 @@ object SimilarityPack extends QueryPack {
     if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
   }
 
+  /** Ranks a POST-LIMIT seed relation (single `vec_id` column, ≤ a
+    * dozen rows by construction) into (vec_id, cid = 1-based ascending
+    * rank) — as a sorted-literal DataFrame built from a bounded driver
+    * collect, NOT a `row_number().over(Window.orderBy(...))`. The
+    * global-window formulation was semantically fine (the upstream
+    * `limit` bounds it) but logged "No Partition Defined for Window"
+    * WARNs on every bench run, and a future edit dropping the limit
+    * would silently turn it into a real single-partition sort; the
+    * collect here is metadata-sized (the same class as GlobalRank's
+    * partition-boundary collect) and fails loudly if misused on a
+    * data-sized relation. */
+  private def seedRanks(s: SparkSession, seeds: DataFrame): DataFrame = {
+    import s.implicits._
+    val ids = seeds.collect().map(_.getLong(0)).sorted
+    require(ids.length <= 64,
+      s"seedRanks is for post-limit seed sets, got ${ids.length} rows")
+    ids.zipWithIndex.map { case (v, i) => (v, i + 1) }.toSeq
+      .toDF("vec_id", "cid")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"))
+  }
+
   private def vecD: Column =
     transform(col("embedding"), x => x.cast("double"))
 
@@ -107,9 +128,16 @@ object SimilarityPack extends QueryPack {
         (round(col("x") / col("nrm") * 127, 0).cast("int") + lit(127))
           .as("u8"))
       .localCheckpoint(true)
-    val ids = q.select("vec_id").distinct().orderBy("vec_id").limit(4)
-      .withColumn("cid",
-        row_number().over(Window.orderBy("vec_id")).cast("int"))
+    // seed ranks WITHOUT a global window: the 4 lowest vec_ids are
+    // metadata-sized, so collect them (GlobalRank's boundary-collect
+    // class — bounded by the limit above, never data-sized) and rank
+    // driver-side into a broadcast literal. The old
+    // row_number().over(Window.orderBy(...)) was semantically bounded
+    // too, but emitted "No Partition Defined for Window" WARNs and
+    // would silently become a real single-partition sort if the limit
+    // were ever dropped.
+    val ids = broadcast(seedRanks(s,
+      q.select("vec_id").distinct().orderBy("vec_id").limit(4)))
     val c0 = q.join(broadcast(ids), "vec_id")
       .select(col("cid"), col("m"), col("dim"), col("u8").as("cu8"))
     def assignTo(cent: DataFrame): DataFrame = {
@@ -475,10 +503,11 @@ object SimilarityPack extends QueryPack {
             (round(col("x") / col("nrm") * 127, 0).cast("int") + lit(127))
               .as("u8"))
           .localCheckpoint(true)
-        val ids = q.select("vec_id").distinct().orderBy("vec_id").limit(8)
-          .withColumn("cid",
-            row_number().over(Window.orderBy("vec_id")).cast("int"))
-        var cent = q.join(broadcast(ids), "vec_id")
+        // sorted-literal broadcast rank, not a global window — see
+        // seedRanks scaladoc (the 8-row collect is bounded by the limit)
+        val ids = broadcast(seedRanks(s,
+          q.select("vec_id").distinct().orderBy("vec_id").limit(8)))
+        var cent = q.join(ids, "vec_id")
           .select(col("cid"), col("dim"), col("u8").as("cu8"))
         var assign: DataFrame = null
         for (_ <- 1 to 2) {
@@ -728,9 +757,10 @@ object SimilarityPack extends QueryPack {
           .select(col("vec_id"), (col("pos") + 1).as("dim"),
             (round(col("x") / col("nrm") * 127, 0).cast("int") + lit(127))
               .as("u8"))
-        val ids = q.select("vec_id").distinct().orderBy("vec_id").limit(8)
-          .withColumn("cid",
-            row_number().over(Window.orderBy("vec_id")).cast("int"))
+        // sorted-literal broadcast rank, not a global window — see
+        // seedRanks scaladoc (the 8-row collect is bounded by the limit)
+        val ids = seedRanks(s,
+          q.select("vec_id").distinct().orderBy("vec_id").limit(8))
         val cent = q.join(broadcast(ids), "vec_id")
           .select(col("cid"), col("dim"), col("u8").as("cu8"))
         val dists = q.join(broadcast(cent), "dim")
