@@ -88,11 +88,44 @@ object LineDir {
     StructField("file", StringType, nullable = false),
     StructField("line", LongType, nullable = false)))
 
+  /** Runs `f` over a directory listing and ALWAYS closes the stream —
+    * `Files.list` holds an open directory handle until closed, and the
+    * seen-log's restore/commit paths list on every batch, so relying on
+    * GC finalization leaks file descriptors on long-running streams. */
+  private[sources] def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Sorted file list — the reference's deterministic enumeration. */
   def listSorted(dir: String): Seq[String] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    listDir(Paths.get(dir)) { it =>
+      it.filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString).toSeq
+    }.sorted
+
+  /** Sorted (name, size, mtimeMs) in ONE stat per entry:
+    * `readAttributes` yields the regular-file flag, size, and mtime
+    * together, where the name-only listing plus separate
+    * `getLastModifiedTime`/`Files.size` calls cost 3-4 stats per file
+    * per trigger — the driver-side listing is sequential, so stats per
+    * file is the scaling term for large directories (see SCALE.md for
+    * the files-per-dir posture). A file deleted between the list and
+    * the stat is skipped for this pass (FileStreamSource tolerates the
+    * same race) instead of failing the whole job/stream. */
+  def listSortedWithAttrs(dir: String): Seq[(String, Long, Long)] =
+    listDir(Paths.get(dir)) { it =>
+      it.flatMap { p =>
+        try {
+          val a = Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          if (a.isRegularFile)
+            Some((p.getFileName.toString, a.size(),
+              a.lastModifiedTime().toMillis))
+          else None
+        } catch { case _: java.io.IOException => None }
+      }.toSeq
+    }.sortBy(_._1)
 }
 
 private[sources] class LineDirTable(path: String, tableSchema: StructType)
@@ -181,16 +214,17 @@ private[sources] class LineDirScan(path: String, required: StructType,
     * a partition closes once its byte total reaches the target, so
     * partition count tracks total bytes, not file count. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = LineDir.listSorted(path)
     targetBytes match {
       case None =>
-        files.map(f => LineDirPartition(path, Seq(f)): InputPartition).toArray
+        LineDir.listSorted(path)
+          .map(f => LineDirPartition(path, Seq(f)): InputPartition).toArray
       case Some(target) =>
+        // sizes come from the SAME listing pass (one readAttributes stat
+        // per file) — not a second Files.size stat per file
         val groups = Seq.newBuilder[LineDirPartition]
         var cur = Vector.empty[String]
         var curBytes = 0L
-        for (f <- files) {
-          val sz = Files.size(Paths.get(path, f))
+        for ((f, sz, _) <- LineDir.listSortedWithAttrs(path)) {
           if (cur.nonEmpty && curBytes + sz > target) {
             groups += LineDirPartition(path, cur)
             cur = Vector.empty; curBytes = 0L
@@ -224,10 +258,16 @@ private[sources] case class LineDirOffset(batchId: Long) extends Offset {
 }
 
 private[sources] object LineDirOffset {
-  def fromJson(j: String): LineDirOffset = {
-    val m = """-?\d+""".r.findFirstIn(j).getOrElse(
-      throw new IllegalArgumentException(s"bad linedir offset: $j"))
-    LineDirOffset(m.toLong)
+  // anchored to the exact {"batch":N} shape: a legacy/corrupt offset
+  // (say a file-list ["f01.txt"] from some other format) must fail
+  // loudly instead of silently parsing whatever integer it contains
+  // into a bogus batch id that misplans batches on restart
+  private val Shape = """\s*\{\s*"batch"\s*:\s*(-?\d+)\s*\}\s*""".r
+
+  def fromJson(j: String): LineDirOffset = j match {
+    case Shape(n) => LineDirOffset(n.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"""bad linedir offset (expected {"batch":N}): $j""")
   }
 }
 
@@ -283,10 +323,11 @@ private[sources] class LineDirSeenLog(dir: Path) {
       }
 
   private def ids(suffix: String): Seq[Long] =
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(suffix))
-      .map(_.stripSuffix(suffix).toLong).toSeq.sorted
+    LineDir.listDir(dir) { it =>
+      it.map(_.getFileName.toString)
+        .filter(_.endsWith(suffix))
+        .map(_.stripSuffix(suffix).toLong).toSeq
+    }.sorted
 
   def deltaPath(id: Long): Path = dir.resolve(s"$id.delta")
   private def compactPath(id: Long): Path = dir.resolve(s"$id.compact")
@@ -356,14 +397,17 @@ private[sources] class LineDirMicroBatchStream(path: String,
     opts: StreamOptions)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  // Spark passes the per-source checkpoint dir as a URI string
-  // (file:/...); this connector is local-FS (like its write path), so
-  // resolve the file scheme and reject others loudly.
+  // Spark passes the per-source checkpoint dir as a Hadoop-Path string
+  // (file:/... with raw spaces/%/# — NOT URI-escaped); this connector is
+  // local-FS (like its write path), so parse it with Hadoop Path — whose
+  // constructor quotes illegal characters before building the URI, where
+  // a hand-rolled java.net.URI.create would throw on '%' and silently
+  // truncate at '#' — then resolve the file scheme and reject others
+  // loudly.
   private val ckptDir: Path = {
-    val u = java.net.URI.create(checkpointLocation
-      .replace(" ", "%20"))
+    val u = new org.apache.hadoop.fs.Path(checkpointLocation).toUri
     Option(u.getScheme) match {
-      case None => Paths.get(checkpointLocation)
+      case None => Paths.get(u.getPath)
       case Some("file") => Paths.get(u.getPath)
       case Some(other) => throw new IllegalArgumentException(
         s"linedir streaming checkpoint must be a local path, got scheme " +
@@ -408,11 +452,14 @@ private[sources] class LineDirMicroBatchStream(path: String,
     ensureRestored()
     val now = System.currentTimeMillis()
     val minMtime = opts.maxFileAgeMs.map(now - _)
-    val candidates = LineDir.listSorted(path)
-      .filter(f => availableNowTarget.forall(_.contains(f)))
-      .filterNot(f => seen.contains(f))
-      .map(f => (f, Files.getLastModifiedTime(Paths.get(path, f)).toMillis))
-      .filter { case (_, mt) => minMtime.forall(min => mt >= min) }
+    // one readAttributes stat per candidate carries BOTH mtime and size
+    // (the old shape re-statted size per admitted file, twice), and a
+    // file deleted between the list and the stat is skipped for this
+    // trigger instead of failing the stream (listSortedWithAttrs)
+    val candidates = LineDir.listSortedWithAttrs(path)
+      .filter { case (f, _, _) => availableNowTarget.forall(_.contains(f)) }
+      .filterNot { case (f, _, _) => seen.contains(f) }
+      .filter { case (_, _, mt) => minMtime.forall(min => mt >= min) }
     def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
       case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
       case other => Seq(other)
@@ -427,13 +474,12 @@ private[sources] class LineDirMicroBatchStream(path: String,
     // progress, not wedge the stream
     val admitted = {
       var bytes = 0L
-      candidates.zipWithIndex.takeWhile { case ((f, _), i) =>
+      candidates.zipWithIndex.takeWhile { case ((_, sz, _), i) =>
         val ok = maxFiles.forall(i < _) &&
-          (i == 0 || maxBytes.forall(bytes +
-            Files.size(Paths.get(path, f)) <= _))
-        if (ok) bytes += Files.size(Paths.get(path, f))
+          (i == 0 || maxBytes.forall(bytes + sz <= _))
+        if (ok) bytes += sz
         ok
-      }.map(_._1)
+      }.map { case ((f, _, mt), _) => (f, mt) }
     }
     if (admitted.nonEmpty) {
       lastBatchId += 1
@@ -580,10 +626,11 @@ private[sources] class LineDirStreamingWrite(path: String)
     val st = Paths.get(path, stagingName)
     if (Files.exists(st)) {
       val epochPrefix = f"part-$epochId%05d-"
-      Files.list(st).iterator().asScala
-        .filter(_.getFileName.toString.startsWith(epochPrefix))
-        .foreach(Files.delete)
-      if (!Files.list(st).iterator().hasNext) Files.delete(st)
+      LineDir.listDir(st) { it =>
+        it.filter(_.getFileName.toString.startsWith(epochPrefix))
+          .foreach(Files.delete)
+      }
+      if (LineDir.listDir(st)(!_.hasNext)) Files.delete(st)
     }
   }
 
@@ -591,7 +638,7 @@ private[sources] class LineDirStreamingWrite(path: String)
       messages: Array[WriterCommitMessage]): Unit = {
     val st = Paths.get(path, stagingName)
     if (Files.exists(st)) {
-      Files.list(st).iterator().asScala.foreach(Files.delete)
+      LineDir.listDir(st)(_.foreach(Files.delete))
       Files.delete(st)
     }
   }
@@ -617,10 +664,11 @@ private[sources] class LineDirBatchWrite(path: String, truncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val out = Paths.get(path)
     if (truncate)
-      Files.list(out).iterator().asScala
-        .filter(p => Files.isRegularFile(p)
-          && !p.getFileName.toString.startsWith("."))
-        .foreach(Files.delete)
+      LineDir.listDir(out) { it =>
+        it.filter(p => Files.isRegularFile(p)
+            && !p.getFileName.toString.startsWith("."))
+          .foreach(Files.delete)
+      }
     // append numbers past the existing part files so SEQUENTIAL jobs
     // never collide (the reference always starts at 0 because its
     // output dir is always pre-cleared — truncate reproduces that).
@@ -651,7 +699,7 @@ private[sources] class LineDirBatchWrite(path: String, truncate: Boolean)
   private def deleteStaging(): Unit = {
     val st = Paths.get(path, stagingName)
     if (Files.exists(st)) {
-      Files.list(st).iterator().asScala.foreach(Files.delete)
+      LineDir.listDir(st)(_.foreach(Files.delete))
       Files.delete(st)
     }
   }

@@ -363,4 +363,27 @@ class SourcesSpec extends AnyFunSuite {
         s"trial $trial wrong part-file count")
     }
   }
+
+  test("linedir offset json parses strictly: only the {\"batch\":N} shape") {
+    assert(LineDirOffset.fromJson("""{"batch":7}""").batchId === 7L)
+    assert(LineDirOffset.fromJson(""" { "batch" : -1 } """).batchId === -1L)
+    // a legacy file-list offset or corrupt json must fail loudly, not
+    // silently parse an embedded integer into a bogus batch id
+    for (bad <- Seq("""["f01.txt"]""", """{"batch":}""", "42",
+        """{"batches":3}""", """{"batch":3,"x":1}""", "")) {
+      intercept[IllegalArgumentException](LineDirOffset.fromJson(bad))
+    }
+  }
+
+  test("listSortedWithAttrs: one-stat listing matches names, sizes, order") {
+    val dir = Files.createTempDirectory("graft-attrs")
+    Files.write(dir.resolve("b.txt"), "xyz\n".getBytes)
+    Files.write(dir.resolve("a.txt"), "pq\n".getBytes)
+    Files.createDirectory(dir.resolve("subdir")) // dirs are skipped
+    val got = LineDir.listSortedWithAttrs(dir.toString)
+    assert(got.map(_._1) === Seq("a.txt", "b.txt"))
+    assert(got.map(_._2) === Seq(3L, 4L))
+    assert(got.forall(_._3 > 0L), "mtimes must be carried")
+    assert(got.map(_._1) === LineDir.listSorted(dir.toString))
+  }
 }
