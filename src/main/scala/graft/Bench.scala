@@ -1,6 +1,10 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
 
 /** Benchmark main (driver contract): times the headline queries
   * (`Q.bench = true`) on SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -9,8 +13,72 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune projections and skip computing most of the plan.
   * The session is warmed with one untimed run of the first query so JVM /
   * codegen startup cost isn't attributed to it.
+  *
+  * The artifact is SELF-ADJUDICATING (see SCALE.md "Reading the bench
+  * artifact"): alongside the min-of-3 per-query numbers it carries
+  *   - "samples": every raw repetition per query in run order, so a
+  *     one-spike-poisoned min (rare, but it produced r6's q03 2×) is
+  *     visible in the artifact itself, and
+  *   - "calibration": a fixed single-thread CPU probe timed before and
+  *     after the measured loop. The probe's work is constant across
+  *     rounds and independent of any repo code, so its wall-time moves
+  *     only with host load/frequency — if calibration drifts +20%
+  *     round-over-round, a uniform +20% query drift is the box, not a
+  *     regression (r6's +27%-with-zero-code-change case, previously
+  *     only adjudicable via repo archaeology).
   */
 object Bench {
+
+  /** Deterministic xorshift spin, ~0.5 s on an idle core. The result
+    * accumulator is printed on an impossible branch to defeat DCE. */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 88172645463325252L
+    var acc = 0L
+    var i = 0
+    while (i < 400000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    if (acc == 42L) System.err.println("calibration accumulator hit 42")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Streaming floor: a 3-batch Trigger.AvailableNow replay through the
+    * linedir micro-batch source (maxFilesPerTrigger admission) into a
+    * stateful word-sum aggregation on a noop sink — source listing +
+    * seen-log + state store + sink commit all on the timed path. The
+    * input dir is generated fresh (12 files × 25k lines) so the number
+    * is a pure pipeline rate, not parquet-scan speed. */
+  private def streamBench(spark: SparkSession): (Long, Double) = {
+    val dir = Files.createTempDirectory("graft-stream-bench")
+    val rnd = new scala.util.Random(7)
+    val nFiles = 12; val linesPerFile = 25000
+    for (i <- 0 until nFiles) {
+      val sb = new StringBuilder
+      for (_ <- 0 until linesPerFile)
+        sb.append(s"evt_${rnd.nextInt(1000)} ${rnd.nextInt(100)}\n")
+      Files.write(dir.resolve(f"in-$i%03d.txt"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("linedir")
+      .option("maxFilesPerTrigger", 4)
+      .load(dir.toString)
+      .selectExpr("split(value, ' ')[0] AS k",
+        "CAST(split(value, ' ')[1] AS LONG) AS v")
+      .groupBy("k").sum("v")
+      .writeStream.format("noop")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (nFiles.toLong * linesPerFile, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,6 +108,8 @@ object Bench {
     // Failures are tolerated here; the measured loop reports them.
     allNames.foreach(n => try force(n) catch { case _: Throwable => () })
 
+    val calibStart = calibrate()
+
     // min of three measured runs, ROUND-ROBIN over the whole set: the box
     // hosting local[32] sees multi-second external load spikes; running a
     // query's three repetitions back-to-back lets one spike poison all of
@@ -60,6 +130,19 @@ object Bench {
         }
       }
     }
+
+    // streaming floor: min of 2 replays (each is its own 3-batch run)
+    val (streamRows, streamSec) =
+      try {
+        val runs = (1 to 2).map(_ => streamBench(spark))
+        (runs.head._1, runs.map(_._2).min)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream failed: ${e.getMessage}")
+        (0L, -1.0)
+      }
+
+    val calibEnd = calibrate()
+
     def summarize(ns: Seq[String]): (Seq[(String, Double)], String, Double) = {
       val results = ns.map(n => n -> samples(n).minOption.getOrElse(-1.0))
       val json = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -70,8 +153,19 @@ object Bench {
     val (iterRes, iterQs, iterTotal) = summarize(iterNames)
     val failed = (res ++ iterRes).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iter_queries":$iterQs,"iter_total":$iterTotal,"failed":$failed,"sf":"$sfDir"}""")
-    if ((res ++ iterRes).exists(_._2 < 0)) { spark.stop(); sys.exit(1) }
+    // raw repetitions in chronological order (the list is built by
+    // prepending, so reverse) — the spike-visibility field
+    val rawJson = allNames.map { n =>
+      "\"" + n + "\":" + samples(n).reverse.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val calibJson = s"""{"start_sec":$calibStart,"end_sec":$calibEnd}"""
+    val streamJson =
+      s"""{"rows":$streamRows,"sec":$streamSec,"rows_per_sec":${
+        if (streamSec > 0) (streamRows / streamSec).round else -1}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iter_queries":$iterQs,"iter_total":$iterTotal,"samples":$rawJson,"calibration":$calibJson,"stream":$streamJson,"failed":$failed,"sf":"$sfDir"}""")
+    if ((res ++ iterRes).exists(_._2 < 0) || streamSec < 0) {
+      spark.stop(); sys.exit(1)
+    }
     spark.stop()
   }
 }
