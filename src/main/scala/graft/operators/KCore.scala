@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * real graphs. Rounds are eagerly `localCheckpoint`ed like
   * [[ConnectedComponents]]: without the lineage cut, each round's plan
   * embeds the previous round's three times (one per join/agg reuse) and
-  * analysis cost compounds exponentially. Swap in reliable
-  * `checkpoint(dir)` for preemption-prone clusters — same trade
-  * documented on the CC operator.
+  * analysis cost compounds exponentially. Lineage cuts follow the
+  * [[ConnectedComponents]] contract: `checkpointDir = None` →
+  * `localCheckpoint`; `Some(dir)` → reliable `checkpoint` for
+  * preemption-prone clusters — same trade documented on the CC operator.
   */
 object KCore {
 
@@ -29,19 +30,29 @@ object KCore {
     * (node, core_deg): the surviving nodes with their degree counted
     * inside the core subgraph. Fixpoint is reached when an entire peel
     * round removes nothing; `maxRounds` only bounds pathological
-    * chains. */
-  def core(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
-    var cur = edges.select(col("u"), col("v")).localCheckpoint(true)
+    * chains.
+    *
+    * @param checkpointDir when set, per-round lineage cuts go through
+    *                      reliable `checkpoint` into this directory
+    *                      (survives executor loss) instead of
+    *                      `localCheckpoint` */
+  def core(edges: DataFrame, k: Int, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var cur = cut(edges.select(col("u"), col("v")))
     var nEdges = cur.count()
     var stable = nEdges == 0L
     var round = 0
     while (!stable && round < maxRounds) {
       val keep = cur.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
-      val next = cur
+      val next = cut(cur
         .join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint(true)
+        .select(col("u"), col("v")))
       val n2 = next.count()
       stable = n2 == nEdges
       cur = next

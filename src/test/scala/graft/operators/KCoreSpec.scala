@@ -47,4 +47,18 @@ class KCoreSpec extends AnyFunSuite {
     assert(got2.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L, 13L))
     assert(core(tri ++ cyc, 3) === Map.empty)
   }
+
+  test("reliable checkpoint mode: identical core, files on disk") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val e = edges.toDF("u", "v")
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kcore-ckpt")
+    val reliable = KCore.core(sym, 2, checkpointDir = Some(ckpt.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === core(edges, 2),
+      "reliable-checkpoint mode changed the answer")
+    assert(java.nio.file.Files.list(ckpt).count() > 0,
+      "checkpoint dir is empty — rounds did not go through the reliable path")
+  }
 }
