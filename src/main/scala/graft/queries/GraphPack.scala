@@ -406,6 +406,62 @@ object GraphPack extends QueryPack {
         ${round("l0", "l1")},
         ${round("l1", "l2")}
         SELECT node, label FROM l2 ORDER BY node"""
+      }),
+
+    // ── Weighted single-source shortest paths ──────────────────────────
+    // The WEIGHTED companion to g02: same symmetrized trade graph, but
+    // each supplier↔customer edge is priced 1 + (lineitem count % 7) —
+    // heavily-traded pairs are NOT systematically cheap, so a cheap
+    // 2-hop route genuinely beats an expensive direct edge and the
+    // result provably differs from hop-BFS. operators.Sssp runs
+    // frontier-restricted Bellman–Ford (only rows whose distance
+    // improved last round rejoin the edge list; empty frontier stops
+    // the loop); 4 rounds here because the DuckDB twin unrolls 4 full
+    // relaxations — after round k both formulations hold min weight
+    // over ≤ k-edge paths, which is what makes them comparable.
+    // Scale posture: per-round cost is frontier × out-degree keyed on
+    // node id (never nodes × edges), distance state is one row per
+    // reached node, lineage cut per round (localCheckpoint here,
+    // reliable checkpoint(dir) in production — the CC contract).
+    "g08_sssp" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val pw = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_suppkey").as("u"),
+            (col("o_custkey") + lit(1000000L)).as("v"))
+          .agg((lit(1L) + count(lit(1)) % 7).as("w"))
+        val edges = pw.union(
+          pw.select(col("v").as("u"), col("u").as("v"), col("w")))
+        graft.operators.Sssp.distances(edges, Seq(1L).toDF("node"), 4)
+          .orderBy("node")
+      },
+      oracle = Some {
+        def relax(prev: String, out: String): String =
+          s"""$out AS MATERIALIZED (
+             |  SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM $prev
+             |    UNION ALL
+             |    SELECT e.v AS node, p.d + e.w AS d
+             |    FROM edges e JOIN $prev p ON p.node = e.u)
+             |  GROUP BY node)""".stripMargin
+        s"""
+        WITH pw AS MATERIALIZED (
+          SELECT l_suppkey AS u, o_custkey + 1000000 AS v,
+                 1 + count(*) % 7 AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        edges AS MATERIALIZED (
+          SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+        r0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+        ${relax("r0", "i1")},
+        ${relax("i1", "i2")},
+        ${relax("i2", "i3")},
+        ${relax("i3", "i4")}
+        SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS d
+        FROM i4 ORDER BY node"""
       })
   )
 }

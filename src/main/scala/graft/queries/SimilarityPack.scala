@@ -690,6 +690,87 @@ object SimilarityPack extends QueryPack {
                CAST(adist AS BIGINT) AS adist
         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // ── IVF-ADC: coarse cell probe × PQ code scan (the full index) ─────
+    // The composition s11's scaladoc promises: a real serving index is
+    // IVF *and* PQ together (FAISS's IVFADC). The coarse quantizer
+    // (the label cell, s02/s07's precedent) prunes WHICH vectors a
+    // query scores — nprobe/nlist of the corpus — and PQ compresses
+    // WHAT is scanned per survivor — codes, 32× smaller than vectors.
+    // s12 alone still scans every code; s02 alone scans raw vectors in
+    // the probed cell; this scans codes-in-probed-cell only, the
+    // multiplied saving that makes billion-vector serving work.
+    // Same 3 queries and integer ADC arithmetic as s12 (so DuckDB
+    // replays the whole thing), restricted by qlabel = label; with
+    // nprobe=1 the result is s12's ranking filtered to the query's own
+    // cell — recall costs what s05/s19 measure, scan cost drops by
+    // |cells|. Scale posture: the distance table ⋈ query-label relation
+    // is qids×M×k cells (broadcast, KBs); the one data-sized pass is
+    // codes ⋈ labels (both narrow, keyed on vec_id) + the broadcast
+    // lookup + per-query top-k window — no raw vector ever shuffles.
+    "s20_ivf_adc_topk" -> Q(
+      run = (s, d) => {
+        val (q, c1, a2) = pqParts(s, d)
+        val labels = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"))
+        val qids = q.select("vec_id").distinct().orderBy("vec_id").limit(3)
+          .select(col("vec_id").as("qid"))
+        val qlab = qids.join(labels, col("vec_id") === col("qid"))
+          .select(col("qid"), col("label").as("qlabel"))
+        val qsub = q.join(broadcast(qids), col("vec_id") === col("qid"))
+          .select(col("qid"), col("dim"), col("u8").as("qu8"))
+        val td = qsub.join(broadcast(c1), "dim")
+          .groupBy(col("qid"), col("m"), col("cid"))
+          .agg(sum((col("qu8") - col("cu8")).cast("long")
+            * (col("qu8") - col("cu8"))).as("td"))
+          .join(broadcast(qlab), "qid")
+        val codes = a2.select(col("vec_id"), col("m"), col("cid"))
+          .join(labels, "vec_id")
+        // rename the lookup side: td's m/cid descend from the same plan
+        // as the codes relation (both trace to pqParts' c1), so joining
+        // raw references would lean on self-join disambiguation
+        val tdr = td.select(col("qid"), col("m").as("tm"),
+          col("cid").as("tcid"), col("qlabel"), col("td"))
+        val adist = codes
+          .join(broadcast(tdr),
+            codes("m") === col("tm") && codes("cid") === col("tcid")
+              && codes("label") === col("qlabel"))
+          .groupBy(col("qid"), codes("vec_id"))
+          .agg(sum(col("td")).as("adist"))
+          .filter(col("qid") =!= col("vec_id"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("adist"), col("vec_id"))
+        adist.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(pqSqlCtes + """,
+        lab AS (SELECT vec_id, label FROM embeddings),
+        qids AS (SELECT DISTINCT vec_id AS qid FROM q ORDER BY qid LIMIT 3),
+        qlab AS (SELECT qids.qid, lab.label AS qlabel
+                 FROM qids JOIN lab ON lab.vec_id = qids.qid),
+        qsub AS (SELECT qids.qid, q.dim, q.m, q.u8 AS qu8
+                 FROM q JOIN qids ON q.vec_id = qids.qid),
+        td AS (SELECT qsub.qid, qsub.m, c.cid,
+                      sum(CAST(qsub.qu8 - c.cu8 AS BIGINT)
+                        * (qsub.qu8 - c.cu8)) AS td
+               FROM qsub JOIN c1 c USING (dim)
+               GROUP BY 1, 2, 3),
+        adist AS (SELECT td.qid, a2.vec_id, sum(td.td) AS adist
+                  FROM a2
+                  JOIN lab ON a2.vec_id = lab.vec_id
+                  JOIN td ON a2.m = td.m AND a2.cid = td.cid
+                  JOIN qlab ON qlab.qid = td.qid
+                           AND lab.label = qlab.qlabel
+                  GROUP BY 1, 2),
+        ranked AS (SELECT qid, vec_id, adist,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY adist, vec_id) AS rank
+                   FROM adist WHERE qid <> vec_id)
+        SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+               CAST(adist AS BIGINT) AS adist
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // ── Sparse random projection (Johnson–Lindenstrauss) ───────────────
     // Dimensionality reduction for the embedding column: 64-d → 16-d via
     // a dense ±1 matrix (Achlioptas' sparse JL construction with s=1),

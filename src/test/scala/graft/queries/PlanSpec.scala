@@ -134,6 +134,15 @@ class PlanSpec extends AnyFunSuite {
       "s12 degraded to an all-pairs plan")
   }
 
+  test("s20: IVF-ADC scan broadcasts the cell-tagged distance table") {
+    val p = planOf("s20_ivf_adc_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "distance-table⋈query-label lookup should broadcast (qids×M×k cells)")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "s20 degraded to an all-pairs plan")
+  }
+
   test("q52: joining the bucketed tables needs NO exchange on either side") {
     // the whole point of bucketed storage: after q52 writes both tables
     // bucketBy(8, key), a fresh join on the key is a SortMergeJoin whose
