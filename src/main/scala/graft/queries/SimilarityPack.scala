@@ -690,6 +690,133 @@ object SimilarityPack extends QueryPack {
                CAST(adist AS BIGINT) AS adist
         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // ── Two-stage retrieval: ADC candidates → exact cosine rerank ──────
+    // The pattern s19's recall curve prescribes when @1 is poor but @5
+    // is fine: let the COMPRESSED index over-fetch (ADC top-20 — cheap,
+    // codes only), then score just those candidates exactly (20 raw
+    // vectors per query, not the corpus) and keep the exact top-5.
+    // Quantization error caps stage-1 RECALL but no longer the final
+    // RANKING — the serving quality/cost split every production stack
+    // (FAISS + rerank, ColBERT, two-tower + cross-encoder) runs on.
+    // Stage 2 reuses s01's IEEE discipline bit-for-bit (left-fold dot,
+    // same divide order, e6 rounding, vec_id ties) so DuckDB replays
+    // both stages. Scale posture: stage 1 is s12's broadcast code scan;
+    // stage 2 joins a qids×20 candidate list (broadcast, KBs) against
+    // the vector table on vec_id — per-query exact work is O(20), and
+    // raw vectors never shuffle.
+    "s21_adc_rerank" -> Q(
+      run = (s, d) => {
+        val (q, c1, a2) = pqParts(s, d)
+        val qids = q.select("vec_id").distinct().orderBy("vec_id").limit(3)
+          .select(col("vec_id").as("qid"))
+        val qsub = q.join(broadcast(qids), col("vec_id") === col("qid"))
+          .select(col("qid"), col("dim"), col("u8").as("qu8"))
+        val td = qsub.join(broadcast(c1), "dim")
+          .groupBy(col("qid"), col("m"), col("cid"))
+          .agg(sum((col("qu8") - col("cu8")).cast("long")
+            * (col("qu8") - col("cu8"))).as("td"))
+        val adist = a2.select(col("vec_id"), col("m"), col("cid"))
+          .join(broadcast(td), Seq("m", "cid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("td")).as("adist"))
+          .filter(col("qid") =!= col("vec_id"))
+        val w1 = Window.partitionBy("qid")
+          .orderBy(col("adist"), col("vec_id"))
+        val cand = adist.withColumn("rank", row_number().over(w1))
+          .filter(col("rank") <= 20)
+          .select(col("qid"), col("vec_id"))
+        // stage 2: exact cosine over candidates only — same base
+        // relation as pqParts (v double-cast, nrm = sqrt(Σx²) left-fold)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD.as("v"))
+          .withColumn("nrm", sqrt(norm(col("v"))))
+        val qv = e.select(col("vec_id").as("qjid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+        val rr = broadcast(cand)
+          .join(e, "vec_id")
+          .join(broadcast(qv), col("qid") === col("qjid"))
+          .withColumn("cos", dot(col("qv"), col("v")) / col("qn") / col("nrm"))
+        val w2 = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))
+        rr.withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cos") * 1000000, 0).cast("long").as("cos_e6"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(pqSqlCtes + """,
+        qids AS (SELECT DISTINCT vec_id AS qid FROM q ORDER BY qid LIMIT 3),
+        qsub AS (SELECT qids.qid, q.dim, q.m, q.u8 AS qu8
+                 FROM q JOIN qids ON q.vec_id = qids.qid),
+        td AS (SELECT qsub.qid, qsub.m, c.cid,
+                      sum(CAST(qsub.qu8 - c.cu8 AS BIGINT)
+                        * (qsub.qu8 - c.cu8)) AS td
+               FROM qsub JOIN c1 c USING (dim)
+               GROUP BY 1, 2, 3),
+        adist AS (SELECT td.qid, a2.vec_id, sum(td.td) AS adist
+                  FROM a2 JOIN td ON a2.m = td.m AND a2.cid = td.cid
+                  GROUP BY 1, 2),
+        cand AS (SELECT qid, vec_id FROM
+                   (SELECT qid, vec_id,
+                           row_number() OVER (PARTITION BY qid
+                             ORDER BY adist, vec_id) AS rank
+                    FROM adist WHERE qid <> vec_id)
+                 WHERE rank <= 20),
+        rr AS (SELECT c.qid, c.vec_id,
+                      list_reduce(list_transform(list_zip(qb.v, cb.v),
+                        s -> s[1]*s[2]), (acc, x) -> acc + x)
+                        / qb.nrm / cb.nrm AS cos
+               FROM cand c
+               JOIN base qb ON qb.vec_id = c.qid
+               JOIN base cb ON cb.vec_id = c.vec_id),
+        rr2 AS (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, vec_id) AS rank
+                FROM rr)
+        SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+               CAST(round(cos * 1000000) AS BIGINT) AS cos_e6
+        FROM rr2 WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ── Incremental PQ encode: delta vectors, FROZEN codebook ──────────
+    // d07's role for the vector index: production PQ indexes train the
+    // codebook once and encode every later ingest batch against it
+    // unchanged (retraining would invalidate all previously stored
+    // codes — the index would have to be rebuilt corpus-wide). The
+    // "new" batch here is vec_id % 7 = 3; only THOSE vectors run the
+    // assignment join, the codebook arrives as the same broadcast c1
+    // the full build trained, and emitted qerr is the drift signal a
+    // pipeline watches to decide when a rebuild is finally due.
+    // Scale posture: per-ingest cost is |delta| × (M×k) broadcast
+    // lookups — independent of index size, the property that makes
+    // daily ingest O(day) instead of O(corpus).
+    "s22_pq_delta_encode" -> Q(
+      run = (s, d) => {
+        val (q, c1, _) = pqParts(s, d)
+        val dists = q.filter(col("vec_id") % 7 === 3)
+          .join(broadcast(c1.drop("m")), "dim")
+          .groupBy(col("vec_id"), col("m"), col("cid"))
+          .agg(sum((col("u8") - col("cu8")).cast("long")
+            * (col("u8") - col("cu8"))).as("dist"))
+        val w = Window.partitionBy("vec_id", "m")
+          .orderBy(col("dist"), col("cid"))
+        dists.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cid").as("code"),
+            col("dist").as("qerr"))
+          .orderBy("vec_id", "m")
+      },
+      oracle = Some(pqSqlCtes + """,
+        dd AS (SELECT q.vec_id, q.m, c.cid,
+                      sum(CAST(q.u8 - c.cu8 AS BIGINT) * (q.u8 - c.cu8)) AS dist
+               FROM q JOIN c1 c USING (dim)
+               WHERE q.vec_id % 7 = 3
+               GROUP BY 1, 2, 3)
+        SELECT vec_id, m, cid AS code, CAST(dist AS BIGINT) AS qerr FROM
+          (SELECT vec_id, m, cid, dist,
+                  row_number() OVER (PARTITION BY vec_id, m
+                    ORDER BY dist, cid) AS rn
+           FROM dd) WHERE rn = 1 ORDER BY vec_id, m""")),
+
     // ── IVF-ADC: coarse cell probe × PQ code scan (the full index) ─────
     // The composition s11's scaladoc promises: a real serving index is
     // IVF *and* PQ together (FAISS's IVFADC). The coarse quantizer

@@ -143,6 +143,15 @@ class PlanSpec extends AnyFunSuite {
       "s20 degraded to an all-pairs plan")
   }
 
+  test("s21: rerank stage joins the candidate list by broadcast") {
+    val p = planOf("s21_adc_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate list (qids×20 rows) should broadcast into the vector table")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "s21 degraded to an all-pairs plan")
+  }
+
   test("q52: joining the bucketed tables needs NO exchange on either side") {
     // the whole point of bucketed storage: after q52 writes both tables
     // bucketBy(8, key), a fresh join on the key is a SortMergeJoin whose
