@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -812,6 +813,73 @@ object ExtrasPack extends QueryPack {
                count(DISTINCT user_id) AS exact_users,
                TRUE AS within_5pct
         FROM events GROUP BY 1 ORDER BY week""")),
+
+    // ── Mergeable histogram quantiles (the percentile twin of q44) ─────
+    // q19/q55's exact percentiles re-sort raw data at every grain; the
+    // 100 TB pattern is SKETCH ONCE at fine grain, MERGE at coarse
+    // grain: a fixed 1000-bin histogram of order value per DAY (each
+    // day's sketch ≤ 1000 rows regardless of volume), then monthly
+    // quantiles from the SUMMED histograms — raw orders are read once,
+    // every coarser grain is metadata-sized arithmetic, and two
+    // sketches merge by plain addition (the property t-digest/KLL787
+    // approximate and an equi-width histogram has exactly). Unlike
+    // q44's banded HLL check, every step here is integer-exact (bin =
+    // c·1000 div (max+1), median position = (n+1) div 2, answer = bin
+    // LOWER BOUND in cents), so DuckDB replays the whole pipeline
+    // bit-for-bit — the approximation error vs q19's exact median is
+    // bounded by one bin width by construction, not asserted.
+    // Scale posture: one scan bins raw rows (the max is a broadcast
+    // scalar like q43's), the day×bucket relation is calendar-sized,
+    // and everything after is windows over ≤1000 rows per month.
+    "q59_histogram_quantile_merge" -> Q(
+      run = (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderdate").as("day"),
+            Cents.cents(col("o_totalprice")).as("c"))
+        val hi = o.agg(max(col("c")).as("hi"))
+        val daily = o.crossJoin(broadcast(hi))
+          .select(col("day"),
+            least(expr("(c * 1000) div (hi + 1)"), lit(999L)).as("bucket"))
+          .groupBy("day", "bucket").agg(count(lit(1)).as("cnt"))
+        val monthly = daily
+          .select(date_format(col("day"), "yyyy-MM").as("month"),
+            col("bucket"), col("cnt"))
+          .groupBy("month", "bucket").agg(sum("cnt").as("cnt"))
+        val tot = monthly.groupBy("month").agg(sum("cnt").as("n"))
+        val w = Window.partitionBy("month").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = monthly.withColumn("cum", sum("cnt").over(w))
+          .join(tot, "month")
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("month"), col("n"))
+          .agg(min(col("bucket")).as("mbucket"))
+        med.crossJoin(broadcast(hi))
+          .select(col("month"), col("n").as("n_orders"),
+            expr("(mbucket * (hi + 1)) div 1000").as("approx_med_lb_cents"))
+          .orderBy("month")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT o_orderdate AS day,
+                          ${Cents.sqlCents("o_totalprice")} AS c FROM orders),
+        hi AS (SELECT max(c) AS hi FROM c),
+        daily AS (SELECT day, least((c.c * 1000) // (hi.hi + 1), 999) AS bucket,
+                         count(*) AS cnt
+                  FROM c, hi GROUP BY 1, 2),
+        monthly AS (SELECT strftime(day, '%Y-%m') AS month, bucket,
+                           sum(cnt) AS cnt
+                    FROM daily GROUP BY 1, 2),
+        tot AS (SELECT month, sum(cnt) AS n FROM monthly GROUP BY 1),
+        cum AS (SELECT m.month, m.bucket,
+                       sum(m.cnt) OVER (PARTITION BY m.month
+                         ORDER BY m.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum, t.n
+                FROM monthly m JOIN tot t ON m.month = t.month),
+        med AS (SELECT month, n, min(bucket) AS mbucket
+                FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1, 2)
+        SELECT month, CAST(n AS BIGINT) AS n_orders,
+               CAST((mbucket * (hi.hi + 1)) // 1000 AS BIGINT)
+                 AS approx_med_lb_cents
+        FROM med, hi ORDER BY month""")),
 
     // ── Exact DECIMAL arithmetic ───────────────────────────────────────
     // The packs' scaled-int convention (QueryPack scaladoc) sidesteps
