@@ -48,10 +48,25 @@ object PageRank {
     * @param redistributeDangling false → require symmetric input, nodes
     *                      = sources (g01 contract); true → nodes =
     *                      sources ∪ destinations, dangling mass split
-    *                      uniformly each round */
+    *                      uniformly each round
+    * @param teleportTo    when set (long column `node`), the teleport
+    *                      base term lands ONLY on these nodes —
+    *                      unnormalized PERSONALIZED PageRank:
+    *                      r'(v) = [v∈S]·150000 + (85·Σ inflow) div 100.
+    *                      Rank then measures proximity to the seed set
+    *                      (the graph-retrieval / seed-expansion
+    *                      primitive), not global centrality. Only the
+    *                      symmetric contract supports it
+    *                      (redistributeDangling must stay false);
+    *                      teleportTo = all nodes degenerates to the
+    *                      default mode exactly (spec-pinned) */
   def ranks(edges: DataFrame, iterations: Int,
       checkpointDir: Option[String] = None,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      teleportTo: Option[DataFrame] = None): DataFrame = {
+    require(teleportTo.isEmpty || !redistributeDangling,
+      "teleportTo is only supported under the symmetric contract " +
+        "(redistributeDangling=false)")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
@@ -74,15 +89,40 @@ object PageRank {
           "list (every destination must also be a source); found dangling " +
           "destinations — symmetrize the input or pass redistributeDangling=true")
       var r = deg.select(col("u").as("node"), lit(1000000L).as("r"))
-      for (_ <- 1 to iterations) {
-        r = cut(ed
-          .join(r, col("node") === col("u"))
-          .groupBy(col("v"))
-          .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
-            .as("r2"))
-          .select(col("v").as("node"), col("r2").as("r")))
+      teleportTo match {
+        case None =>
+          for (_ <- 1 to iterations) {
+            r = cut(ed
+              .join(r, col("node") === col("u"))
+              .groupBy(col("v"))
+              .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
+                .as("r2"))
+              .select(col("v").as("node"), col("r2").as("r")))
+          }
+          r
+        case Some(t) =>
+          // nodes with zero inflow still carry their seed base, so the
+          // update is anchored on the node set (= sources, symmetric
+          // contract), not on the destinations that happened to receive
+          val nodes = cut(deg.select(col("u").as("node")))
+          val seeds = cut(t.select(col("node")).distinct()
+            .withColumn("is_seed", lit(1)))
+          for (_ <- 1 to iterations) {
+            val inflow = ed
+              .join(r, col("node") === col("u"))
+              .groupBy(col("v"))
+              .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
+              .select(col("v").as("node"), col("inflow"))
+            r = cut(nodes
+              .join(inflow, Seq("node"), "left_outer")
+              .join(seeds, Seq("node"), "left_outer")
+              .select(col("node"),
+                expr("CAST((CASE WHEN is_seed = 1 THEN 150000 ELSE 0 END)" +
+                  " + (85 * coalesce(inflow, 0L)) div 100 AS BIGINT)")
+                  .as("r")))
+          }
+          r
       }
-      r
     } else {
       val nodes = cut(e.select(col("u").as("node"))
         .union(e.select(col("v").as("node"))).distinct())

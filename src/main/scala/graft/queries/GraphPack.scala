@@ -408,6 +408,63 @@ object GraphPack extends QueryPack {
         SELECT node, label FROM l2 ORDER BY node"""
       }),
 
+    // ── Personalized PageRank (teleport to a seed set) ─────────────────
+    // The graph-retrieval primitive global PageRank (g01) is not: with
+    // the teleport base landing only on seed nodes (suppliers ≡ 1 mod
+    // 10), rank measures PROXIMITY TO THE SEEDS — seed expansion for
+    // retrieval-augmented pipelines, "more docs like these" over a
+    // citation/link graph, topic-sensitive ranking. Same exact-integer
+    // update as g01 with the base term gated on seed membership
+    // (unnormalized PPR — rankings are what matter), same one-shuffle-
+    // per-round shape anchored on the node set so zero-inflow seeds
+    // keep their base. DuckDB unrolls the same 3 rounds.
+    "g09_personalized_pagerank" -> Q(
+      run = (s, d) => {
+        val e0 = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("u"),
+            (col("o_custkey") + lit(1000000L)).as("v"))
+          .distinct()
+        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 10 === 1)
+          .select(col("s_suppkey").cast("long").as("node"))
+        graft.operators.PageRank.ranks(edges, 3, teleportTo = Some(seeds))
+          .select(col("node"), col("r").as("ppr_e6")).orderBy("node")
+      },
+      oracle = Some {
+        def step(prev: String, out: String): String =
+          s"""$out AS MATERIALIZED (
+             |  SELECT nd.node,
+             |         CAST((CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END)
+             |           + (85 * coalesce(inf.s, 0)) // 100 AS BIGINT) AS r
+             |  FROM nodes nd
+             |  LEFT JOIN seeds sd ON nd.node = sd.node
+             |  LEFT JOIN (
+             |    SELECT e.v AS node, sum(p.r // dg.d) AS s
+             |    FROM edges e JOIN deg dg ON e.u = dg.u
+             |    JOIN $prev p ON p.node = e.u
+             |    GROUP BY e.v) inf ON nd.node = inf.node)""".stripMargin
+        s"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        nodes AS (SELECT u AS node FROM deg),
+        seeds AS (SELECT CAST(s_suppkey AS BIGINT) AS node
+                  FROM supplier WHERE s_suppkey % 10 = 1),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        ${step("r0", "i1")},
+        ${step("i1", "i2")},
+        ${step("i2", "i3")}
+        SELECT CAST(node AS BIGINT) AS node, r AS ppr_e6
+        FROM i3 ORDER BY node"""
+      }),
+
     // ── Weighted single-source shortest paths ──────────────────────────
     // The WEIGHTED companion to g02: same symmetrized trade graph, but
     // each supplier↔customer edge is priced 1 + (lineitem count % 7) —

@@ -55,6 +55,34 @@ class PageRankSpec extends AnyFunSuite {
       "checkpoint dir is empty — rounds did not go through the reliable path")
   }
 
+  test("teleportTo: hand-computed personalized steps on the star") {
+    // seed = {2}; base 150000 lands only on node 2:
+    //   i1: a=0+85*(1000000+1000000) div 100      = 1700000
+    //       b=150000+85*(1000000 div 2) div 100   = 575000
+    //       c=0+85*(1000000 div 2) div 100        = 425000
+    //   i2: a=0+85*(575000+425000) div 100        = 850000
+    //       b=150000+85*(1700000 div 2) div 100   = 872500
+    //       c=0+85*(1700000 div 2) div 100        = 722500
+    val got = PageRank.ranks(star.toDF("u", "v"), 2,
+      teleportTo = Some(Seq(2L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 850000L, 2L -> 872500L, 3L -> 722500L))
+  }
+
+  test("teleportTo = all nodes degenerates to the default mode exactly") {
+    val all = Seq(1L, 2L, 3L).toDF("node")
+    val got = PageRank.ranks(star.toDF("u", "v"), 3, teleportTo = Some(all))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ranks(star, 3))
+  }
+
+  test("teleportTo under redistributeDangling is refused") {
+    assertThrows[IllegalArgumentException] {
+      PageRank.ranks(star.toDF("u", "v"), 2, redistributeDangling = true,
+        teleportTo = Some(Seq(1L).toDF("node")))
+    }
+  }
+
   test("asymmetric input without dangling redistribution is refused") {
     // 1→2, 1→3: nodes 2 and 3 are pure sinks — the default contract
     // must fail loudly instead of silently dropping their mass

@@ -59,6 +59,22 @@ class SsspSpec extends AnyFunSuite {
     }
   }
 
+  test("unit weights degenerate to Bfs hops (random graphs)") {
+    // with w=1 min summed weight IS min hop count — the two operators
+    // must agree exactly; seeds fixed so the graphs are reproducible
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val unit = edges.map { case (u, v) => (u, v, 1L) }
+      val viaSssp = dist(unit, Seq(0L), 8)
+      val viaBfs = Bfs.hops(edges.toDF("u", "v"), Seq(0L).toDF("node"), 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSssp === viaBfs, s"unit-weight SSSP diverged from BFS on $edges")
+    }
+  }
+
   test("reliable checkpoint mode: identical distances, files on disk") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sssp-ckpt")
     val reliable = Sssp
