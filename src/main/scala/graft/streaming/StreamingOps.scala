@@ -237,6 +237,25 @@ object StreamingOps {
       key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming decontamination gate: drop every stream row whose
+    * content hash already exists in a STATIC reference set (benchmark
+    * test sets à la p04/p06, or the exact-dup index of the corpus
+    * ingested so far) — the ingestion-time twin of the batch
+    * anti-joins. A stream-static LEFT ANTI join is stateless like
+    * [[enrichWithDim]] (static side re-planned every micro-batch, so a
+    * refreshed reference set is picked up; broadcast keeps it map-side)
+    * — no watermark and no state store, because the reference set IS
+    * the state. Complements [[dedupWithinWatermark]], which dedups the
+    * stream against ITSELF over a bounded horizon; this dedups it
+    * against HISTORY, and they compose: gate first, then in-stream
+    * dedup. At 100 TB the reference set outgrows a broadcast —
+    * swap `broadcast` for a bucketed static table co-partitioned on
+    * the hash and the same left_anti stays shuffle-free per batch. */
+  def decontaminate(stream: DataFrame, reference: DataFrame,
+      key: String = "h"): DataFrame =
+    stream.join(broadcast(reference.select(key).distinct()),
+      Seq(key), "left_anti")
+
   /** One micro-batch's idempotent commit: batch `batchId` always lands
     * in its own `batch_id=N` partition dir with overwrite semantics, so
     * a replayed batch (failure between sink write and checkpoint

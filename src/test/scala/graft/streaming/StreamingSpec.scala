@@ -632,6 +632,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontamination gate: known hashes dropped, equals batch anti-join") {
+    // reference set = even hashes; stream carries 0..99 → 50 survivors
+    val docs = (0L until 100L).map(i => (i, f"h$i%03d"))
+    val ref = docs.filter(_._1 % 2 == 0).map(_._2).toDF("h")
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.decontaminate(
+        stream.toDF().toDF("doc_id", "h"), ref)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(40)); q.processAllAvailable()
+      stream.addData(docs.drop(40)); q.processAllAvailable()
+      val streamed = spark.table("decon").select("doc_id").collect()
+        .map(_.getLong(0)).sorted
+      val batch = StreamingOps.decontaminate(
+          docs.toDF("doc_id", "h"), ref)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.forall(_ % 2 == 1) && streamed.length === 50)
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: replayed batch does not duplicate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val cp = java.nio.file.Files.createTempDirectory("graft-sink-cp").toString
