@@ -42,7 +42,7 @@ object KCore {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    var cur = cut(edges.select(col("u"), col("v")))
+    var cur = cut(edges.select(col("u"), col("v")).repartition(col("u")))
     var nEdges = cur.count()
     var stable = nEdges == 0L
     var round = 0
@@ -52,7 +52,7 @@ object KCore {
       val next = cut(cur
         .join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")))
+        .select(col("u"), col("v")).repartition(col("u")))
       val n2 = next.count()
       stable = n2 == nEdges
       cur = next
