@@ -35,7 +35,9 @@ object Bfs {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val e = cut(edges.select(col("u"), col("v")))
+    // pre-partitioned on the per-round join key (the g01 hoist): each
+    // round's frontier⋈e join reshuffles only the frontier
+    val e = cut(edges.select(col("u"), col("v")).repartition(col("u")))
     var dist = cut(sources.select(col("node"), lit(0L).as("hop")).distinct())
     var h = 1
     var exhausted = false

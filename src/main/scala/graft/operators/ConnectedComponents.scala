@@ -53,9 +53,14 @@ object ConnectedComponents {
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
     val e = edges.toDF("a", "b")
+    // pre-partitioned on the per-round join key (the g01 hoist): the
+    // persisted blocks keep their partitioning, so each round's
+    // sym⋈labels join reshuffles only the node-sized label table —
+    // the edge relation never re-crosses the wire
     val sym = e
       .union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // eager checkpoint: materializes AND truncates lineage to a
     // LogicalRDD — constant-size plans per round (see scaladoc)

@@ -48,7 +48,10 @@ object LabelPropagation {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val e = edges.toDF("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-partitioned on the per-round join key (the g01 hoist): each
+    // round's e⋈labels join reshuffles only the label table
+    val e = edges.toDF("u", "v").repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cut(seeds.toDF("node", "label"))
     var converged = false
     var i = 0

@@ -47,7 +47,10 @@ object Sssp {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val e = cut(edges.select(col("u"), col("v"), col("w")))
+    // pre-partitioned on the per-round join key (the g01 hoist): each
+    // round's frontier⋈e join reshuffles only the frontier
+    val e = cut(edges.select(col("u"), col("v"), col("w"))
+      .repartition(col("u")))
     require(e.filter(col("w") < 0).limit(1).count() == 0L,
       "Sssp requires non-negative edge weights: with negative weights " +
         "the empty-frontier stop is not a fixpoint proof")
