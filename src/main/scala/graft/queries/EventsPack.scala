@@ -1030,6 +1030,71 @@ object EventsPack extends QueryPack {
                          AS BIGINT) AS n_active
                 FROM deltas)
         SELECT minute, n_active FROM run
-        ORDER BY n_active DESC, minute LIMIT 5"""))
+        ORDER BY n_active DESC, minute LIMIT 5""")),
+
+    // ── Negative-condition sequence pattern (MATCH_RECOGNIZE class) ────
+    // "view followed by purchase within 24 h with NO error in between" —
+    // the pattern e10/e21's chained conditional mins CANNOT express,
+    // because they only constrain what must happen, not what must NOT
+    // happen in the gap. Formulation: two forward-looking windows per
+    // view row (next purchase µs, next error µs — min over a
+    // [1 FOLLOWING, UNBOUNDED] frame gated by type) on ONE user_id
+    // partitioning; the classification is then row-local arithmetic:
+    //   no_purchase_24h | converted_clean | converted_with_error.
+    // Strictly-after is by (ts, event_id) row order, so ties are
+    // deterministic in both engines. Scale posture: e10's cost envelope
+    // exactly — one user-keyed exchange carries the corpus, both
+    // windows and the classifier ride it, and the rollup is 3 rows.
+    "e25_sequence_pattern" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dayUs = 86400000000L
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val classed = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("next_purchase",
+            min(when(col("event_type") === "purchase", col("us"))).over(w))
+          .withColumn("next_error",
+            min(when(col("event_type") === "error", col("us"))).over(w))
+          .filter(col("event_type") === "view")
+          .withColumn("outcome",
+            when(col("next_purchase").isNull
+              || col("next_purchase") - col("us") > dayUs,
+              lit("no_purchase_24h"))
+              .when(col("next_error").isNotNull
+                && col("next_error") < col("next_purchase"),
+                lit("converted_with_error"))
+              .otherwise(lit("converted_clean")))
+        classed.groupBy("outcome")
+          .agg(count(lit(1)).as("n_views"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("outcome")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                   FROM events),
+        nx AS (SELECT user_id, event_id, event_type, us,
+                      min(CASE WHEN event_type = 'purchase' THEN us END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN 1 FOLLOWING
+                              AND UNBOUNDED FOLLOWING) AS next_purchase,
+                      min(CASE WHEN event_type = 'error' THEN us END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN 1 FOLLOWING
+                              AND UNBOUNDED FOLLOWING) AS next_error
+               FROM e),
+        cl AS (SELECT CASE
+                 WHEN next_purchase IS NULL
+                   OR next_purchase - us > 86400000000 THEN 'no_purchase_24h'
+                 WHEN next_error IS NOT NULL
+                   AND next_error < next_purchase THEN 'converted_with_error'
+                 ELSE 'converted_clean' END AS outcome, user_id
+               FROM nx WHERE event_type = 'view')
+        SELECT outcome, count(*) AS n_views,
+               count(DISTINCT user_id) AS n_users
+        FROM cl GROUP BY 1 ORDER BY outcome"""))
   )
 }
