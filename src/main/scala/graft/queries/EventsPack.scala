@@ -1095,6 +1095,65 @@ object EventsPack extends QueryPack {
                FROM nx WHERE event_type = 'view')
         SELECT outcome, count(*) AS n_views,
                count(DISTINCT user_id) AS n_users
-        FROM cl GROUP BY 1 ORDER BY outcome"""))
+        FROM cl GROUP BY 1 ORDER BY outcome""")),
+
+    // ── Point-in-time feature join (training-serving skew killer) ──────
+    // The feature-store primitive: enrich each PURCHASE with the
+    // dimension version valid AT THAT MOMENT (e14's SCD2 intervals —
+    // here "the user's current activity state"), never the current one
+    // — joining training rows to today's features leaks the future.
+    // Because SCD2 versions tile each user's timeline, "the version
+    // whose interval contains ts" IS "the latest valid_from ≤ ts", so
+    // the native AsOfJoin operator (e06) answers it with one
+    // sort-merge pass — no interval blow-up. Same-timestamp version
+    // ties are collapsed first (max first_event_id wins — the empty
+    // [t,t) interval the loser leaves behind matches nothing anyway),
+    // making the as-of target unique per (user, valid_from) and the
+    // result engine-deterministic. The oracle is the INDEPENDENT
+    // formulation — an explicit validity-interval join — so the two
+    // agreeing cross-checks the as-of reduction itself.
+    "e26_pit_feature_join" -> Q(
+      run = (s, d) => {
+        val w2 = Window.partitionBy("user_id", "valid_from_us")
+          .orderBy(col("first_event_id").desc)
+        val dim = graft.SparkEntry.queries("e14_scd2_dimension")(s, d)
+          .withColumn("rn", row_number().over(w2))
+          .filter(col("rn") === 1)
+          .select(col("user_id").as("rk"),
+            col("valid_from_us").as("rts"), col("attr"))
+        val purchases = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("lk"),
+            unix_micros(col("ts")).as("lts"))
+        graft.plans.AsOfJoinOps.asof(s, purchases, dim, "lk", "rk",
+            "lts", "rts")
+          .select(col("event_id"), col("attr").as("state_at_purchase"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH o AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts) AS ts_us,
+                          lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS prev
+                   FROM events),
+        starts AS (SELECT user_id, event_id, event_type, ts_us
+                   FROM o WHERE prev IS NULL OR prev <> event_type),
+        iv AS (SELECT user_id, event_id AS first_event_id,
+                      event_type AS attr, ts_us AS valid_from_us,
+                      lead(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS valid_to_us
+               FROM starts),
+        dim AS (SELECT user_id, attr, valid_from_us, valid_to_us FROM
+                  (SELECT *, row_number() OVER (
+                     PARTITION BY user_id, valid_from_us
+                     ORDER BY first_event_id DESC) AS rn FROM iv)
+                WHERE rn = 1)
+        SELECT e.event_id, d.attr AS state_at_purchase
+        FROM events e LEFT JOIN dim d
+          ON e.user_id = d.user_id
+         AND epoch_us(e.ts) >= d.valid_from_us
+         AND (d.valid_to_us IS NULL OR epoch_us(e.ts) < d.valid_to_us)
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id"""))
   )
 }
