@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS (hubs & authorities) over a DIRECTED edge list, in exact
+  * integer arithmetic. The complement to [[PageRank]]'s single score:
+  * on an asymmetric graph (buyers→sellers, citers→cited, linkers→
+  * linked) HITS separates the two roles — a(v) rewards being pointed
+  * AT by good hubs, h(u) rewards pointing at good authorities — which
+  * one symmetric-random-walk score conflates.
+  *
+  * Update per iteration (standard order: authorities from current
+  * hubs, then hubs from the NEW authorities), with the usual L2
+  * normalization replaced by exact integer max-normalization so an
+  * external oracle replays it bit-for-bit:
+  *   a'(v) = Σ_{(u,v)∈E} h(u);   a(v) = (1e6 · a'(v)) div max_w a'(w)
+  *   h'(u) = Σ_{(u,v)∈E} a(v);   h(u) = (1e6 · h'(u)) div max_w h'(w)
+  * Max-normalization keeps every score in [0, 1e6] (no overflow at any
+  * iteration count) and preserves the RANKING, which is what HITS is
+  * for; the per-round max is a one-row in-plan aggregate broadcast via
+  * cross join — never a driver collect (g07's dangling-sum pattern).
+  *
+  * Scale posture: each round is two edge⋈score equi-joins with
+  * map-side partial sums (messages shuffle grouped, scores are one row
+  * per node) plus two one-row maxes; the edge list is checkpointed
+  * once, score state is checkpointed per round (constant-size plans).
+  * Lineage cuts follow the [[ConnectedComponents]] contract via
+  * `checkpointDir`.
+  */
+object Hits {
+
+  /** @param edges directed long columns `u` (src) and `v` (dst)
+    * @return columns `node`, `hub_e6`, `auth_e6` for every node
+    *         appearing in the edge list (either side) */
+  def scores(edges: DataFrame, iterations: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = cut(edges.select(col("u"), col("v")))
+    val nodes = cut(e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct())
+    var h = nodes.withColumn("h", lit(1000000L))
+    var a = nodes.withColumn("a", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val asum = e.join(h, col("node") === col("u"))
+        .groupBy(col("v")).agg(sum("h").as("s"))
+        .select(col("v").as("node"), col("s"))
+      val amax = asum.agg(max("s").as("m"))
+      a = cut(nodes.join(asum, Seq("node"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("node"),
+          expr("CAST((1000000 * coalesce(s, 0L)) div m AS BIGINT)").as("a")))
+      val hsum = e.join(a, col("node") === col("v"))
+        .groupBy(col("u")).agg(sum("a").as("s"))
+        .select(col("u").as("node"), col("s"))
+      val hmax = hsum.agg(max("s").as("m"))
+      h = cut(nodes.join(hsum, Seq("node"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("node"),
+          expr("CAST((1000000 * coalesce(s, 0L)) div m AS BIGINT)").as("h")))
+    }
+    h.join(a, "node")
+      .select(col("node"), col("h").as("hub_e6"), col("a").as("auth_e6"))
+  }
+}

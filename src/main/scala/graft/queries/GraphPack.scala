@@ -465,6 +465,57 @@ object GraphPack extends QueryPack {
         FROM i3 ORDER BY node"""
       }),
 
+    // ── HITS hubs & authorities (directed two-role scoring) ────────────
+    // The genuinely DIRECTED customer→supplier graph again (g07's), but
+    // scored with the two-role model: customers can only be HUBS
+    // (they point), suppliers only AUTHORITIES (they are pointed at) —
+    // big buyers lift the rank of the suppliers they buy from and vice
+    // versa, mutually recursively. operators.Hits runs the standard
+    // a-then-h update with exact integer MAX-normalization per step
+    // (ranking-preserving, overflow-free, and — unlike L2 — replayable
+    // bit-for-bit by DuckDB as unrolled CTEs with scalar max
+    // subqueries). 2 rounds here to match the unrolled twin.
+    "g10_hits" -> Q(
+      run = (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") + lit(1000000L)).as("u"),
+            col("l_suppkey").as("v"))
+          .distinct()
+        graft.operators.Hits.scores(edges, 2).orderBy("node")
+      },
+      oracle = Some {
+        def round(hPrev: String, i: Int): String =
+          s"""a${i}r AS (SELECT e.v AS node, sum(p.h) AS s
+             |  FROM e0 e JOIN $hPrev p ON p.node = e.u GROUP BY e.v),
+             |a$i AS MATERIALIZED (
+             |  SELECT nd.node,
+             |         CAST((1000000 * coalesce(r.s, 0))
+             |           // (SELECT max(s) FROM a${i}r) AS BIGINT) AS a
+             |  FROM nodes nd LEFT JOIN a${i}r r ON nd.node = r.node),
+             |h${i}r AS (SELECT e.u AS node, sum(p.a) AS s
+             |  FROM e0 e JOIN a$i p ON p.node = e.v GROUP BY e.u),
+             |h$i AS MATERIALIZED (
+             |  SELECT nd.node,
+             |         CAST((1000000 * coalesce(r.s, 0))
+             |           // (SELECT max(s) FROM h${i}r) AS BIGINT) AS h
+             |  FROM nodes nd LEFT JOIN h${i}r r ON nd.node = r.node)""".stripMargin
+        s"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT o_custkey + 1000000 AS u, l_suppkey AS v
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS MATERIALIZED (
+          SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+        ${round("h0", 1)},
+        ${round("h1", 2)}
+        SELECT CAST(h2.node AS BIGINT) AS node, h2.h AS hub_e6,
+               a2.a AS auth_e6
+        FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY node"""
+      }),
+
     // ── Weighted single-source shortest paths ──────────────────────────
     // The WEIGHTED companion to g02: same symmetrized trade graph, but
     // each supplier↔customer edge is priced 1 + (lineitem count % 7) —
