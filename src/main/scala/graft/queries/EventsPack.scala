@@ -1154,6 +1154,61 @@ object EventsPack extends QueryPack {
          AND epoch_us(e.ts) >= d.valid_from_us
          AND (d.valid_to_us IS NULL OR epoch_us(e.ts) < d.valid_to_us)
         WHERE e.event_type = 'purchase'
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // ── Dynamic-gap sessionization (per-event inactivity window) ───────
+    // e09's native session_window with the gap as an EXPRESSION: a
+    // purchase closes its session after 5 minutes (checkout ends the
+    // visit), anything else keeps the usual 30-minute window — the
+    // per-event-type timeout real session models use. Semantically each
+    // event spans [ts, ts+gap(event)) and overlapping spans merge
+    // (interval union), which the DuckDB twin replays directly: a new
+    // session starts exactly when an event's ts clears the running max
+    // of all previous spans' ends (one ordered window per user), and a
+    // session's end is the max member end — e03's flag-sum trick with a
+    // running-max break condition instead of a fixed lag gap.
+    // Scale posture: ONE SessionWindowing aggregate on Spark (same
+    // plan class as e09, no window function at all); the oracle side's
+    // two windows ride one user partitioning.
+    "e27_dynamic_session_gap" -> Q(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"),
+            session_window(col("ts"),
+              when(col("event_type") === "purchase", lit("5 minutes"))
+                .otherwise(lit("30 minutes"))).as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("start_us"),
+            unix_micros(col("w.end")).as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'purchase'
+                      THEN 300 * 1000000 ELSE 1800 * 1000000 END AS gap_us
+          FROM events),
+        flagged AS (
+          SELECT user_id, us, gap_us,
+                 CASE WHEN max(us + gap_us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR us >= max(us + gap_us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM t),
+        sessions AS (
+          SELECT user_id, us, gap_us,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM flagged)
+        SELECT user_id, min(us) AS start_us,
+               max(us + gap_us) AS end_us,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sess_id
+        ORDER BY user_id, start_us"""))
   )
 }
