@@ -48,6 +48,24 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** [[sessions]] with a PER-EVENT gap expression (e27's dynamic
+    * timeout — e.g. a purchase closes its session in 5 minutes, other
+    * activity keeps 30): `session_window` accepts a Column gap in
+    * streaming too, so the per-event-type session model runs
+    * incrementally under the same watermark state contract. The
+    * watermark delay must cover the LARGEST gap the expression can
+    * produce, or late-merging sessions could be finalized early —
+    * callers pass it explicitly for that reason. */
+  def dynamicSessions(events: DataFrame,
+      gapExpr: org.apache.spark.sql.Column,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gapExpr).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Stream-stream interval join: clicks matched to purchases by the
     * same user within `window` after the click. Both sides carry
     * watermarks so Spark can discard buffered state once the interval

@@ -60,6 +60,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_events") === 1)
   }
 
+  test("dynamic-gap sessions: purchase closes early, stream equals batch") {
+    val base = 1700000000000L
+    val mk = (id: Long, uid: Long, offMin: Long, typ: String) =>
+      RawEvent(id, new Timestamp(base + offMin * 60000), uid, typ, 1.0)
+    // purchase at t=0 (5-min gap) + click at t=10 → TWO sessions;
+    // user 2: click at 0 (30-min gap) + click at 10 → one session
+    val events = Seq(
+      mk(1, 1, 0, "purchase"), mk(2, 1, 10, "click"),
+      mk(3, 2, 0, "click"), mk(4, 2, 10, "click"))
+    val gap = when($"event_type" === "purchase", lit("5 minutes"))
+      .otherwise(lit("30 minutes"))
+    val batch = StreamingOps.dynamicSessions(events.toDF(), gap)
+      .orderBy("user_id", "session_start").collect()
+    assert(batch.length === 3)
+    assert(batch(0).getAs[Long]("n_events") === 1
+      && batch(1).getAs[Long]("n_events") === 1,
+      "purchase's 5-minute gap failed to split user 1's events")
+    assert(batch(2).getAs[Long]("n_events") === 2)
+    val stream = MemoryStream[RawEvent](spark)
+    val q = StreamingOps.dynamicSessions(stream.toDF(), gap)
+      .writeStream.format("memory").queryName("dynsess")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events.take(2)); q.processAllAvailable()
+      stream.addData(events.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("dynsess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+      val batchSet = batch
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+      assert(streamed === batchSet)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries per-user state across micro-batches") {
     val stream = MemoryStream[StreamingOps.Event](spark)
     val q = StreamingOps.runningUserStats(stream.toDS())
