@@ -988,6 +988,147 @@ object DedupPack extends QueryPack {
                  AS recall_e4,
                CAST(round(n_tp * 20000.0 / (n_cand + n_exact)) AS BIGINT)
                  AS f1_e4
-        FROM agg"""))
+        FROM agg""")),
+
+    // ── Sparse TF-IDF dot-product similarity (lexical doc-doc top-k) ───
+    // The LEXICAL twin of d05's embedding near-dup: document pairs
+    // scored by Σ_t w(a,t)·w(b,t) over shared TERMS, computed as an
+    // inverted-index self-join — the sparse-vector formulation that
+    // needs no embeddings and no all-pairs stage. Weights are t06's
+    // e4-scaled integer tf·idf (one ln per (term, corpus), rounded
+    // once — t16's discipline), so products and sums are exact int64
+    // both engines. The df ≤ 100 prune drops stopword-grade terms
+    // BEFORE pair generation: they carry ~zero idf weight but would
+    // dominate the join (Σ df² explodes on hot terms — d02/d16's
+    // argument, applied pre-emptively); with it, pair cost is
+    // Σ_{rare t} df(t)² ≤ 100·Σ df, linear in corpus size.
+    // Output: top-20 pairs by dot (ties → doc ids) via TakeOrdered.
+    "d18_tfidf_similarity" -> Q(
+      run = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 100)
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val w = tf.join(df, "tok").crossJoin(broadcast(n))
+          .select(col("tok"), col("doc_id"),
+            round(col("tf") * log(col("n").cast("double") / col("df"))
+              * 10000, 0).cast("long").as("w"))
+        val dots = w.as("a")
+          .join(w.as("b"),
+            col("a.tok") === col("b.tok")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        dots.orderBy(col("dot").desc, col("da"), col("db")).limit(20)
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+               HAVING count(*) <= 100),
+        n AS (SELECT count(*) AS n FROM documents),
+        w AS (SELECT tf.tok, tf.doc_id,
+                     CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                       * 10000) AS BIGINT) AS w
+              FROM tf JOIN df USING (tok), n),
+        dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                 FROM w a JOIN w b
+                   ON a.tok = b.tok AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+        SELECT da, db, dot FROM dots
+        ORDER BY dot DESC, da, db LIMIT 20""")),
+
+    // ── LSH banding sweep: recall/precision across (b, r) configs ──────
+    // d15/d17 evaluate THE production banding (4 bands × 3 rows); this
+    // is the instrument that PICKS it — e23's sweep pattern applied to
+    // the dedup stack. The same 12 memoized signatures are re-banded
+    // three ways (2×6, 4×3, 6×2; the S-curve P(cand) = 1−(1−j^r)^b
+    // steepens left to right), each config's candidates are scored
+    // against d02's exact ≥0.3-Jaccard truth, and ONE 3-row table
+    // reports n_cand (verify cost), recall and precision per config —
+    // the whole trade on one screen. Nothing new is hashed: banding is
+    // column concatenation over the cached sig relation, so the sweep
+    // costs 3 bucket-joins, not 3 signature passes. At 100 TB the same
+    // query runs on a SAMPLE dir first (the sweep is a tuning
+    // instrument, not a production stage — d15's framing).
+    "d19_banding_sweep" -> Q(
+      run = (s, d) => {
+        val sig = signatures(s, d)
+        val exact = graft.SparkEntry.queries("d02_ngram_jaccard")(s, d)
+          .select(col("da"), col("db")).localCheckpoint(true)
+        val configs = Seq((2, 6), (4, 3), (6, 2))
+        configs.map { case (nb, rpb) =>
+          val bandKeys = (0 until nb).map { b =>
+            concat_ws("|",
+              (0 until rpb).map(j => col(s"sig${b * rpb + j}")): _*)
+          }
+          val bands = sig.select(col("doc_id"),
+            posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+          val cand = bands.as("x")
+            .join(bands.as("y"),
+              col("x.band") === col("y.band") && col("x.key") === col("y.key")
+                && col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("cda"), col("y.doc_id").as("cdb"))
+            .distinct()
+          val joined = cand
+            .join(exact,
+              col("cda") === col("da") && col("cdb") === col("db"), "left")
+            .agg(count(lit(1)).as("n_cand"), count(col("da")).as("n_tp"))
+          val nExact = exact.agg(count(lit(1)).as("n_exact"))
+          joined.crossJoin(broadcast(nExact))
+            .select(lit(nb.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
+              col("n_cand"), col("n_tp"),
+              round(col("n_tp") * lit(10000.0) / col("n_exact"), 0)
+                .cast("long").as("recall_e4"),
+              round(col("n_tp") * lit(10000.0) / col("n_cand"), 0)
+                .cast("long").as("precision_e4"))
+        }.reduce(_.unionAll(_)).orderBy("bands")
+      },
+      oracle = Some {
+        def bandsFor(nb: Int, rpb: Int): String =
+          (0 until nb).map { b =>
+            val ks = (0 until rpb).map(j => s"sig${b * rpb + j}")
+            s"SELECT doc_id, $b AS band, ${ks.mkString(" || '|' || ")} AS key FROM sig"
+          }.mkString("\n          UNION ALL ")
+        def cfg(nb: Int, rpb: Int): String =
+          s"""SELECT $nb AS bands, $rpb AS rows_per_band,
+             |       CAST(count(*) AS BIGINT) AS n_cand,
+             |       CAST(count(e.da) AS BIGINT) AS n_tp,
+             |       CAST(round(count(e.da) * 10000.0
+             |         / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_e4,
+             |       CAST(round(count(e.da) * 10000.0 / count(*)) AS BIGINT)
+             |         AS precision_e4
+             |FROM (SELECT DISTINCT a.doc_id AS cda, b.doc_id AS cdb
+             |      FROM (${bandsFor(nb, rpb)}) a
+             |      JOIN (${bandsFor(nb, rpb)}) b
+             |        ON a.band = b.band AND a.key = b.key
+             |       AND a.doc_id < b.doc_id) c
+             |LEFT JOIN exact e ON c.cda = e.da AND c.cdb = e.db""".stripMargin
+        s"""
+        WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
+        sig AS MATERIALIZED (SELECT doc_id, s,
+               $sigSql
+               FROM sh),
+        sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        ecand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        exact AS MATERIALIZED (
+          SELECT da, db
+          FROM ecand JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+          WHERE CAST(round(shared * 10000.0 / (x.sz + y.sz - shared))
+                AS BIGINT) >= 3000)
+        ${cfg(2, 6)}
+        UNION ALL
+        ${cfg(4, 3)}
+        UNION ALL
+        ${cfg(6, 2)}
+        ORDER BY bands"""
+      })
   )
 }

@@ -606,6 +606,29 @@ class PlanSpec extends AnyFunSuite {
       "canary join degraded to a corpus-sized shuffle join")
   }
 
+  // d18/d19 fold one-row totals back in via crossJoin(broadcast(agg)) —
+  // the d16/p01 scalar pattern. That shows up as `BroadcastNestedLoopJoin
+  // BuildRight, Cross` with a 1-row build side, which is bounded by
+  // construction; the pins therefore allow Cross-BNLJ but ban
+  // CartesianProduct and any Inner-BNLJ (a real all-pairs shape).
+  test("d18: tf-idf dots are a term-keyed equi-join with the df prune applied first") {
+    val p = planOf("d18_tfidf_similarity")
+    assert(!p.contains("CartesianProduct"),
+      "doc-doc similarity degraded to all-pairs — must stay an inverted-index join")
+    assert(!"BroadcastNestedLoopJoin (?!BuildRight, Cross)".r.findFirstIn(p).isDefined,
+      "non-scalar nested-loop join appeared in the tf-idf path")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 pairs degraded to a global sort")
+  }
+
+  test("d19: banding sweep re-bands cached signatures — bucket joins only") {
+    val p = planOf("d19_banding_sweep")
+    assert(!p.contains("CartesianProduct"),
+      "a banding config degraded to all-pairs")
+    assert(!"BroadcastNestedLoopJoin (?!BuildRight, Cross)".r.findFirstIn(p).isDefined,
+      "non-scalar nested-loop join appeared in the sweep")
+  }
+
   test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
     val p = planOf("p20_shard_manifest")
     // GlobalRank's range shuffle runs in its own upstream job (the plan
