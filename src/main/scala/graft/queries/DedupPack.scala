@@ -997,20 +997,32 @@ object DedupPack extends QueryPack {
     // needs no embeddings and no all-pairs stage. Weights are t06's
     // e4-scaled integer tf·idf (one ln per (term, corpus), rounded
     // once — t16's discipline), so products and sums are exact int64
-    // both engines. The df ≤ 100 prune drops stopword-grade terms
-    // BEFORE pair generation: they carry ~zero idf weight but would
-    // dominate the join (Σ df² explodes on hot terms — d02/d16's
-    // argument, applied pre-emptively); with it, pair cost is
-    // Σ_{rare t} df(t)² ≤ 100·Σ df, linear in corpus size.
+    // both engines. The df prune is TWO-TIER and applied BEFORE pair
+    // generation — both tiers are load-bearing, measured on this
+    // fixture's own ladder:
+    //   - relative (df·5 ≤ n: drop terms in >20% of docs, exact
+    //     integer compare) — the stopword tier; an absolute-only cap
+    //     EMPTIES as the corpus grows (31-word vocab, every df scales
+    //     with n, so at sf0.1 no term has df ≤ 100);
+    //   - absolute (df ≤ 1000) — the cost tier; a relative-only cap
+    //     EXPLODES under sharded/replicated vocab (sf1's 10 key-
+    //     shifted replicas make every suffixed term "rare" relative
+    //     to 10n, admitting ~all terms → Σ df² ≈ billions of pairs;
+    //     observed before this cap existed).
+    // Together: pair cost ≤ 1000·Σ df (linear in corpus), and the
+    // terms that survive are exactly the informative mid-frequency
+    // band — d02/d16's hot-key argument as query structure.
     // Output: top-20 pairs by dot (ties → doc ids) via TakeOrdered.
     "d18_tfidf_similarity" -> Q(
       run = (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 100)
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n))
+          .filter(col("df") * 5 <= col("n") && col("df") <= 1000)
+          .select("tok", "df")
         val w = tf.join(df, "tok").crossJoin(broadcast(n))
           .select(col("tok"), col("doc_id"),
             round(col("tf") * log(col("n").cast("double") / col("df"))
@@ -1027,9 +1039,10 @@ object DedupPack extends QueryPack {
         WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents),
         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
-               HAVING count(*) <= 100),
         n AS (SELECT count(*) AS n FROM documents),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+               HAVING count(*) * 5 <= (SELECT n FROM n)
+                  AND count(*) <= 1000),
         w AS (SELECT tf.tok, tf.doc_id,
                      CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
                        * 10000) AS BIGINT) AS w
