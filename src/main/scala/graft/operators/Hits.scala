@@ -16,16 +16,23 @@ import org.apache.spark.sql.functions._
   * external oracle replays it bit-for-bit:
   *   a'(v) = Σ_{(u,v)∈E} h(u);   a(v) = (1e6 · a'(v)) div max_w a'(w)
   *   h'(u) = Σ_{(u,v)∈E} a(v);   h(u) = (1e6 · h'(u)) div max_w h'(w)
-  * Max-normalization keeps every score in [0, 1e6] (no overflow at any
-  * iteration count) and preserves the RANKING, which is what HITS is
-  * for; the per-round max is a one-row in-plan aggregate broadcast via
-  * cross join — never a driver collect (g07's dangling-sum pattern).
+  * Max-normalization keeps every score in [0, 1e6] at any iteration
+  * count and preserves the RANKING, which is what HITS is for; the
+  * per-round max is a one-row in-plan aggregate broadcast via cross
+  * join — never a driver collect (g07's dangling-sum pattern). Exact-
+  * arithmetic headroom: the unnormalized sums are ≤ 1e6·deg and the
+  * renormalization multiplies by 1e6 before dividing, so int64 is safe
+  * up to max in/out-degree ≈ 9.2e6; beyond that (web-scale hub pages)
+  * drop the scale to 1e3 or renormalize in two steps.
   *
   * Scale posture: each round is two edge⋈score equi-joins with
   * map-side partial sums (messages shuffle grouped, scores are one row
-  * per node) plus two one-row maxes; the edge list is checkpointed
-  * once, score state is checkpointed per round (constant-size plans).
-  * Lineage cuts follow the [[ConnectedComponents]] contract via
+  * per node) plus two one-row maxes. HITS alternates join keys (h
+  * joins on `u`, a joins on `v`), so the edge list is checkpointed
+  * TWICE — once pre-partitioned per key (the g01 hoist, doubled) —
+  * and each round reshuffles only the node-sized score tables; score
+  * state is checkpointed per round (constant-size plans). Lineage
+  * cuts follow the [[ConnectedComponents]] contract via
   * `checkpointDir`.
   */
 object Hits {
@@ -39,13 +46,18 @@ object Hits {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val e = cut(edges.select(col("u"), col("v")))
+    val e = edges.select(col("u"), col("v"))
+    // two pre-partitioned edge copies, one per alternating join key —
+    // each round's edge⋈score join then reshuffles only the node-sized
+    // score table, never the edge list
+    val eByU = cut(e.repartition(col("u")))
+    val eByV = cut(e.repartition(col("v")))
     val nodes = cut(e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct())
     var h = nodes.withColumn("h", lit(1000000L))
     var a = nodes.withColumn("a", lit(1000000L))
     for (_ <- 1 to iterations) {
-      val asum = e.join(h, col("node") === col("u"))
+      val asum = eByU.join(h, col("node") === col("u"))
         .groupBy(col("v")).agg(sum("h").as("s"))
         .select(col("v").as("node"), col("s"))
       val amax = asum.agg(max("s").as("m"))
@@ -53,7 +65,7 @@ object Hits {
         .crossJoin(broadcast(amax))
         .select(col("node"),
           expr("CAST((1000000 * coalesce(s, 0L)) div m AS BIGINT)").as("a")))
-      val hsum = e.join(a, col("node") === col("v"))
+      val hsum = eByV.join(a, col("node") === col("v"))
         .groupBy(col("u")).agg(sum("a").as("s"))
         .select(col("u").as("node"), col("s"))
       val hmax = hsum.agg(max("s").as("m"))
