@@ -1036,6 +1036,43 @@ object PipelinePack extends QueryPack {
                CAST(count(*) AS BIGINT) AS n_hits,
                CAST(min(d.doc_id) AS BIGINT) AS first_hit_doc
         FROM can JOIN documents d ON contains(d.text, can.canary)
-        GROUP BY 1 ORDER BY canary_doc"""))
+        GROUP BY 1 ORDER BY canary_doc""")),
+
+    // ── Weighted k-sample without replacement (Efraimidis–Spirakis) ────
+    // p13 samples UNIFORMLY per stratum; real corpus subsampling is
+    // usually WEIGHTED (by length, quality score, dedup weight — d14's
+    // output is literally a weight column). A-ES makes that one-pass
+    // and distributed: draw u_i ~ U(0,1), priority k_i = u_i^(1/w_i),
+    // keep the global top-k — provably equivalent to sequential
+    // weighted sampling without replacement. Here monotone-transformed
+    // to ln(u)/w (same ranking, better float behavior) with u from the
+    // p03 hash gate (md5 → 32-bit uniform), so the draw is
+    // content-stable across engines, runs, and re-shards — an RNG
+    // sample would not be oracle-checkable (s06's adjudication).
+    // Weight = n_chars: long docs proportionally likelier, the
+    // token-budget-aware subsample. Priorities round to e4 BEFORE the
+    // top-k compare (per-row rounding, t06's ln-parity discipline);
+    // rounded ties break on doc_id in both engines. One narrow map +
+    // TakeOrdered(25) — no shuffle beyond the top-k tree fold; at
+    // 100 TB this is exactly how you cut a 10% weighted subcorpus:
+    // threshold the same priority instead of top-k'ing it.
+    "p23_weighted_sample" -> Q(
+      run = (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(log((h + 1).cast("double") / lit(4294967296.0))
+              / col("n_chars") * 10000, 0).cast("long").as("priority_e4"))
+          .orderBy(col("priority_e4").desc, col("doc_id"))
+          .limit(25)
+      },
+      oracle = Some("""
+        SELECT doc_id, source, n_chars,
+               CAST(round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT + 1) / 4294967296.0)
+                          / n_chars * 10000) AS BIGINT) AS priority_e4
+        FROM documents
+        ORDER BY priority_e4 DESC, doc_id LIMIT 25"""))
   )
 }

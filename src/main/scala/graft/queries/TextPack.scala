@@ -1037,6 +1037,73 @@ object TextPack extends QueryPack {
                    JOIN ws USING (wd)
                    GROUP BY 1)
         SELECT phrase, n_words, score_ppm
-        FROM scored ORDER BY score_ppm DESC, phrase LIMIT 15"""))
+        FROM scored ORDER BY score_ppm DESC, phrase LIMIT 15""")),
+
+    // ── Source distribution drift (Jensen–Shannon divergence) ──────────
+    // The drift instrument corpus ops runs between snapshots/sources:
+    // how far is each SOURCE's unigram distribution from the corpus
+    // distribution, in nats, ranked? JS (symmetric, bounded by ln 2,
+    // defined when one side has zero mass — unlike raw KL) over the
+    // (source × vocab) grid:
+    //   JS(P‖Q) = ½ Σ_t [ p·ln(2p/(p+q)) + q·ln(2q/(p+q)) ]
+    // Determinism discipline: floats never cross an aggregation —
+    // each grid ROW rounds its contribution to integer e9 first, so
+    // the per-source sum is exact int64 addition in any partition
+    // order, and the ln parity is per-row (t06/t08's argument at e9).
+    // Scale: two token counts (source-keyed and corpus-keyed) off ONE
+    // tokenize pass; the grid is |S|·|V| rows — sources are dozens and
+    // vocab is Heaps-law-bounded, so the grid is metadata-sized next
+    // to the corpus; p=0 cells (token absent from source) still
+    // contribute q·ln 2 and are materialized by the grid cross join,
+    // which is |S|·|V| by construction, never corpus-sized.
+    "t23_js_divergence" -> Q(
+      run = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val stf = toks.groupBy("source", "tok").agg(count(lit(1)).as("sc"))
+        val ctf = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+        val stot = stf.groupBy("source").agg(sum("sc").as("sn"))
+        val ctot = toks.agg(count(lit(1)).as("cn"))
+        val grid = stot.crossJoin(ctf).crossJoin(broadcast(ctot))
+          .join(stf, Seq("source", "tok"), "left")
+          .select(col("source"),
+            (coalesce(col("sc"), lit(0L)).cast("double") / col("sn"))
+              .as("p"),
+            (col("cc").cast("double") / col("cn")).as("q"))
+        grid.select(col("source"),
+            round((when(col("p") > 0,
+                col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+              .otherwise(lit(0.0))
+              + col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+              * 1e9, 0).cast("long").as("c_e9"))
+          .groupBy("source")
+          // un-halved on purpose: js2 = 2·JS keeps the output a pure
+          // int64 SUM — halving would reintroduce a division whose
+          // floor/truncate semantics differ across engines near zero
+          .agg(sum("c_e9").as("js2_e9"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        stf AS (SELECT source, tok, count(*) AS sc FROM toks GROUP BY 1, 2),
+        ctf AS (SELECT tok, count(*) AS cc FROM toks GROUP BY 1),
+        stot AS (SELECT source, CAST(sum(sc) AS BIGINT) AS sn FROM stf
+                 GROUP BY 1),
+        ctot AS (SELECT count(*) AS cn FROM toks),
+        grid AS (SELECT stot.source,
+                        CAST(coalesce(stf.sc, 0) AS DOUBLE) / stot.sn AS p,
+                        CAST(ctf.cc AS DOUBLE) / ctot.cn AS q
+                 FROM stot CROSS JOIN ctf CROSS JOIN ctot
+                 LEFT JOIN stf ON stf.source = stot.source
+                              AND stf.tok = ctf.tok),
+        c AS (SELECT source,
+                     CAST(round((CASE WHEN p > 0
+                            THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+                          + q * ln(2.0 * q / (p + q))) * 1e9) AS BIGINT)
+                       AS c_e9
+              FROM grid)
+        SELECT source, CAST(sum(c_e9) AS BIGINT) AS js2_e9
+        FROM c GROUP BY 1 ORDER BY source"""))
   )
 }

@@ -629,6 +629,22 @@ class PlanSpec extends AnyFunSuite {
       "non-scalar nested-loop join appeared in the sweep")
   }
 
+  test("p23: weighted sample is one narrow map + TakeOrdered — no join, no window") {
+    val p = planOf("p23_weighted_sample")
+    assert(!p.contains("Join"), "A-ES priority needs no join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k degraded to a full sort")
+    assert(!p.contains("Window"), "priority rank fell back to a window")
+  }
+
+  test("t23: JS grid joins are vocab-sized (Cross-BNLJ/broadcast), never corpus-sized") {
+    val p = planOf("t23_js_divergence")
+    assert(!p.contains("CartesianProduct"),
+      "grid construction degraded to a corpus-sized cartesian")
+    assert(!p.contains("SortMergeJoin"),
+      "vocab-sized grid join degraded to a shuffle join")
+  }
+
   test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
     val p = planOf("p20_shard_manifest")
     // GlobalRank's range shuffle runs in its own upstream job (the plan
