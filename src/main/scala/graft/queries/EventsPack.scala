@@ -1209,6 +1209,105 @@ object EventsPack extends QueryPack {
                max(us + gap_us) AS end_us,
                count(*) AS n_events
         FROM sessions GROUP BY user_id, sess_id
-        ORDER BY user_id, start_us"""))
+        ORDER BY user_id, start_us""")),
+
+    // ── EWMA smoothing of the daily series (dyadic-exact) ──────────────
+    // e17 flags anomalies against a trailing MEAN; operations teams
+    // smooth with an EWMA (recent days weigh more). The recursion
+    // EWMA_t = α·x_t + (1−α)·EWMA_{t−1} unrolls to Σ α(1−α)^j·x_{t−j},
+    // which a ROWS window can't weight per-offset — so: 8 explicit
+    // lag() terms on ONE (type)-keyed day-ordered window. α = 1/2 on
+    // purpose: every coefficient 1e8/2^(j+1) is an EXACT integer (10^8
+    // carries 2^8), so the smoothed value is pure int64 multiply-add —
+    // no float power chain for engines to disagree on. Truncation at 8
+    // terms drops 2^-8 ≈ 0.4% of the mass (documented, not
+    // renormalized); missing leading lags coalesce to 0, so early days
+    // are biased low in BOTH engines identically — the
+    // observation-indexed (not calendar-decay) EWMA, same convention
+    // as pandas ewm(adjust=False) over the observed series. Scale:
+    // the day-grain series is metadata-sized after one corpus
+    // aggregate; the window is per-type over ~|days| rows.
+    "e28_ewma_smoothing" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val daily = Tables.events(s, d)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val sm = (0 until 8).map { j =>
+          coalesce(lag(col("n"), j).over(w), lit(0L)) *
+            lit(100000000L / (1L << (j + 1)))
+        }.reduce(_ + _)
+        daily.withColumn("ewma_e8", sm.cast("long"))
+          .select(col("day"), col("event_type"), col("n"), col("ewma_e8"))
+          .orderBy("day", "event_type")
+      },
+      oracle = Some {
+        val terms = (0 until 8).map { j =>
+          s"coalesce(lag(n, $j) OVER (PARTITION BY event_type ORDER BY day), 0)" +
+            s" * ${100000000L / (1L << (j + 1))}"
+        }.mkString(" + ")
+        s"""
+        WITH daily AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT day, event_type, n,
+               CAST($terms AS BIGINT) AS ewma_e8
+        FROM daily ORDER BY day, event_type"""
+      }),
+
+    // ── Last-touch attribution (purchase → preceding click channel) ────
+    // The marketing twin of e25's negative pattern: each purchase is
+    // credited to the channel of the user's most recent PRECEDING click
+    // (none → 'direct'), then revenue rolls up per channel. "Most
+    // recent preceding" is last(ignoreNulls) over a [unbounded, 1
+    // PRECEDING] frame ordered by (us, event_id) — the e05 running-
+    // carry trick reused as attribution, one user-keyed exchange, no
+    // self-join, no per-purchase backward scan. Channel is a
+    // deterministic bucket of the click's props.k (the fixture's only
+    // dimension); revenue in exact cents. Scale: the window rides the
+    // same user_id partitioning as every session/funnel query, and the
+    // rollup is 5 rows.
+    "e29_attribution" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("value"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        e.withColumn("last_click_k",
+            last(when(col("event_type") === "click", col("k")), true).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("channel",
+            when(col("last_click_k").isNull, lit("direct"))
+              .otherwise(concat(lit("ch"), col("last_click_k") % 4)))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(cents(col("value"))).as("revenue_cents"))
+          .orderBy("channel")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                          value,
+                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   FROM events),
+        lc AS (SELECT *,
+                      last_value(CASE WHEN event_type = 'click' THEN k END
+                        IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS last_click_k
+               FROM e)
+        SELECT CASE WHEN last_click_k IS NULL THEN 'direct'
+                    ELSE 'ch' || CAST(last_click_k % 4 AS VARCHAR) END
+                 AS channel,
+               count(*) AS n_purchases,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lc WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY channel"""))
   )
 }

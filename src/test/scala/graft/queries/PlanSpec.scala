@@ -645,6 +645,24 @@ class PlanSpec extends AnyFunSuite {
       "vocab-sized grid join degraded to a shuffle join")
   }
 
+  test("e28: EWMA lags ride ONE type-keyed window over the day-grain aggregate") {
+    val p = planOf("e28_ewma_smoothing")
+    assert(!p.contains("Join"), "EWMA needs no join")
+    // AQE prints Final + Initial plan sections; count the final one only
+    assert("Window".r.findAllIn(p.split("== Initial Plan ==")(0)).size == 1,
+      "the 8 lag terms must share one window, not one window each")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "day-grain series must partial-aggregate before its shuffle")
+  }
+
+  test("e29: attribution is a user-keyed running carry — no self-join, no backward scan") {
+    val p = planOf("e29_attribution")
+    assert(!p.contains("Join"), "last-touch lookup degraded to a self-join")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.indexOf("Exchange SinglePartition") > p.indexOf("HashAggregate"),
+      "attribution window lost its user_id partitioning")
+  }
+
   test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
     val p = planOf("p20_shard_manifest")
     // GlobalRank's range shuffle runs in its own upstream job (the plan
