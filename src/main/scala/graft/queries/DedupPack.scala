@@ -1142,6 +1142,68 @@ object DedupPack extends QueryPack {
         UNION ALL
         ${cfg(6, 2)}
         ORDER BY bands"""
-      })
+      }),
+
+    // ── Blocked entity resolution (edit-distance record linkage) ───────
+    // The RECORD twin of the text dedup stack: near-duplicate ENTITY
+    // rows (names here) via the two-tier MDM pipeline —
+    //   tier 1: EXACT collapse (d01's hash-agg) folds identical names
+    //     into (name, mult) representatives. Load-bearing, measured:
+    //     without it, sf1's replica-duplicated names grew every block
+    //     10× and the pair join 100× (742 500 → 74 250 000 scored
+    //     pairs — quadratic in duplication, observed before this tier
+    //     existed);
+    //   tier 2: prefix blocking (all but the last 2 chars) + exact
+    //     intra-block levenshtein over DISTINCT names only. The block
+    //     key bounds each block at the suffix-alphabet size no matter
+    //     the corpus, so scored pairs are Σ|distinct-block|² ≤ C·|V| —
+    //     d03's bucket argument with the block key playing the band.
+    // Linked-pair accounting is at ROW grain, recovered from the
+    // representatives exactly: cross-group links weigh mult_a·mult_b,
+    // exact-dup groups contribute c·(c−1)/2 internally (d16's pair
+    // math). levenshtein() is exact DP in both engines; ≤1 = one
+    // character of drift, the typo'd-duplicate gate.
+    "d20_entity_blocks" -> Q(
+      run = (s, d) => {
+        val names = Tables.customer(s, d)
+          .groupBy(col("c_name").as("name"))
+          .agg(count(lit(1)).as("mult"))
+          .withColumn("blk", substring(col("name"), 1, 16))
+        val pairs = names.as("a")
+          .join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+          .select(levenshtein(col("a.name"), col("b.name")).as("dist"),
+            (col("a.mult") * col("b.mult")).as("w"))
+        val pagg = pairs.agg(count(lit(1)).as("n_cand_pairs"),
+          sum(when(col("dist") <= 1, col("w")).otherwise(0L))
+            .as("n_linked_row_pairs"))
+        val bagg = names.agg(countDistinct(col("blk")).as("n_blocks"),
+          count(lit(1)).as("n_distinct_names"),
+          sum(expr("mult * (mult - 1) div 2")).as("n_exact_dup_pairs"))
+        broadcast(bagg).crossJoin(pagg)
+          .select(col("n_blocks"), col("n_distinct_names"),
+            col("n_exact_dup_pairs"), col("n_cand_pairs"),
+            col("n_linked_row_pairs"))
+      },
+      oracle = Some("""
+        WITH names AS (SELECT c_name AS name, count(*) AS mult,
+                              substr(c_name, 1, 16) AS blk
+                       FROM customer GROUP BY 1),
+        pairs AS (SELECT levenshtein(a.name, b.name) AS dist,
+                         a.mult * b.mult AS w
+                  FROM names a JOIN names b
+                    ON a.blk = b.blk AND a.name < b.name),
+        pagg AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs,
+                        CAST(sum(CASE WHEN dist <= 1 THEN w ELSE 0 END)
+                          AS BIGINT) AS n_linked_row_pairs
+                 FROM pairs),
+        bagg AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+                        CAST(count(*) AS BIGINT) AS n_distinct_names,
+                        CAST(sum(mult * (mult - 1) // 2) AS BIGINT)
+                          AS n_exact_dup_pairs
+                 FROM names)
+        SELECT n_blocks, n_distinct_names, n_exact_dup_pairs,
+               n_cand_pairs, n_linked_row_pairs
+        FROM bagg, pagg"""))
   )
 }

@@ -570,6 +570,78 @@ object GraphPack extends QueryPack {
         ${relax("i3", "i4")}
         SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS d
         FROM i4 ORDER BY node"""
-      })
+      }),
+
+    // ── Community quality audit: modularity of a partition ─────────────
+    // g06/d06 PRODUCE communities; this SCORES a partition — Newman
+    // modularity Q = Σ_c [ in_c/2m − (deg_c/2m)² ], the number that says
+    // whether a community assignment beats random wiring (Q>0) before
+    // anyone ships it. Partition under audit: NATION (suppliers and
+    // customers carry one), over the symmetrized co-purchase graph —
+    // ground-truth labels, so the oracle needs no iterative replay.
+    // Determinism: each community's contribution is computed from pure
+    // integer counts (in_c, deg_c, 2m) and rounded to e9 PER ROW, so
+    // the total is an exact int64 sum in any partition order (t23's
+    // discipline). Scale: one edge-list build (g01's), one join to the
+    // broadcast node→community map, two grouped counts — all
+    // equi-keyed; the per-community table is |communities| rows.
+    "g11_modularity" -> Q(
+      run = (s, d) => {
+        val e0 = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("u"),
+            (col("o_custkey") + lit(1000000L)).as("v"))
+          .distinct()
+        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        val comm = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("node"),
+            col("s_nationkey").cast("long").as("c"))
+          .union(Tables.customer(s, d)
+            .select((col("c_custkey") + lit(1000000L)).as("node"),
+              col("c_nationkey").cast("long").as("c")))
+        val lab = edges
+          .join(broadcast(comm).withColumnRenamed("node", "u"), "u")
+          .withColumnRenamed("c", "cu")
+          .join(broadcast(comm.withColumnRenamed("node", "v")
+            .withColumnRenamed("c", "cv")), "v")
+        val m2 = lab.agg(count(lit(1)).as("m2"))
+        val byComm = lab.groupBy(col("cu").as("community"))
+          .agg(count(lit(1)).as("deg_sum"),
+            sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("in2"))
+        byComm.crossJoin(broadcast(m2))
+          .select(col("community"), col("deg_sum"), (col("in2") / 2)
+              .cast("long").as("in_edges"),
+            round((col("in2").cast("double") / col("m2")
+              - (col("deg_sum").cast("double") / col("m2"))
+                * (col("deg_sum").cast("double") / col("m2"))) * 1e9, 0)
+              .cast("long").as("q_contrib_e9"))
+          .orderBy("community")
+      },
+      oracle = Some("""
+        WITH e0 AS (SELECT DISTINCT l_suppkey AS u,
+                           o_custkey + 1000000 AS v
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        comm AS (SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS c
+                 FROM supplier
+                 UNION ALL
+                 SELECT c_custkey + 1000000, CAST(c_nationkey AS BIGINT)
+                 FROM customer),
+        lab AS (SELECT cu.c AS cu, cv.c AS cv
+                FROM edges JOIN comm cu ON edges.u = cu.node
+                           JOIN comm cv ON edges.v = cv.node),
+        m AS (SELECT count(*) AS m2 FROM lab),
+        byc AS (SELECT cu AS community, count(*) AS deg_sum,
+                       sum(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS in2
+                FROM lab GROUP BY 1)
+        SELECT community, CAST(deg_sum AS BIGINT) AS deg_sum,
+               CAST(in2 // 2 AS BIGINT) AS in_edges,
+               CAST(round((CAST(in2 AS DOUBLE) / m2
+                 - (CAST(deg_sum AS DOUBLE) / m2)
+                   * (CAST(deg_sum AS DOUBLE) / m2)) * 1e9) AS BIGINT)
+                 AS q_contrib_e9
+        FROM byc, m ORDER BY community"""))
   )
 }

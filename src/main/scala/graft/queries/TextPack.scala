@@ -1104,6 +1104,95 @@ object TextPack extends QueryPack {
                        AS c_e9
               FROM grid)
         SELECT source, CAST(sum(c_e9) AS BIGINT) AS js2_e9
-        FROM c GROUP BY 1 ORDER BY source"""))
+        FROM c GROUP BY 1 ORDER BY source""")),
+
+    // ── Heaps' law fit (vocabulary-growth exponent) ────────────────────
+    // t16 fits the Zipf slope (frequency vs rank); this fits its dual,
+    // Heaps' law V(n) ≈ K·n^β — the number the whole "vocab is
+    // metadata-sized" scale posture rests on (t19/t23/d18 all cite it).
+    // The trick that makes it one pass: vocabulary size at ingestion
+    // prefix t is COUNT(tokens whose FIRST document ≤ t), so one
+    // token-keyed min(doc_id) agg + a 10-bucket histogram replaces 10
+    // prefix rescans. Decile thresholds t_i = i·max_id/10; bucket
+    // membership via integer ceil((10·x)/max) — exact and identical in
+    // both engines (positive operands, div/// agree). Cumulates ride
+    // the 10-row decile spine (metadata window, p08 pattern), the
+    // ln-OLS is t16's e3-scaled integer math verbatim. Output: one row
+    // (n_pts, beta_ppm) — β≈1 says open vocabulary (hash features,
+    // d10's deletion index sizing), β≪1 says closed (broadcast
+    // dictionaries stay broadcastable at 100 TB).
+    "t24_heaps_law" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val mx = docs.agg(max("doc_id").as("mx"))
+        def bucket(c: org.apache.spark.sql.Column) =
+          greatest(lit(1L), expr(s"(10 * ${c} + mx - 1) div mx"))
+        val nd = docs.crossJoin(broadcast(mx))
+          .groupBy(bucket(col("doc_id")).as("i"))
+          .agg(count(lit(1)).as("nd"))
+        val fd = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(min("doc_id").as("fdoc"))
+        val nv = fd.crossJoin(broadcast(mx))
+          .groupBy(bucket(col("fdoc")).as("i"))
+          .agg(count(lit(1)).as("nv"))
+        val w = Window.orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pts = nd.join(nv, Seq("i"), "left")
+          .select(col("i"), sum(col("nd")).over(w).as("cd"),
+            sum(coalesce(col("nv"), lit(0L))).over(w).as("cv"))
+          .select(round(log(col("cd").cast("double")) * 1000, 0)
+              .cast("long").as("x"),
+            round(log(col("cv").cast("double")) * 1000, 0)
+              .cast("long").as("y"))
+        pts.agg(count(lit(1)).as("k"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("num", expr("k * sxy - sx * sy"))
+          .withColumn("den", expr("k * sxx - sx * sx"))
+          .select(col("k").as("n_pts"),
+            expr("""CASE WHEN num >= 0 THEN abs(num) * 1000000L div den
+                         ELSE -(abs(num) * 1000000L div den) END""")
+              .as("beta_ppm"))
+      },
+      oracle = Some("""
+        WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        nd AS (SELECT greatest(1, (10 * doc_id + mx - 1) // mx) AS i,
+                      count(*) AS nd
+               FROM documents, mx GROUP BY 1),
+        fd AS (SELECT tok, min(doc_id) AS fdoc FROM
+                 (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+               WHERE tok <> '' GROUP BY 1),
+        nv AS (SELECT greatest(1, (10 * fdoc + mx - 1) // mx) AS i,
+                      count(*) AS nv
+               FROM fd, mx GROUP BY 1),
+        cum AS (SELECT nd.i,
+                       sum(nd.nd) OVER (ORDER BY nd.i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cd,
+                       sum(coalesce(nv.nv, 0)) OVER (ORDER BY nd.i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cv
+                FROM nd LEFT JOIN nv ON nd.i = nv.i),
+        pts AS (SELECT CAST(round(1000 * ln(CAST(cd AS DOUBLE))) AS BIGINT)
+                         AS x,
+                       CAST(round(1000 * ln(CAST(cv AS DOUBLE))) AS BIGINT)
+                         AS y
+                FROM cum),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x*y) AS BIGINT) AS sxy,
+                     CAST(sum(x*x) AS BIGINT) AS sxx
+              FROM pts),
+        fit AS (SELECT k, k*sxy - sx*sy AS num, k*sxx - sx*sx AS den FROM s)
+        SELECT k AS n_pts,
+               CASE WHEN num >= 0 THEN CAST(abs(num) * 1000000 // den AS BIGINT)
+                    ELSE -CAST(abs(num) * 1000000 // den AS BIGINT) END
+                 AS beta_ppm
+        FROM fit"""))
   )
 }

@@ -663,6 +663,33 @@ class PlanSpec extends AnyFunSuite {
       "attribution window lost its user_id partitioning")
   }
 
+  test("d20: entity linkage scores pairs only inside prefix blocks (equi-join)") {
+    val p = planOf("d20_entity_blocks")
+    assert(!p.contains("CartesianProduct"),
+      "record linkage degraded to all-pairs")
+    assert(!"BroadcastNestedLoopJoin (?!Build(?:Left|Right), Cross)".r.findFirstIn(p).isDefined,
+      "non-scalar nested-loop join appeared in the linkage path")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the exact-collapse tier must partial-aggregate before its shuffle")
+  }
+
+  test("g11: modularity labels both endpoints via broadcast, no cartesian") {
+    val p = planOf("g11_modularity")
+    assert(!p.contains("CartesianProduct"), "community labeling went all-pairs")
+    assert("BroadcastHashJoin".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).size >= 2,
+      "node→community map should broadcast onto both edge endpoints")
+  }
+
+  test("t24: Heaps fit is two aggs + a 10-row decile spine — never a corpus window") {
+    val p = planOf("t24_heaps_law")
+    assert(!p.contains("CartesianProduct"), "decile bucketing went all-pairs")
+    assert(!"BroadcastNestedLoopJoin (?!BuildRight, Cross)".r.findFirstIn(p).isDefined,
+      "non-scalar nested-loop join appeared in the fit path")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "first-doc and decile histograms must partial-aggregate")
+  }
+
   test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
     val p = planOf("p20_shard_manifest")
     // GlobalRank's range shuffle runs in its own upstream job (the plan
