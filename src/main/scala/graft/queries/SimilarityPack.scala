@@ -1337,6 +1337,62 @@ object SimilarityPack extends QueryPack {
         LEFT JOIN approx a
           ON e.qid = a.qid AND e.neighbor = a.neighbor AND a.arank <= ks.k
         GROUP BY ks.k ORDER BY k"""
-      })
+      }),
+
+    // ── Embedding-space drift between corpus halves ────────────────────
+    // The EMBEDDING twin of t23's lexical drift audit: has the vector
+    // space moved between two snapshots? Halves by vec_id parity (a
+    // content-stable split — p03's argument), per-(label, half)
+    // centroids in s07's exact integer-e6 arithmetic, then per label
+    // the squared L2 shift between the two halves' centroids plus the
+    // count skew — both pure int64 once each per-dim centroid is
+    // rounded (no float crosses an aggregation; the 64-dim diff² sum
+    // is ≤ 64·(2e6)², comfortably in range). A label whose drift_e12
+    // spikes between snapshots means its region of embedding space
+    // was re-trained/re-sourced — re-index it (s02/s20's cells go
+    // stale) before serving. Shape: ONE posexplode → one (label,
+    // half, dim)-keyed two-phase agg → label-keyed fold; |labels|
+    // output rows.
+    "s23_embedding_drift" -> Q(
+      run = (s, d) => {
+        val cent = Tables.embeddings(s, d)
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("half"), (col("pos") + 1).as("dim"))
+          .agg(sum(round(col("x").cast("double") * 1000000, 0).cast("long"))
+            .as("sum_e6"), count(lit(1)).as("n"))
+          .select(col("label"), col("half"), col("dim"),
+            round(col("sum_e6").cast("double") / col("n"), 0).cast("long")
+              .as("c_e6"), col("n"))
+        cent.groupBy("label", "dim")
+          .agg(sum(when(col("half") === 0, col("c_e6"))).as("c0"),
+            sum(when(col("half") === 1, col("c_e6"))).as("c1"),
+            max(when(col("half") === 0, col("n"))).as("n0"),
+            max(when(col("half") === 1, col("n"))).as("n1"))
+          .groupBy("label")
+          .agg(sum((col("c0") - col("c1")) * (col("c0") - col("c1")))
+              .as("drift_e12"),
+            max(col("n0")).as("n_even"), max(col("n1")).as("n_odd"))
+          .orderBy("label")
+      },
+      oracle = Some("""
+        WITH cent AS (
+          SELECT label, vec_id % 2 AS half, i AS dim,
+                 CAST(round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE)
+                        * 1000000) AS BIGINT)) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS c_e6,
+                 count(*) AS n
+          FROM embeddings, range(1, 65) AS r(i)
+          GROUP BY 1, 2, 3),
+        wide AS (SELECT label, dim,
+                        sum(CASE WHEN half = 0 THEN c_e6 END) AS c0,
+                        sum(CASE WHEN half = 1 THEN c_e6 END) AS c1,
+                        max(CASE WHEN half = 0 THEN n END) AS n0,
+                        max(CASE WHEN half = 1 THEN n END) AS n1
+                 FROM cent GROUP BY 1, 2)
+        SELECT label, CAST(sum((c0 - c1) * (c0 - c1)) AS BIGINT) AS drift_e12,
+               CAST(max(n0) AS BIGINT) AS n_even,
+               CAST(max(n1) AS BIGINT) AS n_odd
+        FROM wide GROUP BY 1 ORDER BY label"""))
   )
 }

@@ -690,6 +690,13 @@ class PlanSpec extends AnyFunSuite {
       "first-doc and decile histograms must partial-aggregate")
   }
 
+  test("s23: drift audit is pure keyed aggregation — no join at all") {
+    val p = planOf("s23_embedding_drift")
+    assert(!p.contains("Join"), "half-vs-half compare degraded to a self-join")
+    assert("HashAggregate".r.findAllIn(p.split("== Initial Plan ==")(0)).size >= 4,
+      "centroid sums must partial-aggregate before their shuffle")
+  }
+
   test("p20: shard ranks come from the range-partitioned two-pass, no 1-partition stage") {
     val p = planOf("p20_shard_manifest")
     // GlobalRank's range shuffle runs in its own upstream job (the plan
