@@ -72,6 +72,18 @@ object DedupPack extends QueryPack {
     * interpreted higher-order traversals (5M+ md5 calls at sf0.1 plus a
     * concat + hex-string allocation per element×family) — bit-identical
     * output, so the DuckDB oracle is unchanged. */
+  /** d05's executable adjudication (p22's MaxCanaries pattern): the
+    * brute-force O(n²) recall yardstick refuses corpora past its
+    * budget at plan-build time instead of silently burning n²·dims on
+    * a cluster — the scale paths are s03 (sign-LSH) / s14 (SemDeDup). */
+  val MaxYardstickVectors = 200000L // 200k² pairs ≈ the yardstick ceiling
+  private[queries] def requireYardstickBudget(n: Long): Unit =
+    require(n <= MaxYardstickVectors,
+      s"d05 is the brute-force O(n²) recall yardstick, capped at " +
+        s"$MaxYardstickVectors vectors (got $n). For production-scale " +
+        "corpora run the bucketed paths instead: s03 (sign-LSH) or s14 " +
+        "(SemDeDup cells).")
+
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def signatures(s: SparkSession, d: String): DataFrame =
@@ -394,8 +406,15 @@ object DedupPack extends QueryPack {
         ORDER BY da, db""")),
 
     // ── Embedding-cosine near-dup (brute-force baseline) ───────────────
+    // The designed O(n²) recall YARDSTICK — the scale paths are
+    // s03/s14 (and the plan-smell audit lists this as the one `weak`
+    // entry by design). The cap below makes that adjudication
+    // executable, p22's MaxCanaries pattern: a corpus past the
+    // yardstick's budget must fail loudly at plan-build time, not
+    // silently burn n²·dims on a cluster.
     "d05_embedding_neardup" -> Q(
       run = (s, d) => {
+        requireYardstickBudget(Tables.embeddings(s, d).count())
         val e = Tables.embeddings(s, d)
           // single parquet file → repartition before the O(n²) pair scan
           .repartition(s.sparkContext.defaultParallelism, col("vec_id"))

@@ -32,4 +32,16 @@ class DedupCacheSpec extends AnyFunSuite {
     assert(SparkEntry.queries("d03_minhash_lsh")(spark, sfDir).count() >= 0)
     DedupPack.clear(spark)
   }
+
+  test("d05: the O(n²) yardstick refuses a corpus past its budget (p22 pattern)") {
+    DedupPack.requireYardstickBudget(DedupPack.MaxYardstickVectors) // at cap: fine
+    val e = intercept[IllegalArgumentException] {
+      DedupPack.requireYardstickBudget(DedupPack.MaxYardstickVectors + 1)
+    }
+    assert(e.getMessage.contains("yardstick"))
+    assert(e.getMessage.contains("s03") && e.getMessage.contains("s14"),
+      "refusal must name the bucketed scale paths")
+    // the guard is wired into the query itself: d05 still answers under cap
+    assert(SparkEntry.queries("d05_embedding_neardup")(spark, sfDir).count() >= 0)
+  }
 }
