@@ -62,21 +62,34 @@ object Bench {
       Files.write(dir.resolve(f"in-$i%03d.txt"),
         sb.toString.getBytes(StandardCharsets.UTF_8))
     }
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
-    val t0 = System.nanoTime()
-    val q = spark.readStream.format("linedir")
-      .option("maxFilesPerTrigger", 4)
-      .load(dir.toString)
-      .selectExpr("split(value, ' ')[0] AS k",
-        "CAST(split(value, ' ')[1] AS LONG) AS v")
-      .groupBy("k").sum("v")
-      .writeStream.format("noop")
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    (nFiles.toLong * linesPerFile, (System.nanoTime() - t0) / 1e9)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    try {
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("linedir")
+        .option("maxFilesPerTrigger", 4)
+        .load(dir.toString)
+        .selectExpr("split(value, ' ')[0] AS k",
+          "CAST(split(value, ' ')[1] AS LONG) AS v")
+        .groupBy("k").sum("v")
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (nFiles.toLong * linesPerFile, (System.nanoTime() - t0) / 1e9)
+    } finally {
+      // each invocation writes ~7 MB of input + checkpoint; repeated
+      // bench runs would otherwise accumulate them in /tmp and skew
+      // the page-cache-sensitive stream floor they feed
+      def rm(p: java.nio.file.Path): Unit = {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+      rm(dir); rm(ckpt)
+    }
   }
 
   def main(args: Array[String]): Unit = {

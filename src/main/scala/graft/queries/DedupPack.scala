@@ -862,8 +862,12 @@ object DedupPack extends QueryPack {
           .agg(count(lit(1)).as("n_exact"), count(col("lda")).as("n_lsh_hit"))
           .select(col("n_exact"), col("n_lsh_hit"),
             (col("n_exact") - col("n_lsh_hit")).as("n_missed"),
-            round(col("n_lsh_hit") * lit(10000.0) / col("n_exact"), 0)
-              .cast("long").as("recall_e4"))
+            // zero-denominator guard: Spark's non-ANSI NaN→0 cast and
+            // DuckDB's x/0→NULL disagree, so both engines special-case
+            // an empty truth set explicitly (same guard in d17/d19)
+            when(col("n_exact") === 0, lit(0L))
+              .otherwise(round(col("n_lsh_hit") * lit(10000.0)
+                / col("n_exact"), 0).cast("long")).as("recall_e4"))
       },
       oracle = Some(s"""
         WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
@@ -881,8 +885,9 @@ object DedupPack extends QueryPack {
         SELECT CAST(count(*) AS BIGINT) AS n_exact,
                CAST(count(l.da) AS BIGINT) AS n_lsh_hit,
                CAST(count(*) - count(l.da) AS BIGINT) AS n_missed,
-               CAST(round(count(l.da) * 10000.0 / count(*)) AS BIGINT)
-                 AS recall_e4
+               CASE WHEN count(*) = 0 THEN 0
+                    ELSE CAST(round(count(l.da) * 10000.0 / count(*))
+                         AS BIGINT) END AS recall_e4
         FROM exact e LEFT JOIN lsh l ON e.da = l.da AND e.db = l.db""")),
 
     // ── Hot-shingle skew audit (the d02-vs-d03 routing decision) ───────
@@ -963,13 +968,17 @@ object DedupPack extends QueryPack {
             sum(when(col("da").isNotNull && col("eda").isNotNull, 1L)
               .otherwise(0L)).as("n_tp"))
           .select(col("n_cand"), col("n_exact"), col("n_tp"),
-            round(col("n_tp") * lit(10000.0) / col("n_cand"), 0)
-              .cast("long").as("precision_e4"),
-            round(col("n_tp") * lit(10000.0) / col("n_exact"), 0)
-              .cast("long").as("recall_e4"),
-            round(col("n_tp") * lit(20000.0)
-              / (col("n_cand") + col("n_exact")), 0)
-              .cast("long").as("f1_e4"))
+            // zero-denominator guards: see d15's comment
+            when(col("n_cand") === 0, lit(0L))
+              .otherwise(round(col("n_tp") * lit(10000.0) / col("n_cand"), 0)
+                .cast("long")).as("precision_e4"),
+            when(col("n_exact") === 0, lit(0L))
+              .otherwise(round(col("n_tp") * lit(10000.0) / col("n_exact"), 0)
+                .cast("long")).as("recall_e4"),
+            when(col("n_cand") + col("n_exact") === 0, lit(0L))
+              .otherwise(round(col("n_tp") * lit(20000.0)
+                / (col("n_cand") + col("n_exact")), 0)
+                .cast("long")).as("f1_e4"))
       },
       oracle = Some(s"""
         WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
@@ -1001,12 +1010,15 @@ object DedupPack extends QueryPack {
                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
                 FROM j)
         SELECT n_cand, n_exact, n_tp,
-               CAST(round(n_tp * 10000.0 / n_cand) AS BIGINT)
+               CASE WHEN n_cand = 0 THEN 0
+                    ELSE CAST(round(n_tp * 10000.0 / n_cand) AS BIGINT) END
                  AS precision_e4,
-               CAST(round(n_tp * 10000.0 / n_exact) AS BIGINT)
+               CASE WHEN n_exact = 0 THEN 0
+                    ELSE CAST(round(n_tp * 10000.0 / n_exact) AS BIGINT) END
                  AS recall_e4,
-               CAST(round(n_tp * 20000.0 / (n_cand + n_exact)) AS BIGINT)
-                 AS f1_e4
+               CASE WHEN n_cand + n_exact = 0 THEN 0
+                    ELSE CAST(round(n_tp * 20000.0 / (n_cand + n_exact))
+                         AS BIGINT) END AS f1_e4
         FROM agg""")),
 
     // ── Sparse TF-IDF dot-product similarity (lexical doc-doc top-k) ───
@@ -1114,10 +1126,12 @@ object DedupPack extends QueryPack {
           joined.crossJoin(broadcast(nExact))
             .select(lit(nb.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
               col("n_cand"), col("n_tp"),
-              round(col("n_tp") * lit(10000.0) / col("n_exact"), 0)
-                .cast("long").as("recall_e4"),
-              round(col("n_tp") * lit(10000.0) / col("n_cand"), 0)
-                .cast("long").as("precision_e4"))
+              when(col("n_exact") === 0, lit(0L))
+                .otherwise(round(col("n_tp") * lit(10000.0)
+                  / col("n_exact"), 0).cast("long")).as("recall_e4"),
+              when(col("n_cand") === 0, lit(0L))
+                .otherwise(round(col("n_tp") * lit(10000.0)
+                  / col("n_cand"), 0).cast("long")).as("precision_e4"))
         }.reduce(_.unionAll(_)).orderBy("bands")
       },
       oracle = Some {
@@ -1130,10 +1144,13 @@ object DedupPack extends QueryPack {
           s"""SELECT $nb AS bands, $rpb AS rows_per_band,
              |       CAST(count(*) AS BIGINT) AS n_cand,
              |       CAST(count(e.da) AS BIGINT) AS n_tp,
-             |       CAST(round(count(e.da) * 10000.0
-             |         / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_e4,
-             |       CAST(round(count(e.da) * 10000.0 / count(*)) AS BIGINT)
-             |         AS precision_e4
+             |       CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 0
+             |            ELSE CAST(round(count(e.da) * 10000.0
+             |              / (SELECT count(*) FROM exact)) AS BIGINT) END
+             |         AS recall_e4,
+             |       CASE WHEN count(*) = 0 THEN 0
+             |            ELSE CAST(round(count(e.da) * 10000.0 / count(*))
+             |                 AS BIGINT) END AS precision_e4
              |FROM (SELECT DISTINCT a.doc_id AS cda, b.doc_id AS cdb
              |      FROM (${bandsFor(nb, rpb)}) a
              |      JOIN (${bandsFor(nb, rpb)}) b

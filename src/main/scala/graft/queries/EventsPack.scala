@@ -1190,7 +1190,7 @@ object EventsPack extends QueryPack {
                       THEN 300 * 1000000 ELSE 1800 * 1000000 END AS gap_us
           FROM events),
         flagged AS (
-          SELECT user_id, us, gap_us,
+          SELECT user_id, event_id, us, gap_us,
                  CASE WHEN max(us + gap_us) OVER (PARTITION BY user_id
                         ORDER BY us, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -1201,8 +1201,13 @@ object EventsPack extends QueryPack {
                       THEN 1 ELSE 0 END AS new_sess
           FROM t),
         sessions AS (
+          -- (us, event_id) tie-break carried through (e03's discipline):
+          -- ordering the running sum by us alone lets DuckDB place a
+          -- tied new_sess=0 row before the flagged row and split
+          -- same-timestamp events across sessions
           SELECT user_id, us, gap_us,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                 sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
           FROM flagged)
         SELECT user_id, min(us) AS start_us,

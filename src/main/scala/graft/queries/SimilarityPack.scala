@@ -730,8 +730,13 @@ object SimilarityPack extends QueryPack {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), vecD.as("v"))
           .withColumn("nrm", sqrt(norm(col("v"))))
-        val qv = e.select(col("vec_id").as("qjid"), col("v").as("qv"),
-          col("nrm").as("qn"))
+        // query-side vectors SEMI-JOINED to the 3 qids BEFORE broadcast:
+        // broadcasting e unfiltered would ship the whole raw-vector
+        // table to every executor — the exact corpus-sized broadcast
+        // the stage-2 design exists to avoid (caught in review)
+        val qv = e.join(broadcast(qids), col("vec_id") === col("qid"))
+          .select(col("qid").as("qjid"), col("v").as("qv"),
+            col("nrm").as("qn"))
         val rr = broadcast(cand)
           .join(e, "vec_id")
           .join(broadcast(qv), col("qid") === col("qjid"))
