@@ -1398,6 +1398,41 @@ object SimilarityPack extends QueryPack {
         SELECT label, CAST(sum((c0 - c1) * (c0 - c1)) AS BIGINT) AS drift_e12,
                CAST(max(n0) AS BIGINT) AS n_even,
                CAST(max(n1) AS BIGINT) AS n_odd
-        FROM wide GROUP BY 1 ORDER BY label"""))
+        FROM wide GROUP BY 1 ORDER BY label""")),
+
+    // ── IVF cell-balance audit (probe-latency predictor) ───────────────
+    // An IVF index (s02/s20) answers a probe in time ∝ the PROBED
+    // cell's size, so tail latency is governed by the largest cell,
+    // not the mean — the imbalance factor max·|cells|/n (1e6 = perfect
+    // balance; 3e6 = the hottest cell is 3× fair share → p99 probes
+    // run 3× the budget, and a skewed cell is also where s14's
+    // Σ|cell|² dedup bound concentrates). One cell-keyed count + a
+    // one-row stats fold, exact integer ppm — the audit a serving
+    // team runs before ACCEPTING a coarse quantizer; read with s23:
+    // drift tells you to re-train the quantizer, THIS tells you the
+    // re-train produced servable cells.
+    "s24_ivf_cell_balance" -> Q(
+      run = (s, d) => {
+        val cells = Tables.embeddings(s, d)
+          .groupBy(col("label")).agg(count(lit(1)).as("c"))
+        cells.agg(count(lit(1)).as("n_cells"),
+            sum(col("c")).as("n_vecs"),
+            max(col("c")).as("max_cell"), min(col("c")).as("min_cell"))
+          .select(col("n_cells"), col("n_vecs"), col("max_cell"),
+            col("min_cell"),
+            expr("max_cell * n_cells * 1000000L div n_vecs")
+              .as("imbalance_ppm"))
+      },
+      oracle = Some("""
+        WITH cells AS (SELECT label, count(*) AS c FROM embeddings
+                       GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                      CAST(sum(c) AS BIGINT) AS n_vecs,
+                      CAST(max(c) AS BIGINT) AS max_cell,
+                      CAST(min(c) AS BIGINT) AS min_cell
+               FROM cells)
+        SELECT n_cells, n_vecs, max_cell, min_cell,
+               max_cell * n_cells * 1000000 // n_vecs AS imbalance_ppm
+        FROM st"""))
   )
 }
