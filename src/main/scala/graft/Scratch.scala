@@ -26,15 +26,9 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SCRATCH_EXPLAIN")) {
       // plan-smell audit: flag the shapes that do not survive scale-up
+      // (the shared engine behind plans.PlanSmellGateSpec's allowlist)
       for (n <- names) {
-        val df = SparkEntry.queries(n)(spark, d)
-        df.queryExecution.executedPlan.execute().count()
-        val p = df.queryExecution.executedPlan.toString
-        val smells = Seq(
-          "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
-          "CartesianProduct" -> p.contains("CartesianProduct"),
-          "SinglePartition" -> p.contains("SinglePartition"))
-          .collect { case (s, true) => s }
+        val smells = PlanSmells.audit(spark, d, n)
         println(s"[scratch] $n smells=${if (smells.isEmpty) "none" else smells.mkString(",")}")
       }
     } else for (n <- names; r <- 1 to reps) {

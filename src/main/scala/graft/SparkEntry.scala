@@ -42,4 +42,8 @@ object SparkEntry {
   /** Iterative-operator group timed by [[Bench]], reported separately. */
   def benchIterQueries: Seq[String] =
     all.collect { case (n, q) if q.benchIter => n }
+
+  /** Heavy non-loop group timed by [[Bench]], reported separately. */
+  def benchHeavyQueries: Seq[String] =
+    all.collect { case (n, q) if q.benchHeavy => n }
 }

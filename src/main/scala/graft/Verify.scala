@@ -2,13 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Also writes
+  * timings.json (name → wall seconds for the result write) so
+  * tools/ladder.py can record per-rung wall times in LADDER_r{N}.json
+  * without a second run. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // Optional 3rd arg: comma-separated query names (dev iteration aid).
+    // Optional 3rd arg: comma-separated query names (dev iteration aid),
+    // or "@bench" = headline ∪ iterative ∪ heavy bench groups (the
+    // scale-ladder subset for rungs where the full suite's quadratic
+    // ORACLES would dominate, not the Spark side).
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(if (args(2) == "@bench")
+          (SparkEntry.benchQueries ++ SparkEntry.benchIterQueries ++
+            SparkEntry.benchHeavyQueries).toSet
+        else args(2).split(",").toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,12 +29,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val timings = scala.collection.mutable.Map.empty[String, Double]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +57,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"${q(k)}: $v%.3f" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

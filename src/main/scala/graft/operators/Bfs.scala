@@ -31,14 +31,14 @@ object Bfs {
     * @return columns `node`, `hop` (min hops from any source, ≤ maxHops) */
   def hops(edges: DataFrame, sources: DataFrame, maxHops: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // rotated per-round cuts: a superseded distance table's blocks are
+    // unpersisted once 2 newer cuts exist (see [[LineageCut]]) — bounded
+    // storage by construction, not ContextCleaner timing
+    val lc = new LineageCut(checkpointDir)
     // pre-partitioned on the per-round join key (the g01 hoist): each
     // round's frontier⋈e join reshuffles only the frontier
-    val e = cut(edges.select(col("u"), col("v")).repartition(col("u")))
-    var dist = cut(sources.select(col("node"), lit(0L).as("hop")).distinct())
+    val e = lc.pin(edges.select(col("u"), col("v")).repartition(col("u")))
+    var dist = lc(sources.select(col("node"), lit(0L).as("hop")).distinct())
     var h = 1
     var exhausted = false
     while (h <= maxHops && !exhausted) {
@@ -50,7 +50,7 @@ object Bfs {
       else {
         val next = frontier.join(e, frontier("node") === e("u"))
           .select(e("v").as("node"), lit(h.toLong).as("hop"))
-        dist = cut(dist.union(next)
+        dist = lc(dist.union(next)
           .groupBy("node").agg(min("hop").as("hop")))
       }
       h += 1

@@ -48,10 +48,9 @@ object ConnectedComponents {
     *                      `localCheckpoint` */
   def minLabel(edges: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // rotated per-round cuts: a superseded label table's blocks are
+    // unpersisted once 2 newer cuts exist (see [[LineageCut]])
+    val lc = new LineageCut(checkpointDir)
     val e = edges.toDF("a", "b")
     // pre-partitioned on the per-round join key (the g01 hoist): the
     // persisted blocks keep their partitioning, so each round's
@@ -64,7 +63,7 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // eager checkpoint: materializes AND truncates lineage to a
     // LogicalRDD — constant-size plans per round (see scaladoc)
-    var labels = cut(sym.select(col("a").as("node")).distinct()
+    var labels = lc(sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")))
     var converged = false
     var i = 0
@@ -78,7 +77,7 @@ object ConnectedComponents {
         .join(labels, sym("a") === labels("node"))
         .select(sym("b").as("node"), labels("label"), lit(0L).as("own"))
         .union(labels.withColumn("own", lit(1L)))
-      val next = cut(msgs.groupBy("node")
+      val next = lc(msgs.groupBy("node")
         .agg(min("label").as("label"),
           max(when(col("own") === 1L, col("label"))).as("prev")))
       val changed = next.filter(col("label") < col("prev"))

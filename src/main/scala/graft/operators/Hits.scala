@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * join — never a driver collect (g07's dangling-sum pattern). Exact-
   * arithmetic headroom: the unnormalized sums are ≤ 1e6·deg and the
   * renormalization multiplies by 1e6 before dividing, so int64 is safe
-  * up to max in/out-degree ≈ 9.2e6; beyond that (web-scale hub pages)
-  * drop the scale to 1e3 or renormalize in two steps.
+  * up to max in/out-degree ≈ 9.2e6 — ENFORCED by a one-time setup
+  * `require` (the loud-guard convention of Sssp's negative-weight and
+  * PageRank's symmetry checks); beyond that (web-scale hub pages) drop
+  * the scale to 1e3 or renormalize in two steps.
   *
   * Scale posture: each round is two edge⋈score equi-joins with
   * map-side partial sums (messages shuffle grouped, scores are one row
@@ -42,18 +44,32 @@ object Hits {
     *         appearing in the edge list (either side) */
   def scores(edges: DataFrame, iterations: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // rotated per-round cuts: h/a interleave through one keep=2 FIFO —
+    // a(n-1) is released when a(n) cuts, by which point h(n-1..n) were
+    // already materialized from it (see [[LineageCut]])
+    val lc = new LineageCut(checkpointDir)
     val e = edges.select(col("u"), col("v"))
     // two pre-partitioned edge copies, one per alternating join key —
     // each round's edge⋈score join then reshuffles only the node-sized
     // score table, never the edge list
-    val eByU = cut(e.repartition(col("u")))
-    val eByV = cut(e.repartition(col("v")))
-    val nodes = cut(e.select(col("u").as("node"))
+    val eByU = lc.pin(e.repartition(col("u")))
+    val eByV = lc.pin(e.repartition(col("v")))
+    val nodes = lc.pin(e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct())
+    // loud int64-headroom guard (scaladoc above): scores are ≤ 1e6 after
+    // max-normalization, so an unnormalized sum is ≤ 1e6·degree and the
+    // renormalization multiplies by 1e6 again — silent wraparound above
+    // in/out-degree ~9.2e6. Total degree (in+out, bag union) bounds both
+    // sides in ONE setup aggregate; degrees are round-invariant so this
+    // never re-runs inside the loop.
+    val maxDeg = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max("d"), lit(0L)).as("m")).head.getLong(0)
+    require(maxDeg <= 9200000L,
+      s"Hits exact int64 arithmetic overflows above in/out-degree ~9.2e6 " +
+        s"(found a node with total degree $maxDeg); drop the score scale " +
+        "to 1e3 or renormalize in two steps — see scaladoc")
     var h = nodes.withColumn("h", lit(1000000L))
     var a = nodes.withColumn("a", lit(1000000L))
     for (_ <- 1 to iterations) {
@@ -61,7 +77,7 @@ object Hits {
         .groupBy(col("v")).agg(sum("h").as("s"))
         .select(col("v").as("node"), col("s"))
       val amax = asum.agg(max("s").as("m"))
-      a = cut(nodes.join(asum, Seq("node"), "left")
+      a = lc(nodes.join(asum, Seq("node"), "left")
         .crossJoin(broadcast(amax))
         .select(col("node"),
           expr("CAST((1000000 * coalesce(s, 0L)) div m AS BIGINT)").as("a")))
@@ -69,7 +85,7 @@ object Hits {
         .groupBy(col("u")).agg(sum("a").as("s"))
         .select(col("u").as("node"), col("s"))
       val hmax = hsum.agg(max("s").as("m"))
-      h = cut(nodes.join(hsum, Seq("node"), "left")
+      h = lc(nodes.join(hsum, Seq("node"), "left")
         .crossJoin(broadcast(hmax))
         .select(col("node"),
           expr("CAST((1000000 * coalesce(s, 0L)) div m AS BIGINT)").as("h")))

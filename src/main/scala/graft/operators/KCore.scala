@@ -38,18 +38,17 @@ object KCore {
     *                      `localCheckpoint` */
   def core(edges: DataFrame, k: Int, maxRounds: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    var cur = cut(edges.select(col("u"), col("v")).repartition(col("u")))
+    // rotated per-round cuts: a peeled-away edge generation's blocks
+    // are unpersisted once 2 newer cuts exist (see [[LineageCut]])
+    val lc = new LineageCut(checkpointDir)
+    var cur = lc(edges.select(col("u"), col("v")).repartition(col("u")))
     var nEdges = cur.count()
     var stable = nEdges == 0L
     var round = 0
     while (!stable && round < maxRounds) {
       val keep = cur.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
-      val next = cut(cur
+      val next = lc(cur
         .join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v")).repartition(col("u")))

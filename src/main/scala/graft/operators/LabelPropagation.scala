@@ -44,21 +44,21 @@ object LabelPropagation {
   def propagate(edges: DataFrame, seeds: DataFrame,
       maxIterations: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // rotated per-round cuts: won/labels interleave through one keep=2
+    // FIFO — labels(n-1) is released when labels(n) cuts, by which point
+    // won(n) and labels(n) were already materialized from it
+    val lc = new LineageCut(checkpointDir)
     // pre-partitioned on the per-round join key (the g01 hoist): each
     // round's e⋈labels join reshuffles only the label table
     val e = edges.toDF("u", "v").repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cut(seeds.toDF("node", "label"))
+    var labels = lc(seeds.toDF("node", "label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      val won = cut(round(e, labels))
+      val won = lc(round(e, labels))
       if (won.limit(1).count() == 0L) converged = true
-      else labels = cut(labels.union(won))
+      else labels = lc(labels.union(won))
       i += 1
     }
     e.unpersist()

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Per-round lineage cut with BOUNDED storage for the iterative
+  * operators (PageRank, Bfs, Sssp, Hits, KCore, LabelPropagation,
+  * ConnectedComponents).
+  *
+  * Every loop eagerly checkpoints its per-round state so plans stay
+  * constant-size (the [[ConnectedComponents]] contract). Before this
+  * helper, each superseded round's `localCheckpoint` blocks were left
+  * to the ContextCleaner — correct, but block eviction then depends on
+  * driver GC timing, so a 100-iteration production run could hold many
+  * node-sized states at once. This helper makes the bound structural:
+  * it keeps a FIFO of the live cuts and explicitly unpersists a cut's
+  * blocks as soon as it falls `keep` generations behind — at which
+  * point every later state has already been materialized FROM it
+  * (eager cuts), so nothing can ever recompute through it.
+  *
+  * `keep` is the number of generations a loop can still reference
+  * after a new cut materializes: 2 for every single-state loop
+  * (previous round feeds only the next round's cut) and for the
+  * interleaved two-state loops (HITS h/a, LabelPropagation won/labels);
+  * 3 for [[Sssp]], whose frontier cut reads `dist` from TWO cut
+  * generations back (dist(n-1) is joined against merged(n) AFTER
+  * merged(n)'s cut).
+  *
+  * Mechanics: `Dataset.checkpoint`/`localCheckpoint` return a Dataset
+  * whose analyzed plan is a [[LogicalRDD]] over the internal
+  * checkpointed RDD — that RDD is what holds the persisted blocks, so
+  * it is what gets unpersisted on eviction. In reliable-checkpoint
+  * mode (`checkpointDir = Some(dir)`) the data lives in checkpoint
+  * FILES, not blocks, and unpersist is a harmless no-op; file cleanup
+  * stays governed by `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * as before. Spark logs one WARN per eviction ("locally checkpointed
+  * ... cannot be recomputed after unpersisting") — that is the bound
+  * working as designed, not a problem: eviction only happens `keep`
+  * materialized generations later, when recomputation is impossible to
+  * need. Setup relations that must survive the whole run (edge
+  * lists, node sets, seed sets — the g01 hoist products) go through
+  * [[pin]], which cuts WITHOUT enrolling in the rotation.
+  */
+final class LineageCut(checkpointDir: Option[String], keep: Int = 2) {
+  require(keep >= 1, "LineageCut must keep at least one generation")
+  private val live = scala.collection.mutable.Queue.empty[RDD[_]]
+
+  private def cutOnly(df: DataFrame): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    if (checkpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+  }
+
+  /** Eagerly cut `df` and enroll it in the rotation: once `keep` newer
+    * cuts exist, its blocks are unpersisted (non-blocking). */
+  def apply(df: DataFrame): DataFrame = {
+    val out = cutOnly(df)
+    out.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+      .foreach { rdd =>
+        live.enqueue(rdd)
+        while (live.size > keep) live.dequeue().unpersist(blocking = false)
+      }
+    out
+  }
+
+  /** Eagerly cut `df` WITHOUT enrolling it — for setup relations the
+    * whole loop reads every round (pre-partitioned edges, node sets). */
+  def pin(df: DataFrame): DataFrame = cutOnly(df)
+}

@@ -67,17 +67,18 @@ object PageRank {
     require(teleportTo.isEmpty || !redistributeDangling,
       "teleportTo is only supported under the symmetric contract " +
         "(redistributeDangling=false)")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    val e = cut(edges.select(col("u"), col("v")))
+    // per-round cuts rotate through LineageCut so superseded rounds'
+    // blocks are unpersisted BY CONSTRUCTION (≤2 rank states live at
+    // any time), not left to ContextCleaner GC timing; setup relations
+    // are pinned for the whole run
+    val lc = new LineageCut(checkpointDir)
+    val e = lc.pin(edges.select(col("u"), col("v")))
     val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
     // contribution edges (u, v, d) built ONCE and pre-partitioned on the
     // join key: the loop used to redo e⋈deg every round, shuffling the
     // full edge list per iteration; now each round reshuffles only the
     // rank table (one row per node) plus the destination-keyed sum
-    val ed = cut(e.join(deg, "u").repartition(col("u")))
+    val ed = lc.pin(e.join(deg, "u").repartition(col("u")))
 
     if (!redistributeDangling) {
       // loud guard for the documented contract (scaladoc above): a
@@ -92,7 +93,7 @@ object PageRank {
       teleportTo match {
         case None =>
           for (_ <- 1 to iterations) {
-            r = cut(ed
+            r = lc(ed
               .join(r, col("node") === col("u"))
               .groupBy(col("v"))
               .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
@@ -104,8 +105,8 @@ object PageRank {
           // nodes with zero inflow still carry their seed base, so the
           // update is anchored on the node set (= sources, symmetric
           // contract), not on the destinations that happened to receive
-          val nodes = cut(deg.select(col("u").as("node")))
-          val seeds = cut(t.select(col("node")).distinct()
+          val nodes = lc.pin(deg.select(col("u").as("node")))
+          val seeds = lc.pin(t.select(col("node")).distinct()
             .withColumn("is_seed", lit(1)))
           for (_ <- 1 to iterations) {
             val inflow = ed
@@ -113,7 +114,7 @@ object PageRank {
               .groupBy(col("v"))
               .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
               .select(col("v").as("node"), col("inflow"))
-            r = cut(nodes
+            r = lc(nodes
               .join(inflow, Seq("node"), "left_outer")
               .join(seeds, Seq("node"), "left_outer")
               .select(col("node"),
@@ -124,7 +125,7 @@ object PageRank {
           r
       }
     } else {
-      val nodes = cut(e.select(col("u").as("node"))
+      val nodes = lc.pin(e.select(col("u").as("node"))
         .union(e.select(col("v").as("node"))).distinct())
       // graph cardinality is fixed across rounds — one setup count, a
       // literal thereafter (metadata-sized, not a per-round collect)
@@ -142,7 +143,7 @@ object PageRank {
           .groupBy(col("v"))
           .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
           .select(col("v").as("node"), col("inflow"))
-        r = cut(nodes
+        r = lc(nodes
           .join(inflow, Seq("node"), "left_outer")
           .crossJoin(broadcast(dsum))
           .select(col("node"),

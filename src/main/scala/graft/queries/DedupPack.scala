@@ -1084,7 +1084,8 @@ object DedupPack extends QueryPack {
                    ON a.tok = b.tok AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
         SELECT da, db, dot FROM dots
-        ORDER BY dot DESC, da, db LIMIT 20""")),
+        ORDER BY dot DESC, da, db LIMIT 20"""),
+      benchHeavy = true),
 
     // ── LSH banding sweep: recall/precision across (b, r) configs ──────
     // d15/d17 evaluate THE production banding (4 bands × 3 rows); this
@@ -1189,41 +1190,31 @@ object DedupPack extends QueryPack {
     //     10× and the pair join 100× (742 500 → 74 250 000 scored
     //     pairs — quadratic in duplication, observed before this tier
     //     existed);
-    //   tier 2: prefix blocking (all but the last 2 chars) + exact
+    //   tier 2: prefix blocking (all but the last 2 chars, derived from
+    //     each name's OWN length — not a fixed prefix width, so 9+-digit
+    //     keys at large SF keep the same 2-char suffix alphabet) + exact
     //     intra-block levenshtein over DISTINCT names only. The block
     //     key bounds each block at the suffix-alphabet size no matter
     //     the corpus, so scored pairs are Σ|distinct-block|² ≤ C·|V| —
     //     d03's bucket argument with the block key playing the band.
+    // Hot-block guard (the d05-cap / s24-audit pattern applied to
+    // blocked ER): a natural-name corpus where many names share the
+    // blocking prefix makes ONE hot block and the within-block join
+    // goes quadratic — the exact failure mode this query exists to
+    // prevent — so the hottest block size is computed at plan-build
+    // time, FAILS LOUDLY above `maxBlock`, and is emitted as the
+    // `max_block` audit column (oracle-checked) so drift is visible
+    // before it is fatal.
     // Linked-pair accounting is at ROW grain, recovered from the
     // representatives exactly: cross-group links weigh mult_a·mult_b,
     // exact-dup groups contribute c·(c−1)/2 internally (d16's pair
     // math). levenshtein() is exact DP in both engines; ≤1 = one
     // character of drift, the typo'd-duplicate gate.
     "d20_entity_blocks" -> Q(
-      run = (s, d) => {
-        val names = Tables.customer(s, d)
-          .groupBy(col("c_name").as("name"))
-          .agg(count(lit(1)).as("mult"))
-          .withColumn("blk", substring(col("name"), 1, 16))
-        val pairs = names.as("a")
-          .join(names.as("b"),
-            col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
-          .select(levenshtein(col("a.name"), col("b.name")).as("dist"),
-            (col("a.mult") * col("b.mult")).as("w"))
-        val pagg = pairs.agg(count(lit(1)).as("n_cand_pairs"),
-          sum(when(col("dist") <= 1, col("w")).otherwise(0L))
-            .as("n_linked_row_pairs"))
-        val bagg = names.agg(countDistinct(col("blk")).as("n_blocks"),
-          count(lit(1)).as("n_distinct_names"),
-          sum(expr("mult * (mult - 1) div 2")).as("n_exact_dup_pairs"))
-        broadcast(bagg).crossJoin(pagg)
-          .select(col("n_blocks"), col("n_distinct_names"),
-            col("n_exact_dup_pairs"), col("n_cand_pairs"),
-            col("n_linked_row_pairs"))
-      },
+      run = (s, d) => entityBlocks(Tables.customer(s, d)),
       oracle = Some("""
         WITH names AS (SELECT c_name AS name, count(*) AS mult,
-                              substr(c_name, 1, 16) AS blk
+                              substr(c_name, 1, length(c_name) - 2) AS blk
                        FROM customer GROUP BY 1),
         pairs AS (SELECT levenshtein(a.name, b.name) AS dist,
                          a.mult * b.mult AS w
@@ -1237,9 +1228,49 @@ object DedupPack extends QueryPack {
                         CAST(count(*) AS BIGINT) AS n_distinct_names,
                         CAST(sum(mult * (mult - 1) // 2) AS BIGINT)
                           AS n_exact_dup_pairs
-                 FROM names)
+                 FROM names),
+        hot AS (SELECT CAST(max(bn) AS BIGINT) AS max_block
+                FROM (SELECT count(*) AS bn FROM names GROUP BY blk))
         SELECT n_blocks, n_distinct_names, n_exact_dup_pairs,
-               n_cand_pairs, n_linked_row_pairs
-        FROM bagg, pagg"""))
+               n_cand_pairs, n_linked_row_pairs, max_block
+        FROM bagg, pagg, hot"""),
+      benchHeavy = true)
   )
+
+  /** d20's engine, factored out so the hot-block guard is testable
+    * against an adversarial shared-prefix fixture without a parquet
+    * round-trip. `maxBlock` caps the hottest block's DISTINCT-name
+    * count: within-block scoring is quadratic in block size, so a
+    * shared-prefix corpus must fail at plan-build time (one
+    * metadata-sized aggregate over block counts — the d05 200k-vector
+    * refusal pattern), not silently run Σ B² pair joins. */
+  private[graft] def entityBlocks(customer: DataFrame,
+      maxBlock: Long = 1000L): DataFrame = {
+    val names = customer
+      .groupBy(col("c_name").as("name"))
+      .agg(count(lit(1)).as("mult"))
+      .withColumn("blk", expr("substring(name, 1, length(name) - 2)"))
+    val hottest = names.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .agg(coalesce(max("bn"), lit(0L)).as("m")).head.getLong(0)
+    require(hottest <= maxBlock,
+      s"d20 hot-block guard: hottest block holds $hottest distinct names " +
+        s"(cap $maxBlock); within-block scoring is quadratic in block " +
+        "size, so this corpus needs a finer blocking key (longer prefix, " +
+        "or phonetic/sorted-neighborhood blocking) before linkage")
+    val pairs = names.as("a")
+      .join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .select(levenshtein(col("a.name"), col("b.name")).as("dist"),
+        (col("a.mult") * col("b.mult")).as("w"))
+    val pagg = pairs.agg(count(lit(1)).as("n_cand_pairs"),
+      sum(when(col("dist") <= 1, col("w")).otherwise(0L))
+        .as("n_linked_row_pairs"))
+    val bagg = names.agg(countDistinct(col("blk")).as("n_blocks"),
+      count(lit(1)).as("n_distinct_names"),
+      sum(expr("mult * (mult - 1) div 2")).as("n_exact_dup_pairs"))
+    broadcast(bagg).crossJoin(pagg)
+      .select(col("n_blocks"), col("n_distinct_names"),
+        col("n_exact_dup_pairs"), col("n_cand_pairs"),
+        col("n_linked_row_pairs"), lit(hottest).as("max_block"))
+  }
 }

@@ -514,7 +514,8 @@ object GraphPack extends QueryPack {
         SELECT CAST(h2.node AS BIGINT) AS node, h2.h AS hub_e6,
                a2.a AS auth_e6
         FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY node"""
-      }),
+      },
+      benchIter = true),
 
     // ── Weighted single-source shortest paths ──────────────────────────
     // The WEIGHTED companion to g02: same symmetrized trade graph, but
@@ -570,7 +571,8 @@ object GraphPack extends QueryPack {
         ${relax("i3", "i4")}
         SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS d
         FROM i4 ORDER BY node"""
-      }),
+      },
+      benchIter = true),
 
     // ── Community quality audit: modularity of a partition ─────────────
     // g06/d06 PRODUCE communities; this SCORES a partition — Newman

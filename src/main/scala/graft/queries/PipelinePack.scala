@@ -194,8 +194,8 @@ object PipelinePack extends QueryPack {
     // The standard reproducible-split technique: bucket = md5(doc_id)
     // mod 100 → 80/10/10. Hash-based (not RNG-based) so the assignment
     // is stable across engines, runs, partitionings, and re-shards —
-    // exactly why real pipelines split this way (and why this is
-    // oracle-checkable while s06's Bernoulli sample is not).
+    // exactly why real pipelines split this way (the technique s06
+    // adopted in round 8, making the whole registry oracle-checkable).
     "p03_hash_split" -> Q(
       run = (s, d) => {
         val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
@@ -1048,7 +1048,8 @@ object PipelinePack extends QueryPack {
     // to ln(u)/w (same ranking, better float behavior) with u from the
     // p03 hash gate (md5 → 32-bit uniform), so the draw is
     // content-stable across engines, runs, and re-shards — an RNG
-    // sample would not be oracle-checkable (s06's adjudication).
+    // sample would not be oracle-checkable (why s06 moved to a hash
+    // gate in round 8).
     // Weight = n_chars: long docs proportionally likelier, the
     // token-budget-aware subsample. Priorities round to e4 BEFORE the
     // top-k compare (per-row rounding, t06's ln-parity discipline);

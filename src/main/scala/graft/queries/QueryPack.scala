@@ -33,7 +33,13 @@ final case class Q(
       * fixed 14-query headline total stays comparable across rounds
       * while the per-round lineage-cut cost — the least-measured scale
       * risk of the fixpoint operators — gets its own floor. */
-    benchIter: Boolean = false)
+    benchIter: Boolean = false,
+    /** Queries in Bench's HEAVY group: the non-loop-shaped expensive
+      * additions (multi-stage dedup/ANN pipelines) whose drift would
+      * otherwise go unmeasured round to round. Reported separately,
+      * like the iterative group, so the fixed headline total stays
+      * comparable across rounds. */
+    benchHeavy: Boolean = false)
 
 trait QueryPack {
   def queries: Seq[(String, Q)]

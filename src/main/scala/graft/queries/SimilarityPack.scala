@@ -406,18 +406,38 @@ object SimilarityPack extends QueryPack {
         GROUP BY e.qid ORDER BY e.qid"""
       }),
 
-    // ── Deterministic seeded sampling (rows-only check by design) ──────
-    // Bernoulli sampling is engine-RNG-specific, so no cross-engine
-    // oracle exists; the driver records the weaker rows-only check.
-    // Seeded, so repeated runs within Spark are stable.
+    // ── Deterministic seeded sampling (content-stable hash gate) ───────
+    // A seeded 20% Bernoulli sample of the vector corpus, counted per
+    // label. Through round 7 this used Spark's RNG sampler — seeded, so
+    // stable WITHIN Spark, but engine-RNG-specific, so it was the one
+    // registered query outside the oracle gate (rows-only check). The
+    // production technique is better anyway: gate on a content-stable
+    // hash of (seed, key) — md5('42_' || vec_id) mod 100 < 20 — which is
+    // reproducible across engines, runs, partitionings, and re-shards
+    // (p03/p05's split/stratify gate with the seed folded into the hash
+    // input; change the seed string → an independent 20% draw). RNG
+    // sampling additionally breaks under repartition or speculative
+    // re-execution ordering at cluster scale; a hash gate cannot. One
+    // narrow map + one tiny agg; the filter runs scan-side.
     "s06_seeded_sample" -> Q(
-      run = (s, d) =>
+      run = (s, d) => {
+        val bucket = conv(substring(
+          md5(concat(lit("42_"), col("vec_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 100
         Tables.embeddings(s, d)
-          .sample(withReplacement = false, fraction = 0.2, seed = 42L)
+          .filter(bucket < 20)
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"))
-          .orderBy("label"),
-      oracle = None),
+          .orderBy("label")
+      },
+      oracle = Some("""
+        SELECT label, count(*) AS n
+        FROM (SELECT label,
+                     ('0x' || substr(md5('42_' || CAST(vec_id AS VARCHAR)),
+                       1, 8))::BIGINT % 100 AS b
+              FROM embeddings)
+        WHERE b < 20
+        GROUP BY 1 ORDER BY label""")),
 
     // ── Per-label centroids (the training half of IVF) ─────────────────
     // s02 searches within label cells; this computes the cell centroids:
@@ -901,7 +921,8 @@ object SimilarityPack extends QueryPack {
                    FROM adist WHERE qid <> vec_id)
         SELECT qid, CAST(rank AS INT) AS rank, vec_id,
                CAST(adist AS BIGINT) AS adist
-        FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""),
+      benchHeavy = true),
 
     // ── Sparse random projection (Johnson–Lindenstrauss) ───────────────
     // Dimensionality reduction for the embedding column: 64-d → 16-d via

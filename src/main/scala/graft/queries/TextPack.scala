@@ -1126,17 +1126,21 @@ object TextPack extends QueryPack {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d).select(col("doc_id"))
         val mx = docs.agg(max("doc_id").as("mx"))
-        def bucket(c: org.apache.spark.sql.Column) =
-          greatest(lit(1L), expr(s"(10 * ${c} + mx - 1) div mx"))
+        // bucket takes the column NAME, not a Column: interpolating a
+        // Column into a SQL string only works when toString happens to
+        // pretty-print a bare attribute — a derived/qualified column
+        // would produce an unparseable or wrongly-resolved expression
+        def bucket(name: String) =
+          greatest(lit(1L), expr(s"(10 * $name + mx - 1) div mx"))
         val nd = docs.crossJoin(broadcast(mx))
-          .groupBy(bucket(col("doc_id")).as("i"))
+          .groupBy(bucket("doc_id").as("i"))
           .agg(count(lit(1)).as("nd"))
         val fd = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
           .groupBy("tok").agg(min("doc_id").as("fdoc"))
         val nv = fd.crossJoin(broadcast(mx))
-          .groupBy(bucket(col("fdoc")).as("i"))
+          .groupBy(bucket("fdoc").as("i"))
           .agg(count(lit(1)).as("nv"))
         val w = Window.orderBy("i")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

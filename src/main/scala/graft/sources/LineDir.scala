@@ -58,7 +58,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (manager/__main__.py:358-361). Overwrite clears prior contents at
   * commit time (the reference pre-clears the output dir).
   *
-  * Scale posture: file listing happens once on the driver (names only);
+  * Scale posture: file listing happens once on the driver, is
+  * sequential, and REFUSES above `.option("maxListedFiles", n)`
+  * (default 100000) — see [[LineDir.DefaultMaxListedFiles]];
   * readers stream lines off a BufferedReader — no whole-file buffering;
   * writer staging/commit is rename-only on a shared FS (object stores
   * would swap the rename for a copy-manifest commit, same protocol
@@ -95,6 +97,28 @@ object LineDir {
   private[sources] def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
     val s = Files.list(dir)
     try f(s.iterator().asScala) finally s.close()
+  }
+
+  /** Files-per-directory posture bound (SCALE.md), as CODE: the
+    * driver-side listing is sequential — one readAttributes stat per
+    * file per trigger — so a very-large FLAT directory gates the whole
+    * job/stream on single-threaded driver I/O long before executors
+    * matter. Above the bound the read REFUSES loudly (configurable via
+    * `.option("maxListedFiles", n)`) instead of silently degrading. */
+  val DefaultMaxListedFiles: Long = 100000L
+
+  /** Applies the maxListedFiles refusal to one listing pass. */
+  private[sources] def boundListing[A](dir: String, listed: Seq[A],
+      cap: Long): Seq[A] = {
+    if (listed.size > cap) throw new IllegalStateException(
+      s"linedir: directory '$dir' lists ${listed.size} files, above " +
+        s"maxListedFiles=$cap. The driver-side listing is sequential " +
+        "(one stat per file per trigger), so flat directories this " +
+        "large gate the job on the driver: shard the input into " +
+        "subdirectories or raise .option(\"maxListedFiles\", n), and " +
+        "coalesce the resulting small-file tasks with " +
+        ".option(\"targetPartitionBytes\", bytes)")
+    listed
   }
 
   /** Sorted file list — the reference's deterministic enumeration. */
@@ -162,7 +186,10 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
         maxFileAgeMs = Option(options.get("maxFileAgeMs")).map(_.toLong),
         compactInterval =
           Option(options.get("logCompactInterval")).map(_.toInt)
-            .getOrElse(10)))
+            .getOrElse(10),
+        maxListedFiles =
+          Option(options.get("maxListedFiles")).map(_.toLong)
+            .getOrElse(LineDir.DefaultMaxListedFiles)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -175,16 +202,20 @@ private[sources] class LineDirTable(path: String, tableSchema: StructType)
 
 // ── read path ─────────────────────────────────────────────────────────
 
-/** Streaming-read tuning knobs (ignored by the batch path). */
+/** Read tuning knobs (maxListedFiles guards BOTH paths' listings;
+  * the trigger/age knobs are streaming-only). */
 private[sources] case class StreamOptions(
     maxFilesPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
     maxFileAgeMs: Option[Long],
-    compactInterval: Int) {
+    compactInterval: Int,
+    maxListedFiles: Long = LineDir.DefaultMaxListedFiles) {
   maxFilesPerTrigger.foreach(n =>
     require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
   maxBytesPerTrigger.foreach(b =>
     require(b > 0, s"maxBytesPerTrigger must be positive, got $b"))
+  require(maxListedFiles > 0,
+    s"maxListedFiles must be positive, got $maxListedFiles")
 }
 
 private[sources] class LineDirScanBuilder(path: String,
@@ -214,9 +245,10 @@ private[sources] class LineDirScan(path: String, required: StructType,
     * a partition closes once its byte total reaches the target, so
     * partition count tracks total bytes, not file count. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val cap = streamOpts.maxListedFiles
     targetBytes match {
       case None =>
-        LineDir.listSorted(path)
+        LineDir.boundListing(path, LineDir.listSorted(path), cap)
           .map(f => LineDirPartition(path, Seq(f)): InputPartition).toArray
       case Some(target) =>
         // sizes come from the SAME listing pass (one readAttributes stat
@@ -224,7 +256,8 @@ private[sources] class LineDirScan(path: String, required: StructType,
         val groups = Seq.newBuilder[LineDirPartition]
         var cur = Vector.empty[String]
         var curBytes = 0L
-        for ((f, sz, _) <- LineDir.listSortedWithAttrs(path)) {
+        for ((f, sz, _) <-
+            LineDir.boundListing(path, LineDir.listSortedWithAttrs(path), cap)) {
           if (cur.nonEmpty && curBytes + sz > target) {
             groups += LineDirPartition(path, cur)
             cur = Vector.empty; curBytes = 0L
@@ -441,7 +474,8 @@ private[sources] class LineDirMicroBatchStream(path: String,
 
   override def prepareForTriggerAvailableNow(): Unit = {
     ensureRestored()
-    availableNowTarget = Some(LineDir.listSorted(path).toSet)
+    availableNowTarget = Some(LineDir.boundListing(path,
+      LineDir.listSorted(path), opts.maxListedFiles).toSet)
   }
 
   override def latestOffset(): Offset =
@@ -456,7 +490,8 @@ private[sources] class LineDirMicroBatchStream(path: String,
     // (the old shape re-statted size per admitted file, twice), and a
     // file deleted between the list and the stat is skipped for this
     // trigger instead of failing the stream (listSortedWithAttrs)
-    val candidates = LineDir.listSortedWithAttrs(path)
+    val candidates = LineDir.boundListing(path,
+      LineDir.listSortedWithAttrs(path), opts.maxListedFiles)
       .filter { case (f, _, _) => availableNowTarget.forall(_.contains(f)) }
       .filterNot { case (f, _, _) => seen.contains(f) }
       .filter { case (_, _, mt) => minMtime.forall(min => mt >= min) }

@@ -28,11 +28,22 @@ class BenchSmokeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("iterative bench group is the four loop-shaped engines") {
+  test("iterative bench group is the six loop-shaped engines") {
     // The group exists to floor the fixpoint operators' per-round
     // lineage-cut cost; membership is pinned so a refactor can't
     // silently drop one from the driver's BENCH_r{N} report.
+    // Round 8 added g08/g10 (the round-7 iterative additions) so drift
+    // on those surfaces is measured, not assumed.
     assert(SparkEntry.benchIterQueries.sorted ==
-      Seq("d06_dup_clusters", "g01_pagerank", "g05_kcore", "s09_int_kmeans"))
+      Seq("d06_dup_clusters", "g01_pagerank", "g05_kcore", "g08_sssp",
+        "g10_hits", "s09_int_kmeans"))
+  }
+
+  test("heavy bench group is the round-7 multi-stage pipelines") {
+    // Same pinning for the heavy non-loop group (round-8 addition):
+    // the expensive dedup/ANN pipelines whose drift was previously
+    // unmeasured between rounds.
+    assert(SparkEntry.benchHeavyQueries.sorted ==
+      Seq("d18_tfidf_similarity", "d20_entity_blocks", "s20_ivf_adc_topk"))
   }
 }

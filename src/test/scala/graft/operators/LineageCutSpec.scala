@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mr.SparkTestSession
+
+/** Pins the bounded-storage contract of [[LineageCut]]: superseded
+  * per-round checkpoints are unpersisted BY CONSTRUCTION (FIFO
+  * rotation), not left to ContextCleaner GC timing — so a
+  * 100-iteration production run holds ≤ pins + keep node-sized states
+  * no matter how long it runs. */
+class LineageCutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def cutRdd(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.get
+
+  test("rotation unpersists everything more than `keep` generations old") {
+    val lc = new LineageCut(None, keep = 2)
+    val gens = (1 to 5).map { i =>
+      cutRdd(lc(Seq((i.toLong, i.toLong)).toDF("a", "b")))
+    }
+    // generations 1-3 evicted, 4-5 (the last `keep`) still persisted
+    assert(gens.take(3).forall(_.getStorageLevel == StorageLevel.NONE),
+      "superseded generations still hold blocks")
+    assert(gens.drop(3).forall(_.getStorageLevel != StorageLevel.NONE),
+      "live generations were evicted — later rounds would recompute " +
+        "through a truncated lineage and fail")
+  }
+
+  test("pinned setup relations never rotate out") {
+    val lc = new LineageCut(None, keep = 1)
+    val pinned = cutRdd(lc.pin(Seq((1L, 2L)).toDF("a", "b")))
+    (1 to 4).foreach(i => lc(Seq((i.toLong, i.toLong)).toDF("a", "b")))
+    assert(pinned.getStorageLevel != StorageLevel.NONE,
+      "a pinned edge list was evicted by the per-round rotation")
+  }
+
+  test("a 12-iteration PageRank leaves O(1) persisted RDDs, not O(rounds)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (3L, 2L), (1L, 3L)).toDF("u", "v")
+    val got = PageRank.ranks(ring, 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // symmetric ring fixed point survives the long run + rotation
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    val added = sc.getPersistentRDDs.keySet -- before
+    // 2 pins (e, ed) + keep=2 rank states; 12 rounds WITHOUT the
+    // rotation would leave 14+
+    assert(added.size <= 4,
+      s"expected ≤4 persisted RDDs after 12 rounds, found ${added.size} — " +
+        "the rotation is not releasing superseded rounds")
+  }
+
+  test("Sssp long relaxation chain survives keep=3 (frontier reads 2 back)") {
+    // path 1→2→…→9 forces 8 relaxation rounds; every round's frontier
+    // cut joins dist from TWO cut generations back, the case keep=2
+    // would break by evicting a still-referenced generation
+    val chain = (1L to 8L).map(i => (i, i + 1, 10L)).toDF("u", "v", "w")
+    val src = Seq(1L).toDF("node")
+    val got = Sssp.distances(chain, src, maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 9L).map(i => i -> (i - 1) * 10L).toMap)
+  }
+}

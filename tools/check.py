@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir] [--json out.json]
+
+--json additionally writes {query: {"pass": bool, "rows": n}} (pass is
+null for a query with no oracle) — consumed by tools/ladder.py.
 
 Expects <verify_out_dir> to contain, per query, a parquet dir written by
 graft.Verify plus oracle_sql.json. Runs each oracle SQL in DuckDB over
@@ -69,9 +72,16 @@ def norm(v, side):
 
 
 def main():
-    out_dir = Path(sys.argv[1])
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    out_dir = Path(args[0])
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    report = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -87,6 +97,7 @@ def main():
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows-only check), "
                   f"rows={len(got)-2}")
+            report[name] = {"pass": None, "rows": len(got) - 2}
             continue
         try:
             exp_rel = con.query(oracle[name])
@@ -95,7 +106,9 @@ def main():
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
+            report[name] = {"pass": False, "rows": len(got) - 2}
             continue
+        report[name] = {"pass": got == exp, "rows": len(got) - 2}
         if got == exp:
             print(f"  ✓ {name} ({len(got)-2} rows)")
             n_pass += 1
@@ -116,6 +129,9 @@ def main():
                         shown += 1
                 if len(got) != len(exp):
                     print("      (row count differs)")
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=1,
+                                             sort_keys=True))
     print(f"PASS={n_pass} FAIL={n_fail}")
     sys.exit(1 if n_fail else 0)
 
