@@ -32,13 +32,18 @@ import org.apache.spark.sql.execution.LogicalRDD
   * checkpointed RDD — that RDD is what holds the persisted blocks, so
   * it is what gets unpersisted on eviction. In reliable-checkpoint
   * mode (`checkpointDir = Some(dir)`) the data lives in checkpoint
-  * FILES, not blocks, and unpersist is a harmless no-op; file cleanup
-  * stays governed by `spark.cleaner.referenceTracking.cleanCheckpoints`
-  * as before. Spark logs one WARN per eviction ("locally checkpointed
-  * ... cannot be recomputed after unpersisting") — that is the bound
-  * working as designed, not a problem: eviction only happens `keep`
-  * materialized generations later, when recomputation is impossible to
-  * need. Setup relations that must survive the whole run (edge
+  * FILES, not blocks, so eviction DELETES the evicted generation's
+  * `rdd-<id>` directory (best-effort): a 100-round production run
+  * previously accumulated 100 node-sized tables on HDFS —
+  * ContextCleaner only removes them on driver GC and only with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, whereas
+  * the rotation knows EXACTLY when a generation is dead (every later
+  * state was already written from it; re-executing a live generation
+  * reads its OWN files, never an ancestor's). Spark logs one WARN per
+  * local-mode eviction ("locally checkpointed ... cannot be recomputed
+  * after unpersisting") — that is the bound working as designed, not a
+  * problem: eviction only happens `keep` materialized generations
+  * later, when recomputation is impossible to need. Setup relations that must survive the whole run (edge
   * lists, node sets, seed sets — the g01 hoist products) go through
   * [[pin]], which cuts WITHOUT enrolling in the rotation.
   */
@@ -53,15 +58,30 @@ final class LineageCut(checkpointDir: Option[String], keep: Int = 2) {
   }
 
   /** Eagerly cut `df` and enroll it in the rotation: once `keep` newer
-    * cuts exist, its blocks are unpersisted (non-blocking). */
+    * cuts exist, its blocks are unpersisted (non-blocking) and — in
+    * reliable mode — its checkpoint directory is deleted. */
   def apply(df: DataFrame): DataFrame = {
     val out = cutOnly(df)
     out.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
       .foreach { rdd =>
         live.enqueue(rdd)
-        while (live.size > keep) live.dequeue().unpersist(blocking = false)
+        while (live.size > keep) release(live.dequeue())
       }
     out
+  }
+
+  private def release(rdd: RDD[_]): Unit = {
+    rdd.unpersist(blocking = false)
+    // getCheckpointFile is Some only for RELIABLE checkpoints (local
+    // checkpoints have no file); deletion is best-effort — a failed
+    // delete costs disk, never correctness
+    rdd.getCheckpointFile.foreach { dir =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(rdd.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Eagerly cut `df` WITHOUT enrolling it — for setup relations the

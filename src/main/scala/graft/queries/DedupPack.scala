@@ -1257,13 +1257,19 @@ object DedupPack extends QueryPack {
         s"(cap $maxBlock); within-block scoring is quadratic in block " +
         "size, so this corpus needs a finer blocking key (longer prefix, " +
         "or phonetic/sorted-neighborhood blocking) before linkage")
+    // threshold-bounded levenshtein: only dist ≤ 1 matters downstream,
+    // and the 3-arg form short-circuits the DP to an O(len·k) band
+    // (returns -1 above the threshold) instead of filling the full
+    // O(len²) matrix per candidate pair — the per-pair constant that
+    // dominates blocked ER at corpus scale. The DuckDB twin keeps the
+    // plain levenshtein(...) <= 1 predicate; both agree on the ≤1 set.
     val pairs = names.as("a")
       .join(names.as("b"),
         col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
-      .select(levenshtein(col("a.name"), col("b.name")).as("dist"),
+      .select(levenshtein(col("a.name"), col("b.name"), 1).as("dist"),
         (col("a.mult") * col("b.mult")).as("w"))
     val pagg = pairs.agg(count(lit(1)).as("n_cand_pairs"),
-      sum(when(col("dist") <= 1, col("w")).otherwise(0L))
+      sum(when(col("dist") >= 0, col("w")).otherwise(0L))
         .as("n_linked_row_pairs"))
     val bagg = names.agg(countDistinct(col("blk")).as("n_blocks"),
       count(lit(1)).as("n_distinct_names"),

@@ -1471,6 +1471,45 @@ object ExtrasPack extends QueryPack {
                count(*) AS n
         FROM orders
         GROUP BY CUBE (nullif(o_orderstatus, 'P'), o_orderpriority)
-        ORDER BY g_status, g_priority, status, priority"""))
+        ORDER BY g_status, g_priority, status, priority""")),
+
+    // ── Join-key skew census: the measured "should I salt?" number ─────
+    // q47 IS the salted join; this is the instrument that decides when
+    // to deploy it (the relational twin of d16's hot-shingle census and
+    // g12's degree audit): per-key counts on the probe-side join column,
+    // then the top-5 hottest keys with their share of all rows and
+    // their ratio to the MEAN key (cnt·n_keys/n_rows, ppm). A ratio
+    // near 1e6 says uniform (hash partitioning holds at any scale); a
+    // hot key at 50-100x mean says that reducer is the job's critical
+    // path — salt it (q47), or let AQE skew-split it. Shapes: one
+    // keyed count agg, a 1-row totals card broadcast in-plan (p01
+    // pattern, plan-smell-adjudicated), TakeOrdered top-5 — no
+    // all-pairs, no data-sized single partition.
+    "q60_join_skew_audit" -> Q(
+      run = (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"))
+        counts.crossJoin(broadcast(totals))
+          .select(col("key"), col("cnt"),
+            expr("cnt * 1000000L div n_rows").as("share_e6"),
+            expr("cnt * n_keys * 1000000L div n_rows").as("vs_mean_ppm"))
+          .orderBy(col("cnt").desc, col("key"))
+          .limit(5)
+      },
+      oracle = Some("""
+        WITH counts AS (SELECT l_partkey AS key, count(*) AS cnt
+                        FROM lineitem GROUP BY 1),
+        totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                          CAST(count(*) AS BIGINT) AS n_keys
+                   FROM counts)
+        SELECT key, cnt,
+               CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_e6,
+               CAST(cnt * n_keys * 1000000 // n_rows AS BIGINT)
+                 AS vs_mean_ppm
+        FROM counts, totals
+        ORDER BY cnt DESC, key LIMIT 5"""))
   )
 }

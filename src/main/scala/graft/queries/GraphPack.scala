@@ -644,6 +644,83 @@ object GraphPack extends QueryPack {
                  - (CAST(deg_sum AS DOUBLE) / m2)
                    * (CAST(deg_sum AS DOUBLE) / m2)) * 1e9) AS BIGINT)
                  AS q_contrib_e9
-        FROM byc, m ORDER BY community"""))
+        FROM byc, m ORDER BY community""")),
+
+    // ── Degree-skew audit: is this graph safe to join un-salted? ───────
+    // The graph twin of d16's hot-shingle census and s24's cell-balance
+    // card: every iterative operator here shuffles messages keyed by
+    // node id, so ONE super-hub makes one reducer the whole job's
+    // critical path — the decision to salt (q47), AQE-skew-split, or
+    // vertex-cut a graph should be made from a measured number, not a
+    // guess. Emits the two numbers that decide it: hot_share_e6 (the
+    // hottest node's fraction of all edge endpoints — directly the
+    // largest reducer's load share) and the ln-ln OLS slope of the
+    // degree DISTRIBUTION (t16's integer-ppm fit verbatim): slope ≈ -1
+    // and shallower says scale-free/heavy-tailed (salt the hubs),
+    // steeply negative says near-regular (plain hash partitioning
+    // holds). Shapes: one degree agg, one tiny count-by-degree agg
+    // (≤ max-degree rows), 1-row scalar cards crossed in-plan (the p01
+    // pattern, plan-smell-adjudicated).
+    "g12_degree_skew" -> Q(
+      run = (s, d) => {
+        val e0 = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("u"),
+            (col("o_custkey") + lit(1000000L)).as("v"))
+          .distinct()
+        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("dg"))
+        val card = deg.agg(count(lit(1)).as("n_nodes"),
+          sum(col("dg")).as("n_endpoints"), max(col("dg")).as("max_degree"))
+        val pts = deg.groupBy("dg").agg(count(lit(1)).as("cnt"))
+          .select(
+            round(log(col("dg").cast("double")) * 1000, 0).cast("long").as("x"),
+            round(log(col("cnt").cast("double")) * 1000, 0).cast("long").as("y"))
+        val fit = pts.agg(count(lit(1)).as("k"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("num", expr("k * sxy - sx * sy"))
+          .withColumn("den", expr("k * sxx - sx * sx"))
+          .select(expr("""CASE WHEN num >= 0 THEN abs(num) * 1000000L div den
+                               ELSE -(abs(num) * 1000000L div den) END""")
+            .as("slope_ppm"))
+        broadcast(card).crossJoin(fit)
+          .select(col("n_nodes"), expr("n_endpoints div 2").as("n_edges"),
+            col("max_degree"),
+            expr("max_degree * 1000000L div n_endpoints").as("hot_share_e6"),
+            col("slope_ppm"))
+      },
+      oracle = Some("""
+        WITH e0 AS (SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT u, count(*) AS dg FROM edges GROUP BY u),
+        card AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(sum(dg) AS BIGINT) AS n_endpoints,
+                        CAST(max(dg) AS BIGINT) AS max_degree
+                 FROM deg),
+        pts AS (SELECT CAST(round(1000 * ln(CAST(dg AS DOUBLE))) AS BIGINT) AS x,
+                       CAST(round(1000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+                FROM (SELECT dg, count(*) AS cnt FROM deg GROUP BY 1)),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x*y) AS BIGINT) AS sxy,
+                     CAST(sum(x*x) AS BIGINT) AS sxx
+              FROM pts),
+        fit AS (SELECT CASE WHEN k*sxy - sx*sy >= 0
+                       THEN CAST(abs(k*sxy - sx*sy) * 1000000 // (k*sxx - sx*sx)
+                            AS BIGINT)
+                       ELSE -CAST(abs(k*sxy - sx*sy) * 1000000 // (k*sxx - sx*sx)
+                            AS BIGINT) END AS slope_ppm
+                FROM s)
+        SELECT n_nodes, CAST(n_endpoints // 2 AS BIGINT) AS n_edges,
+               max_degree,
+               CAST(max_degree * 1000000 // n_endpoints AS BIGINT)
+                 AS hot_share_e6,
+               slope_ppm
+        FROM card, fit"""))
   )
 }

@@ -1074,6 +1074,51 @@ object PipelinePack extends QueryPack {
                                 1, 8))::BIGINT + 1) / 4294967296.0)
                           / n_chars * 10000) AS BIGINT) AS priority_e4
         FROM documents
-        ORDER BY priority_e4 DESC, doc_id LIMIT 25"""))
+        ORDER BY priority_e4 DESC, doc_id LIMIT 25""")),
+
+    // ── Length-bucketed batch manifest + padding-waste audit ───────────
+    // Batched inference/training pads every sequence to its batch's
+    // max, so batch COMPOSITION decides what fraction of compute is
+    // padding; the standard fix is length-sorted batching, and this
+    // emits its manifest plus the number that justifies it: docs in
+    // length-desc order (ties by doc_id — the total-order rule), fixed
+    // batches of 32, per-batch waste_ppm = padded-minus-real over
+    // padded. Near-0 says the bucketing works; a shuffled loader
+    // typically wastes 30-60%. The global order comes from
+    // GlobalRank's two-pass range rank — `Window.orderBy` with no
+    // partition key would plan the single-partition sort this pack
+    // exists to avoid — and batch stats are one keyed aggregate.
+    "p24_padding_waste" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars").cast("long").as("len"))
+        graft.operators.GlobalRank.withRowNumber(docs,
+            Seq(col("len").desc, col("doc_id")), "rn")
+          .withColumn("batch_id", expr("(rn - 1) div 32"))
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+            sum(col("len")).as("real_chars"))
+          .select(col("batch_id"), col("n_docs"), col("max_len"),
+            (col("n_docs") * col("max_len")).as("padded_chars"),
+            expr("""(n_docs * max_len - real_chars) * 1000000L
+                    div (n_docs * max_len)""").as("waste_ppm"))
+          .orderBy("batch_id")
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT CAST(n_chars AS BIGINT) AS len,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents),
+        batches AS (
+          SELECT (rn - 1) // 32 AS batch_id, count(*) AS n_docs,
+                 max(len) AS max_len, sum(len) AS real_chars
+          FROM ranked GROUP BY 1)
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(max_len AS BIGINT) AS max_len,
+               CAST(n_docs * max_len AS BIGINT) AS padded_chars,
+               CAST((n_docs * max_len - real_chars) * 1000000
+                    // (n_docs * max_len) AS BIGINT) AS waste_ppm
+        FROM batches ORDER BY batch_id"""))
   )
 }

@@ -57,6 +57,30 @@ class LineageCutSpec extends AnyFunSuite {
         "the rotation is not releasing superseded rounds")
   }
 
+  test("reliable mode deletes evicted generations' checkpoint files") {
+    // a 100-round production run must not accumulate 100 node-sized
+    // tables on HDFS: only pins + keep generations may remain on disk
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lc-ckpt")
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (3L, 2L), (1L, 3L)).toDF("u", "v")
+    val got = PageRank.ranks(ring, 10, checkpointDir = Some(ckpt.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    val rddDirs = {
+      val s = java.nio.file.Files.walk(ckpt)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .count(p => p.getFileName.toString.startsWith("rdd-"))
+      } finally s.close()
+    }
+    // 2 pins (e, ed) + keep=2 rank generations; 10 rounds WITHOUT the
+    // cleanup would leave 12+
+    assert(rddDirs <= 4,
+      s"expected ≤4 rdd-* checkpoint dirs after 10 reliable rounds, " +
+        s"found $rddDirs — evicted generations' files are not deleted")
+  }
+
   test("Sssp long relaxation chain survives keep=3 (frontier reads 2 back)") {
     // path 1→2→…→9 forces 8 relaxation rounds; every round's frontier
     // cut joins dist from TWO cut generations back, the case keep=2

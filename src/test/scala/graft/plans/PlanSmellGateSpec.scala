@@ -60,6 +60,8 @@ class PlanSmellGateSpec extends AnyFunSuite {
     "e23_delay_sweep" -> (Set(S), "SPINE: 3-row allowed-lateness sweep"),
     "e24_peak_concurrency" -> (Set(S), "SPINE: running sum over distinct minutes"),
     "g11_modularity" -> (Set(B, S), "CROSS: 1-row 2m edge total into per-community terms"),
+    "g12_degree_skew" -> (Set(B, S),
+      "CROSS: 1-row degree card x 1-row ln-ln fit (the skew instrument itself)"),
     "p01_corpus_pipeline" -> (Set(S), "CARD: 1-row pipeline audit card"),
     "p07_quality_checks" -> (Set(S), "CARD: five 1-row check branches unioned"),
     "p08_source_mix" -> (Set(S), "SPINE: shares over the source relation"),
@@ -79,6 +81,8 @@ class PlanSmellGateSpec extends AnyFunSuite {
     "q56_dq_profile" -> (Set(S), "CARD: global audit card over column stats"),
     "q59_histogram_quantile_merge" -> (Set(B, S),
       "CROSS: monthly-grain merged sketch (metadata-sized) into quantile probe"),
+    "q60_join_skew_audit" -> (Set(B, S),
+      "CROSS: 1-row totals card into per-key shares (the salting instrument itself)"),
     "s01_cosine_topk" -> (Set(B), "CROSS: ~10 broadcast query vectors (exact scan)"),
     "s04_cosine_topk_native" -> (Set(B), "CROSS: same 10-query broadcast, codegen kernel"),
     "s05_ann_recall" -> (Set(B), "CROSS: s01's 10-query exact yardstick embedded"),
