@@ -54,17 +54,21 @@ object Hits {
     // score table, never the edge list
     val eByU = lc.pin(e.repartition(col("u")))
     val eByV = lc.pin(e.repartition(col("v")))
-    val nodes = lc.pin(e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct())
+    // node set and total degree (in+out, bag union) come from ONE
+    // grouped aggregate — the count rides the same shuffle the distinct
+    // node set needs anyway, so the overflow guard below costs one
+    // node-sized agg over the checkpointed table instead of a second
+    // full edge scan
+    val grouped = lc.pin(e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d")))
+    val nodes = grouped.select(col("node"))
     // loud int64-headroom guard (scaladoc above): scores are ≤ 1e6 after
     // max-normalization, so an unnormalized sum is ≤ 1e6·degree and the
     // renormalization multiplies by 1e6 again — silent wraparound above
-    // in/out-degree ~9.2e6. Total degree (in+out, bag union) bounds both
-    // sides in ONE setup aggregate; degrees are round-invariant so this
-    // never re-runs inside the loop.
-    val maxDeg = e.select(col("u").as("n"))
-      .union(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    // in/out-degree ~9.2e6. Total degree bounds both roles; degrees are
+    // round-invariant so this never re-runs inside the loop.
+    val maxDeg = grouped
       .agg(coalesce(max("d"), lit(0L)).as("m")).head.getLong(0)
     require(maxDeg <= 9200000L,
       s"Hits exact int64 arithmetic overflows above in/out-degree ~9.2e6 " +
@@ -73,6 +77,11 @@ object Hits {
     var h = nodes.withColumn("h", lit(1000000L))
     var a = nodes.withColumn("a", lit(1000000L))
     for (_ <- 1 to iterations) {
+      // both a and h are cut per round: skipping a's cut was measured
+      // SLOWER (sf0.1, warm min 5.9 s vs 3.8 s) because the amax
+      // broadcast subquery and the a-join then each re-evaluate the
+      // edge-sized asum aggregate — the checkpoint is what makes the
+      // one-row max a free read
       val asum = eByU.join(h, col("node") === col("u"))
         .groupBy(col("v")).agg(sum("h").as("s"))
         .select(col("v").as("node"), col("s"))
