@@ -131,14 +131,38 @@ object DedupPack extends QueryPack {
     s"SELECT doc_id, $b AS band, ${ks.mkString(" || '|' || ")} AS key FROM sig"
   }.mkString("\n          UNION ALL ")
 
-  /** d03's oracle SQL — shared with d06 (cluster CTE) and PipelinePack. */
-  private[queries] val d03OracleSql: String = {
+  /** Shared WITH-prefix of the MinHash pipeline (shingles → 12
+    * signatures → banded keys) — d03's oracle and p25's fuzzy
+    * decontamination twin both start here. */
+  private[queries] val bandsCtePrefix: String =
     s"""
         WITH sh AS (SELECT doc_id, $sqlShingle AS s FROM documents),
         sig AS (SELECT doc_id, s,
                $sigSql
                FROM sh),
-        bands AS ($bandSql),
+        bands AS ($bandSql)"""
+
+  /** (doc_id, band, key) banded MinHash signatures off the memoized
+    * signature relation — d03/d17's candidate generation, shared with
+    * p25's cross-table (corpus × benchmark) decontamination join. */
+  private[queries] def bandedSignatures(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val bandKeys = (0 until numBands).map { b =>
+      concat_ws("|",
+        (0 until bandSize).map(j => col(s"sig${b * bandSize + j}")): _*)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+  }
+
+  /** (doc_id, shingle set) off the same memoized relation — the exact
+    * confirm stage d03/p25 score candidates with. */
+  private[queries] def shingleSets(s: SparkSession, d: String): DataFrame =
+    signatures(s, d).select(col("doc_id"), col("s"))
+
+  /** d03's oracle SQL — shared with d06 (cluster CTE) and PipelinePack. */
+  private[queries] val d03OracleSql: String = {
+    s"""$bandsCtePrefix,
         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
@@ -224,12 +248,7 @@ object DedupPack extends QueryPack {
     "d03_minhash_lsh" -> Q(
       run = (s, d) => {
         val sig = signatures(s, d)
-        val bandKeys = (0 until numBands).map { b =>
-          concat_ws("|",
-            (0 until bandSize).map(j => col(s"sig${b * bandSize + j}")): _*)
-        }
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        val bands = bandedSignatures(s, d)
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -946,12 +965,7 @@ object DedupPack extends QueryPack {
     "d17_lsh_precision" -> Q(
       run = (s, d) => {
         val sig = signatures(s, d)
-        val bandKeys = (0 until numBands).map { b =>
-          concat_ws("|",
-            (0 until bandSize).map(j => col(s"sig${b * bandSize + j}")): _*)
-        }
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        val bands = bandedSignatures(s, d)
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key")

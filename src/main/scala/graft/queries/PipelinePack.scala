@@ -1119,6 +1119,65 @@ object PipelinePack extends QueryPack {
                CAST(n_docs * max_len AS BIGINT) AS padded_chars,
                CAST((n_docs * max_len - real_chars) * 1000000
                     // (n_docs * max_len) AS BIGINT) AS waste_ppm
-        FROM batches ORDER BY batch_id"""))
+        FROM batches ORDER BY batch_id""")),
+
+    // ── Fuzzy (MinHash-banded) benchmark decontamination ───────────────
+    // p06 catches VERBATIM leakage (exact 8-gram overlap); real eval
+    // contamination is often paraphrased — reworded questions, shuffled
+    // answer options — which survives exact n-gram screens. This is the
+    // fuzzy tier every published data recipe pairs with the exact one:
+    // d03's banded MinHash signatures, but as a CROSS-TABLE join —
+    // corpus bands ⋈ benchmark bands on (band, key) — then the exact
+    // Jaccard confirm at a LOOSER threshold (0.2 vs dedup's 0.3:
+    // contamination review is cheap, a missed leak is not). Scale
+    // posture is p06's argument transplanted: the benchmark is tiny and
+    // FIXED while the corpus grows, so its banded signatures BROADCAST
+    // (pinned) and candidate generation is map-side over the corpus
+    // bands; only candidates shuffle into the keyed confirm joins. The
+    // signature relation is the memoized one d03/d06/d07 share — a
+    // pipeline runs dedup and decontamination off ONE signature pass.
+    "p25_fuzzy_decontam" -> Q(
+      run = (s, d) => {
+        val bands = DedupPack.bandedSignatures(s, d)
+        val corpus = bands.filter(col("doc_id") % 50 =!= 0)
+        val bench = bands.filter(col("doc_id") % 50 === 0)
+        val cand = corpus.as("c")
+          .join(broadcast(bench.as("b")),
+            col("c.band") === col("b.band") && col("c.key") === col("b.key"))
+          .select(col("c.doc_id").as("corpus_id"),
+            col("b.doc_id").as("bench_id"))
+          .distinct()
+        val sets = DedupPack.shingleSets(s, d)
+        graft.functions.GraftFunctions.register(s)
+        val scored = cand
+          .join(sets.select(col("doc_id"), col("s").as("sa")),
+            col("corpus_id") === col("doc_id")).drop("doc_id")
+          .join(sets.select(col("doc_id"), col("s").as("sb")),
+            col("bench_id") === col("doc_id"))
+          .select(col("corpus_id"),
+            graft.functions.GraftFunctions.jaccardE4(col("sa"), col("sb"))
+              .as("j"))
+          .filter(col("j") >= 2000)
+        scored.groupBy(col("corpus_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_bench_hits"),
+            max(col("j")).as("max_jaccard_e4"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(DedupPack.bandsCtePrefix + """,
+        cand AS (SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+                 FROM bands c JOIN bands b
+                   ON c.band = b.band AND c.key = b.key
+                  AND c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+        scored AS (SELECT corpus_id, bench_id,
+                          CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
+                               / (len(x.s) + len(y.s)
+                                  - len(list_intersect(x.s, y.s))))
+                            AS BIGINT) AS j
+                   FROM cand JOIN sh x ON corpus_id = x.doc_id
+                             JOIN sh y ON bench_id = y.doc_id)
+        SELECT corpus_id AS doc_id, count(*) AS n_bench_hits,
+               max(j) AS max_jaccard_e4
+        FROM scored WHERE j >= 2000
+        GROUP BY 1 ORDER BY doc_id"""))
   )
 }
