@@ -1492,10 +1492,15 @@ object ExtrasPack extends QueryPack {
           .agg(count(lit(1)).as("cnt"))
         val totals = counts.agg(sum(col("cnt")).as("n_rows"),
           count(lit(1)).as("n_keys"))
+        // vs_mean divides by the mean count rather than computing
+        // cnt·n_keys·1e6 — the triple product overflows int64 exactly
+        // on the corpora this instrument exists for (cnt ~1e9 keys
+        // ~1e6 already exceeds 9.2e18); cnt·1e6 alone is safe to
+        // ~9e12 rows per key
         counts.crossJoin(broadcast(totals))
           .select(col("key"), col("cnt"),
             expr("cnt * 1000000L div n_rows").as("share_e6"),
-            expr("cnt * n_keys * 1000000L div n_rows").as("vs_mean_ppm"))
+            expr("cnt * 1000000L div (n_rows div n_keys)").as("vs_mean_ppm"))
           .orderBy(col("cnt").desc, col("key"))
           .limit(5)
       },
@@ -1507,7 +1512,7 @@ object ExtrasPack extends QueryPack {
                    FROM counts)
         SELECT key, cnt,
                CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_e6,
-               CAST(cnt * n_keys * 1000000 // n_rows AS BIGINT)
+               CAST(cnt * 1000000 // (n_rows // n_keys) AS BIGINT)
                  AS vs_mean_ppm
         FROM counts, totals
         ORDER BY cnt DESC, key LIMIT 5"""))
