@@ -43,9 +43,11 @@ import org.apache.spark.sql.execution.LogicalRDD
   * local-mode eviction ("locally checkpointed ... cannot be recomputed
   * after unpersisting") — that is the bound working as designed, not a
   * problem: eviction only happens `keep` materialized generations
-  * later, when recomputation is impossible to need. Setup relations that must survive the whole run (edge
-  * lists, node sets, seed sets — the g01 hoist products) go through
-  * [[pin]], which cuts WITHOUT enrolling in the rotation.
+  * later, when recomputation is impossible to need.
+  *
+  * Setup relations that must survive the whole run (edge lists, node
+  * sets, seed sets — the g01 hoist products) go through [[pin]],
+  * which cuts WITHOUT enrolling in the rotation.
   */
 final class LineageCut(checkpointDir: Option[String], keep: Int = 2) {
   require(keep >= 1, "LineageCut must keep at least one generation")
