@@ -89,7 +89,13 @@ class PlanSmellGateSpec extends AnyFunSuite {
     "s17_mips_topk" -> (Set(B), "CROSS: 10-query broadcast MIPS scan"),
     "s18_multiprobe_lsh" -> (Set(B), "CROSS: query-side probe expansion, 10 queries"),
     "s19_recall_curve" -> (Set(B), "CROSS: s01 yardstick embedded per curve point"),
-    "s22_pq_delta_encode" -> (Set(S), "CARD: 1-row delta-ingest census"),
+    // s22's former SinglePartition card vanished when the shared PQ
+    // pipeline became a memoized checkpoint (round 8): its codebook
+    // input is now a pre-materialized table, so the census no longer
+    // plans a single-partition exchange of its own. The build's plans
+    // (narrow explode + bounded-seed collect + per-(vec,m) windows)
+    // execute once at cache fill and are shape-audited in pqParts'
+    // scaladoc, not per consuming query.
     "s24_ivf_cell_balance" -> (Set(S), "CARD: 1-row balance audit card"),
     "t08_tfidf_topterms" -> (Set(B, S), "CROSS: 1-row corpus doc count broadcast"),
     "t14_bpe_learn" -> (Set(B, S), "CROSS: 1-row top-pair merge rule per BPE round"),
