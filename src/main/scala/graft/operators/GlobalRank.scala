@@ -32,6 +32,10 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalRank {
 
+  /** Driver-metadata budget for [[withRowNumberPerKey]]'s offset map:
+    * (partition × key) count entries collected to the driver. */
+  val MaxKeyPartitionEntries: Int = 1000000
+
   /** `df` + a 1-based global row number column, assigned in `sortCols`
     * order without any single-partition stage. */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
@@ -83,7 +87,8 @@ object GlobalRank {
     * requires a per-key duplicate-free ordering. */
   def withRowNumberPerKey(df: DataFrame, keyName: String,
       sortCols: Seq[Column], out: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      maxKeyPartitionEntries: Int = MaxKeyPartitionEntries): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -102,6 +107,18 @@ object GlobalRank {
       }
       m.iterator.map { case (k, n) => (i, k, n) }
     }.collect()
+    // loud guard for the scaladoc's "modest key cardinality" contract
+    // (the d05-cap convention): the offset map is DRIVER state and is
+    // broadcast back whole, so a data-sized key column (doc_id, user
+    // id) must refuse here instead of OOMing the driver at scale. The
+    // grouped-rank use cases (source, language, shard) are thousands
+    // of keys; 1e6 × P entries is already ~100 MB of driver metadata.
+    require(counts.length <= maxKeyPartitionEntries,
+      s"GlobalRank.withRowNumberPerKey collected ${counts.length} " +
+        s"(partition × key) count entries (cap $maxKeyPartitionEntries): " +
+        s"'$keyName' is not a modest-cardinality grouping key. For " +
+        "data-sized keys use Window.partitionBy (each key's run fits " +
+        "one task) or withRowNumber over (key, sortCols) ranges.")
     val offsets: Map[Any, Map[Int, Long]] =
       counts.groupBy(_._2).map { case (k, arr) =>
         val sorted = arr.sortBy(_._1)

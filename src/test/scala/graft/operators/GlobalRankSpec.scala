@@ -124,4 +124,19 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(spread.exists(_ > 1L),
       "every key collapsed to one partition — keyed rank lost its point")
   }
+
+  test("keyed rank refuses data-sized keys (driver offset-map guard)") {
+    // 997 distinct keys against a cap of 100: the (partition × key)
+    // offset map is driver state, so a data-sized key column must fail
+    // loudly instead of OOMing the driver at corpus scale
+    val wide = spark.range(997).select(col("id").as("k"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withRowNumberPerKey(wide, "k", Seq(col("v")), "rn",
+        numPartitions = 7, maxKeyPartitionEntries = 100)
+    }
+    assert(e.getMessage.contains("modest-cardinality"))
+    // and the real default never bites the grouped-rank use cases
+    assert(GlobalRank.withRowNumberPerKey(wide, "k", Seq(col("v")), "rn",
+      numPartitions = 7).count() === 997L)
+  }
 }
