@@ -658,7 +658,11 @@ object GraphPack extends QueryPack {
     // degree DISTRIBUTION (t16's integer-ppm fit verbatim): slope ≈ -1
     // and shallower says scale-free/heavy-tailed (salt the hubs),
     // steeply negative says near-regular (plain hash partitioning
-    // holds). Shapes: one degree agg, one tiny count-by-degree agg
+    // holds); a perfectly regular graph (ONE distinct degree) makes
+    // the OLS denominator 0 — reported as slope 0 in both engines
+    // (Spark's div would NULL, DuckDB's // would ERROR — the
+    // d15/d17/d19 zero-denominator convention). Shapes: one degree
+    // agg, one tiny count-by-degree agg
     // (≤ max-degree rows), 1-row scalar cards crossed in-plan (the p01
     // pattern, plan-smell-adjudicated).
     "g12_degree_skew" -> Q(
@@ -684,7 +688,8 @@ object GraphPack extends QueryPack {
             sum(col("x") * col("x")).as("sxx"))
           .withColumn("num", expr("k * sxy - sx * sy"))
           .withColumn("den", expr("k * sxx - sx * sx"))
-          .select(expr("""CASE WHEN num >= 0 THEN abs(num) * 1000000L div den
+          .select(expr("""CASE WHEN den = 0 THEN 0
+                               WHEN num >= 0 THEN abs(num) * 1000000L div den
                                ELSE -(abs(num) * 1000000L div den) END""")
             .as("slope_ppm"))
         broadcast(card).crossJoin(fit)
@@ -710,7 +715,8 @@ object GraphPack extends QueryPack {
                      CAST(sum(x*y) AS BIGINT) AS sxy,
                      CAST(sum(x*x) AS BIGINT) AS sxx
               FROM pts),
-        fit AS (SELECT CASE WHEN k*sxy - sx*sy >= 0
+        fit AS (SELECT CASE WHEN k*sxx - sx*sx = 0 THEN 0
+                       WHEN k*sxy - sx*sy >= 0
                        THEN CAST(abs(k*sxy - sx*sy) * 1000000 // (k*sxx - sx*sx)
                             AS BIGINT)
                        ELSE -CAST(abs(k*sxy - sx*sy) * 1000000 // (k*sxx - sx*sx)
