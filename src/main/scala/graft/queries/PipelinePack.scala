@@ -1100,8 +1100,12 @@ object PipelinePack extends QueryPack {
             sum(col("len")).as("real_chars"))
           .select(col("batch_id"), col("n_docs"), col("max_len"),
             (col("n_docs") * col("max_len")).as("padded_chars"),
-            expr("""(n_docs * max_len - real_chars) * 1000000L
-                    div (n_docs * max_len)""").as("waste_ppm"))
+            // a batch of only zero-length docs has zero padded volume —
+            // report 0 waste in both engines (Spark's div would NULL,
+            // DuckDB's // would error; the d15/g12 zero-den convention)
+            expr("""CASE WHEN n_docs * max_len = 0 THEN 0
+                    ELSE (n_docs * max_len - real_chars) * 1000000L
+                         div (n_docs * max_len) END""").as("waste_ppm"))
           .orderBy("batch_id")
       },
       oracle = Some("""
@@ -1117,8 +1121,9 @@ object PipelinePack extends QueryPack {
                CAST(n_docs AS BIGINT) AS n_docs,
                CAST(max_len AS BIGINT) AS max_len,
                CAST(n_docs * max_len AS BIGINT) AS padded_chars,
-               CAST((n_docs * max_len - real_chars) * 1000000
-                    // (n_docs * max_len) AS BIGINT) AS waste_ppm
+               CAST(CASE WHEN n_docs * max_len = 0 THEN 0
+                    ELSE (n_docs * max_len - real_chars) * 1000000
+                         // (n_docs * max_len) END AS BIGINT) AS waste_ppm
         FROM batches ORDER BY batch_id""")),
 
     // ── Fuzzy (MinHash-banded) benchmark decontamination ───────────────
