@@ -1183,6 +1183,68 @@ object PipelinePack extends QueryPack {
         SELECT corpus_id AS doc_id, count(*) AS n_bench_hits,
                max(j) AS max_jaccard_e4
         FROM scored WHERE j >= 2000
-        GROUP BY 1 ORDER BY doc_id"""))
+        GROUP BY 1 ORDER BY doc_id""")),
+
+    // ── Repeat-budget feasibility audit (data-constrained scaling) ─────
+    // The planning table between p11 (mix weights) and p16 (the loader
+    // order): given a token budget (2× the corpus here) split by p11's
+    // T=2 temperature shares, how many EPOCHS of each source does the
+    // plan imply? Data-constrained scaling results say value decays
+    // fast past ~4 epochs of repetition, so any source pushed above
+    // 4.00 epochs is flagged — the remedy is re-weighting or sourcing
+    // more data, and this is the audit that says so BEFORE a training
+    // run, not after. Integer-exact: √ is the one IEEE-correctly-
+    // rounded power (p11's argument), shares are integer ppm,
+    // required-token products are split-scaled (budget div 1e3 ·
+    // share_ppm div 1e3) so nothing overflows int64 even at 100 TB
+    // corpus sizes, and epochs_e2 is an exact ceiling. One
+    // metadata-sized aggregate + windows over |sources| rows.
+    "p26_repeat_budget" -> Q(
+      run = (s, d) => {
+        val toks = size(split(col("text"), " ")).cast("long")
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(toks).as("available_tokens"))
+          .withColumn("w", floor(sqrt(col("available_tokens"))))
+          .withColumn("share_ppm", expr("(w * 1000000) div sum(w) over ()"))
+          .withColumn("budget",
+            expr("2 * sum(available_tokens) over ()"))
+          .withColumn("required_tokens",
+            expr("(budget div 1000) * share_ppm div 1000"))
+          .withColumn("epochs_e2",
+            expr("""(required_tokens * 100 + available_tokens - 1)
+                    div available_tokens"""))
+          .select(col("source"), col("available_tokens"), col("share_ppm"),
+            col("required_tokens"), col("epochs_e2"),
+            expr("CAST(CASE WHEN epochs_e2 > 400 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("over_repeat_cap"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH m AS (SELECT source,
+                          CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                            AS available_tokens
+                   FROM documents GROUP BY 1),
+        w AS (SELECT *, CAST(floor(sqrt(available_tokens)) AS BIGINT) AS w
+              FROM m),
+        sh AS (SELECT *,
+                      CAST((w * 1000000) // (sum(w) OVER ()) AS BIGINT)
+                        AS share_ppm,
+                      CAST(2 * sum(available_tokens) OVER () AS BIGINT)
+                        AS budget
+               FROM w),
+        req AS (SELECT *,
+                       CAST((budget // 1000) * share_ppm // 1000 AS BIGINT)
+                         AS required_tokens
+                FROM sh),
+        ep AS (SELECT *,
+                      CAST((required_tokens * 100 + available_tokens - 1)
+                           // available_tokens AS BIGINT) AS epochs_e2
+               FROM req)
+        SELECT source, available_tokens, share_ppm, required_tokens,
+               epochs_e2,
+               CAST(CASE WHEN epochs_e2 > 400 THEN 1 ELSE 0 END AS BIGINT)
+                 AS over_repeat_cap
+        FROM ep ORDER BY source"""))
   )
 }

@@ -69,6 +69,8 @@ class PlanSmellGateSpec extends AnyFunSuite {
     "p18_source_cap" -> (Set(S), "SPINE: water-filling over the 5-row lang relation"),
     "p20_shard_manifest" -> (Set(S), "SPINE: deviation over the 16-row manifest"),
     "p22_canary_scan" -> (Set(B), "CROSS: bounded canary-literal list into doc scan"),
+    "p26_repeat_budget" -> (Set(S),
+      "SPINE: share/budget windows over the |sources| aggregate"),
     "q02_filter_pushdown" -> (Set(S), "CARD: 1-row pushdown-probe aggregate"),
     "q12_setops" -> (Set(S), "CARD: 1-row-per-branch set-op census"),
     "q17_range_join" -> (Set(B), "CROSS: 5-row range-bucket table broadcast"),
