@@ -1132,9 +1132,13 @@ object PipelinePack extends QueryPack {
     // answer options — which survives exact n-gram screens. This is the
     // fuzzy tier every published data recipe pairs with the exact one:
     // d03's banded MinHash signatures, but as a CROSS-TABLE join —
-    // corpus bands ⋈ benchmark bands on (band, key) — then the exact
-    // Jaccard confirm at a LOOSER threshold (0.2 vs dedup's 0.3:
-    // contamination review is cheap, a missed leak is not). Scale
+    // corpus bands ⋈ benchmark bands on (band, key) — then an exact
+    // confirm with TWO gates: Jaccard at a LOOSER threshold (0.2 vs
+    // dedup's 0.3: contamination review is cheap, a missed leak is
+    // not) OR benchmark-side CONTAINMENT ≥ 0.5 — the asymmetric case
+    // Jaccard misses by construction (a short benchmark item embedded
+    // in a long web page has tiny |∩|/|∪| but high |∩|/|bench|, and
+    // that is the COMMON real leak). Scale
     // posture is p06's argument transplanted: the benchmark is tiny and
     // FIXED while the corpus grows, so its banded signatures BROADCAST
     // (pinned) and candidate generation is map-side over the corpus
@@ -1161,11 +1165,17 @@ object PipelinePack extends QueryPack {
             col("bench_id") === col("doc_id"))
           .select(col("corpus_id"),
             graft.functions.GraftFunctions.jaccardE4(col("sa"), col("sb"))
-              .as("j"))
-          .filter(col("j") >= 2000)
+              .as("j"),
+            // benchmark-side containment |∩|/|bench| in exact e4 ints;
+            // sb is never empty here (empty shingle sets hash to null
+            // band keys, which the equi-join drops)
+            expr("size(array_intersect(sa, sb)) * 10000 div size(sb)")
+              .cast("long").as("c"))
+          .filter(col("j") >= 2000 || col("c") >= 5000)
         scored.groupBy(col("corpus_id").as("doc_id"))
           .agg(count(lit(1)).as("n_bench_hits"),
-            max(col("j")).as("max_jaccard_e4"))
+            max(col("j")).as("max_jaccard_e4"),
+            max(col("c")).as("max_containment_e4"))
           .orderBy("doc_id")
       },
       oracle = Some(DedupPack.bandsCtePrefix + """,
@@ -1177,12 +1187,14 @@ object PipelinePack extends QueryPack {
                           CAST(round(len(list_intersect(x.s, y.s)) * 10000.0
                                / (len(x.s) + len(y.s)
                                   - len(list_intersect(x.s, y.s))))
-                            AS BIGINT) AS j
+                            AS BIGINT) AS j,
+                          CAST(len(list_intersect(x.s, y.s)) * 10000
+                               // len(y.s) AS BIGINT) AS c
                    FROM cand JOIN sh x ON corpus_id = x.doc_id
                              JOIN sh y ON bench_id = y.doc_id)
         SELECT corpus_id AS doc_id, count(*) AS n_bench_hits,
-               max(j) AS max_jaccard_e4
-        FROM scored WHERE j >= 2000
+               max(j) AS max_jaccard_e4, max(c) AS max_containment_e4
+        FROM scored WHERE j >= 2000 OR c >= 5000
         GROUP BY 1 ORDER BY doc_id""")),
 
     // ── Repeat-budget feasibility audit (data-constrained scaling) ─────
