@@ -50,8 +50,11 @@ object Bench {
     * stateful word-sum aggregation on a noop sink — source listing +
     * seen-log + state store + sink commit all on the timed path. The
     * input dir is generated fresh (12 files × 25k lines) so the number
-    * is a pure pipeline rate, not parquet-scan speed. */
-  private def streamBench(spark: SparkSession): (Long, Double) = {
+    * is a pure pipeline rate, not parquet-scan speed. Returns
+    * (rows, wall seconds, per-micro-batch durations in ms) — the batch
+    * durations feed the latency percentiles (throughput alone hides a
+    * straggler batch behind two fast ones). */
+  private def streamBench(spark: SparkSession): (Long, Double, Seq[Long]) = {
     val dir = Files.createTempDirectory("graft-stream-bench")
     val rnd = new scala.util.Random(7)
     val nFiles = 12; val linesPerFile = 25000
@@ -77,7 +80,10 @@ object Bench {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      (nFiles.toLong * linesPerFile, (System.nanoTime() - t0) / 1e9)
+      // recentProgress survives termination; batchDuration is the
+      // end-to-end micro-batch wall (listing + state + sink commit)
+      val batchMs = q.recentProgress.toSeq.map(_.batchDuration)
+      (nFiles.toLong * linesPerFile, (System.nanoTime() - t0) / 1e9, batchMs)
     } finally {
       // each invocation writes ~7 MB of input + checkpoint; repeated
       // bench runs would otherwise accumulate them in /tmp and skew
@@ -149,14 +155,16 @@ object Bench {
       }
     }
 
-    // streaming floor: min of 2 replays (each is its own 3-batch run)
-    val (streamRows, streamSec) =
+    // streaming floor: min of 2 replays (each is its own 3-batch run);
+    // batch-latency percentiles pool BOTH replays' micro-batches so a
+    // straggler batch in either run is visible in p95
+    val (streamRows, streamSec, streamBatchMs) =
       try {
         val runs = (1 to 2).map(_ => streamBench(spark))
-        (runs.head._1, runs.map(_._2).min)
+        (runs.head._1, runs.map(_._2).min, runs.flatMap(_._3))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream failed: ${e.getMessage}")
-        (0L, -1.0)
+        (0L, -1.0, Seq.empty[Long])
       }
 
     val calibEnd = calibrate()
@@ -173,12 +181,36 @@ object Bench {
     // streaming floor THRESHOLD (documented in SCALE.md): the stream
     // path is a correctness-gated but otherwise unmeasured surface —
     // without a floor, a 10x collapse (state-store regression, listing
-    // regression) would ship silently. 50k rows/s at local[32] is ~1/3
-    // of the observed r7 rate (134k rows/s), far above noise but loose
-    // enough for a loaded box.
-    val streamFloor = 50000L
+    // regression) would ship silently. The 50k rows/s base is ~1/3 of
+    // the observed r7/r8 rates (134–153k), but it is NOT applied as an
+    // absolute wall-clock bar (round-8 advice: a machine-speed
+    // assertion in a pass/fail gate): it is scaled by the run's own
+    // calibration probe (quiet-box reference ≈ 0.8 s), so a loaded or
+    // slower box lowers the bar proportionally and the gate measures
+    // REGRESSION relative to the box, like the min-of-3 query design.
+    // SPARK_GRAFT_STREAM_FLOOR (rows/s) overrides the scaled value;
+    // 0 disables the gate.
+    val calibRefSec = 0.8
+    val calibMean = (calibStart + calibEnd) / 2
+    val streamFloor = sys.env.get("SPARK_GRAFT_STREAM_FLOOR")
+      .map(_.toLong)
+      .getOrElse(math.round(50000L * calibRefSec / calibMean))
     val streamRate = if (streamSec > 0) streamRows / streamSec else -1.0
     val streamFailed = streamRate < streamFloor
+    // per-micro-batch latency percentiles (nearest-rank over the pooled
+    // replays): throughput alone hides one straggler batch behind two
+    // fast ones; the p95 ceiling is documented in SCALE.md as advisory
+    // (drift evidence), deliberately NOT wired into the exit code —
+    // same box-relativity argument as the floor above
+    def pct(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) -1L
+      else {
+        val s = xs.sorted
+        s(math.max(0, math.min(s.length - 1,
+          math.ceil(p * s.length).toInt - 1)))
+      }
+    val batchP50 = pct(streamBatchMs, 0.50)
+    val batchP95 = pct(streamBatchMs, 0.95)
     val failed = ((res ++ iterRes ++ heavyRes).collect {
       case (k, v) if v < 0 => "\"" + k + "\""
     } ++ (if (streamFailed) Seq("\"stream\"") else Nil))
@@ -192,11 +224,41 @@ object Bench {
     val streamJson =
       s"""{"rows":$streamRows,"sec":$streamSec,"rows_per_sec":${
         if (streamSec > 0) (streamRows / streamSec).round else -1
-      },"floor_rows_per_sec":$streamFloor,"ok":${!streamFailed}}"""
+      },"floor_rows_per_sec":$streamFloor,"floor_scaled_by_calibration":${
+        sys.env.get("SPARK_GRAFT_STREAM_FLOOR").isEmpty
+      },"batch_ms_p50":$batchP50,"batch_ms_p95":$batchP95,"n_batches":${
+        streamBatchMs.length
+      },"ok":${!streamFailed}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iter_queries":$iterQs,"iter_total":$iterTotal,"heavy_queries":$heavyQs,"heavy_total":$heavyTotal,"samples":$rawJson,"calibration":$calibJson,"stream":$streamJson,"failed":$failed,"sf":"$sfDir"}""")
-    if ((res ++ iterRes ++ heavyRes).exists(_._2 < 0) || streamFailed) {
-      spark.stop(); sys.exit(1)
-    }
+    val failedNames = (res ++ iterRes ++ heavyRes).collect {
+      case (k, v) if v < 0 => k
+    } ++ (if (streamFailed) Seq("stream") else Nil)
+    println(summaryLine(total, iterTotal, heavyTotal,
+      if (streamSec > 0) math.round(streamRows / streamSec) else -1L,
+      !streamFailed, batchP50, batchP95, calibEnd, failedNames, sfDir))
+    if (failedNames.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
+  }
+
+  /** Second, COMPACT record printed after the full JSON line. The
+    * driver's BENCH_r{N}.json keeps only the last ~2000 chars of
+    * output, and r7/r8's single full-JSON line was sliced mid-record
+    * ("parsed": null) — its headline totals sat in the truncated
+    * prefix. This line is < 500 chars by construction (values rounded
+    * to 3 decimals, failed-list capped at 5 names alongside the full
+    * count; BenchSummarySpec pins both bound and parseability), so any
+    * tail window that big contains one complete parseable record. */
+  def summaryLine(total: Double, iterTotal: Double, heavyTotal: Double,
+      streamRowsPerSec: Long, streamOk: Boolean,
+      batchMsP50: Long, batchMsP95: Long, calibSec: Double,
+      failed: Seq[String], sf: String): String = {
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val f = failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"summary":1,"total":${r3(total)},"iter_total":${r3(iterTotal)}""" +
+      s""","heavy_total":${r3(heavyTotal)}""" +
+      s""","stream_rows_per_sec":$streamRowsPerSec,"stream_ok":$streamOk""" +
+      s""","batch_ms_p50":$batchMsP50,"batch_ms_p95":$batchMsP95""" +
+      s""","calib_sec":${r3(calibSec)},"n_failed":${failed.length}""" +
+      s""","failed":$f,"sf":"${sf.takeRight(60)}"}"""
   }
 }

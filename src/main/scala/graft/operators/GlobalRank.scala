@@ -100,25 +100,32 @@ object GlobalRank {
     val rdd = ranged.rdd
     val keyIdx = ranged.schema.fieldIndex(keyName)
     // pass 1: per-(partition, key) counts — P × |keys| longs
-    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+    val countsRdd = rdd.mapPartitionsWithIndex { (i, it) =>
       val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
       it.foreach { r =>
         val k = r.get(keyIdx); m.update(k, m.getOrElse(k, 0L) + 1)
       }
       m.iterator.map { case (k, n) => (i, k, n) }
-    }.collect()
+    }
     // loud guard for the scaladoc's "modest key cardinality" contract
     // (the d05-cap convention): the offset map is DRIVER state and is
     // broadcast back whole, so a data-sized key column (doc_id, user
     // id) must refuse here instead of OOMing the driver at scale. The
     // grouped-rank use cases (source, language, shard) are thousands
     // of keys; 1e6 × P entries is already ~100 MB of driver metadata.
-    require(counts.length <= maxKeyPartitionEntries,
-      s"GlobalRank.withRowNumberPerKey collected ${counts.length} " +
+    // The cardinality is counted DISTRIBUTIVELY (a count() job over the
+    // same shuffle output — executors return one long each) BEFORE any
+    // collect(), so a truly data-sized key refuses here instead of
+    // OOMing the driver inside the collect the guard exists to prevent;
+    // the extra pass is a shuffle-file re-read, the withRank pattern.
+    val nEntries = countsRdd.count()
+    require(nEntries <= maxKeyPartitionEntries,
+      s"GlobalRank.withRowNumberPerKey would collect $nEntries " +
         s"(partition × key) count entries (cap $maxKeyPartitionEntries): " +
         s"'$keyName' is not a modest-cardinality grouping key. For " +
         "data-sized keys use Window.partitionBy (each key's run fits " +
         "one task) or withRowNumber over (key, sortCols) ranges.")
+    val counts = countsRdd.collect()
     val offsets: Map[Any, Map[Int, Long]] =
       counts.groupBy(_._2).map { case (k, arr) =>
         val sorted = arr.sortBy(_._1)

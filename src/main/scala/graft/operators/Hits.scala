@@ -40,14 +40,27 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   /** @param edges directed long columns `u` (src) and `v` (dst)
+    * @param tol   0 (default) = exactly `iterations` rounds, the
+    *              oracle-replayable surface. tol > 0 = stop at the
+    *              first round where BOTH max|Δa| ≤ tol AND
+    *              max|Δh| ≤ tol (e6 score units), `iterations` as the
+    *              cap — [[PageRank]]'s tolerance contract (two one-row
+    *              deltas per round; 16 bytes of driver metadata).
+    *              Spec-pinned: tol=0 ≡ fixed rounds, tol runs return
+    *              their stopping round's fixed-round state exactly.
     * @return columns `node`, `hub_e6`, `auth_e6` for every node
     *         appearing in the edge list (either side) */
   def scores(edges: DataFrame, iterations: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      tol: Long = 0L): DataFrame = {
+    require(tol >= 0L, s"tol must be ≥ 0 (got $tol)")
     // rotated per-round cuts: h/a interleave through one keep=2 FIFO —
     // a(n-1) is released when a(n) cuts, by which point h(n-1..n) were
-    // already materialized from it (see [[LineageCut]])
-    val lc = new LineageCut(checkpointDir)
+    // already materialized from it (see [[LineageCut]]). Tolerance mode
+    // keeps THREE generations: the Δa delta reads a(n-1) AFTER a(n)
+    // cuts (queue [a(n-1), h(n-1), a(n)]), which keep=2 would have
+    // just released.
+    val lc = new LineageCut(checkpointDir, keep = if (tol > 0L) 3 else 2)
     val e = edges.select(col("u"), col("v"))
     // two pre-partitioned edge copies, one per alternating join key —
     // each round's edge⋈score join then reshuffles only the node-sized
@@ -76,7 +89,16 @@ object Hits {
         "to 1e3 or renormalize in two steps — see scaladoc")
     var h = nodes.withColumn("h", lit(1000000L))
     var a = nodes.withColumn("a", lit(1000000L))
-    for (_ <- 1 to iterations) {
+    // one-row max|Δ| between two adjacent score states (tol mode only)
+    def delta(cur: DataFrame, prev: DataFrame, c: String): Long =
+      cur.select(col("node"), col(c))
+        .join(prev.select(col("node"), col(c).as("p")), "node")
+        .agg(coalesce(max(abs(col(c) - col("p"))), lit(0L)).as("d"))
+        .head.getLong(0)
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
+      val (hPrev, aPrev) = (h, a)
       // both a and h are cut per round: skipping a's cut was measured
       // SLOWER (sf0.1, warm min 5.9 s vs 3.8 s) because the amax
       // broadcast subquery and the a-join then each re-evaluate the
@@ -90,6 +112,9 @@ object Hits {
         .crossJoin(broadcast(amax))
         .select(col("node"),
           expr("CAST((1000000 * coalesce(s, 0L)) div m AS BIGINT)").as("a")))
+      // Δa must read a(n-1) HERE, before h(n)'s cut rotates it out of
+      // the keep=3 window (see the LineageCut comment above)
+      val dA = if (tol > 0L) delta(a, aPrev, "a") else Long.MaxValue
       val hsum = eByV.join(a, col("node") === col("v"))
         .groupBy(col("u")).agg(sum("a").as("s"))
         .select(col("u").as("node"), col("s"))
@@ -98,6 +123,9 @@ object Hits {
         .crossJoin(broadcast(hmax))
         .select(col("node"),
           expr("CAST((1000000 * coalesce(s, 0L)) div m AS BIGINT)").as("h")))
+      if (tol > 0L)
+        converged = dA <= tol && delta(h, hPrev, "h") <= tol
+      i += 1
     }
     h.join(a, "node")
       .select(col("node"), col("h").as("hub_e6"), col("a").as("auth_e6"))

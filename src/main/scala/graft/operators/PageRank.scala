@@ -59,14 +59,41 @@ object PageRank {
     *                      symmetric contract supports it
     *                      (redistributeDangling must stay false);
     *                      teleportTo = all nodes degenerates to the
-    *                      default mode exactly (spec-pinned) */
+    *                      default mode exactly (spec-pinned)
+    * @param tol           0 (default) = run exactly `iterations` rounds
+    *                      — the oracle-replayable surface, unchanged.
+    *                      tol > 0 = TOLERANCE MODE: stop at the first
+    *                      round where max_v |r(v) − r_prev(v)| ≤ tol
+    *                      (e6 rank units), with `iterations` as the
+    *                      cap — the production long-run mode, where a
+    *                      converged graph shouldn't pay its full round
+    *                      budget. The per-round delta is ONE one-row
+    *                      max over the two adjacent (checkpointed)
+    *                      states; the single long DOES come back to the
+    *                      driver — the loop-exit decision lives there
+    *                      by definition (the bounded-metadata rule:
+    *                      8 bytes/round, not data). Spec-pinned: tol=0
+    *                      ≡ fixed rounds, and a tol run returns exactly
+    *                      the fixed-round state of its stopping round.
+    * @param initialRanks  when set, (node, r) e6-scaled ranks to START
+    *                      from instead of the uniform 1e6 init — the
+    *                      RESUME surface: feed a prior run's final
+    *                      state (e.g. reconstructed from reliable
+    *                      checkpoint files after a driver restart via
+    *                      [[CheckpointRecovery]]) and the remaining
+    *                      rounds continue bit-identically
+    *                      (ranks(e,5) ≡ ranks(e,3,init=ranks(e,2)),
+    *                      spec-pinned). Must cover the mode's node set. */
   def ranks(edges: DataFrame, iterations: Int,
       checkpointDir: Option[String] = None,
       redistributeDangling: Boolean = false,
-      teleportTo: Option[DataFrame] = None): DataFrame = {
+      teleportTo: Option[DataFrame] = None,
+      tol: Long = 0L,
+      initialRanks: Option[DataFrame] = None): DataFrame = {
     require(teleportTo.isEmpty || !redistributeDangling,
       "teleportTo is only supported under the symmetric contract " +
         "(redistributeDangling=false)")
+    require(tol >= 0L, s"tol must be ≥ 0 (got $tol)")
     // per-round cuts rotate through LineageCut so superseded rounds'
     // blocks are unpersisted BY CONSTRUCTION (≤2 rank states live at
     // any time), not left to ContextCleaner GC timing; setup relations
@@ -80,6 +107,37 @@ object PageRank {
     // rank table (one row per node) plus the destination-keyed sum
     val ed = lc.pin(e.join(deg, "u").repartition(col("u")))
 
+    // shared round driver for all three modes: fixed-count when tol=0
+    // (the pre-tol behavior, bit-identical), early-stop on
+    // max|Δr| ≤ tol otherwise. prev and r are adjacent LineageCut
+    // generations (keep=2), so prev's blocks are still live when the
+    // delta reads them.
+    def loop(init: DataFrame)(step: DataFrame => DataFrame): DataFrame = {
+      var r = init
+      var i = 0
+      var converged = false
+      while (i < iterations && !converged) {
+        val prev = r
+        r = step(prev)
+        if (tol > 0L) {
+          val delta = r.select(col("node"), col("r"))
+            .join(prev.select(col("node"), col("r").as("r_prev")), "node")
+            .agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L))
+              .as("d"))
+            .head.getLong(0)
+          converged = delta <= tol
+        }
+        i += 1
+      }
+      r
+    }
+    // resume surface: a caller-provided starting state replaces the
+    // uniform init — cut once so the first round's two reads (dsum +
+    // inflow in the redistribute mode) don't re-evaluate an arbitrary
+    // caller plan (e.g. a checkpoint-recovery scan)
+    val resumeInit: Option[DataFrame] =
+      initialRanks.map(df => lc.pin(df.select(col("node"), col("r"))))
+
     if (!redistributeDangling) {
       // loud guard for the documented contract (scaladoc above): a
       // destination with no out-edges would silently absorb rank
@@ -89,18 +147,18 @@ object PageRank {
         "PageRank(redistributeDangling=false) requires a symmetrized edge " +
           "list (every destination must also be a source); found dangling " +
           "destinations — symmetrize the input or pass redistributeDangling=true")
-      var r = deg.select(col("u").as("node"), lit(1000000L).as("r"))
+      val init = resumeInit.getOrElse(
+        deg.select(col("u").as("node"), lit(1000000L).as("r")))
       teleportTo match {
         case None =>
-          for (_ <- 1 to iterations) {
-            r = lc(ed
-              .join(r, col("node") === col("u"))
+          loop(init) { prev =>
+            lc(ed
+              .join(prev, col("node") === col("u"))
               .groupBy(col("v"))
               .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
                 .as("r2"))
               .select(col("v").as("node"), col("r2").as("r")))
           }
-          r
         case Some(t) =>
           // nodes with zero inflow still carry their seed base, so the
           // update is anchored on the node set (= sources, symmetric
@@ -108,13 +166,13 @@ object PageRank {
           val nodes = lc.pin(deg.select(col("u").as("node")))
           val seeds = lc.pin(t.select(col("node")).distinct()
             .withColumn("is_seed", lit(1)))
-          for (_ <- 1 to iterations) {
+          loop(init) { prev =>
             val inflow = ed
-              .join(r, col("node") === col("u"))
+              .join(prev, col("node") === col("u"))
               .groupBy(col("v"))
               .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
               .select(col("v").as("node"), col("inflow"))
-            r = lc(nodes
+            lc(nodes
               .join(inflow, Seq("node"), "left_outer")
               .join(seeds, Seq("node"), "left_outer")
               .select(col("node"),
@@ -122,7 +180,6 @@ object PageRank {
                   " + (85 * coalesce(inflow, 0L)) div 100 AS BIGINT)")
                   .as("r")))
           }
-          r
       }
     } else {
       val nodes = lc.pin(e.select(col("u").as("node"))
@@ -132,25 +189,24 @@ object PageRank {
       val n = nodes.count()
       val danglingNodes = nodes.join(
         deg.select(col("u").as("node")), Seq("node"), "left_anti")
-      var r = nodes.withColumn("r", lit(1000000L))
-      for (_ <- 1 to iterations) {
+      val init = resumeInit.getOrElse(nodes.withColumn("r", lit(1000000L)))
+      loop(init) { prev =>
         // one-row dangling-mass aggregate, broadcast into every node's
         // update via cross join — stays distributed, no driver round-trip
-        val dsum = r.join(danglingNodes, Seq("node"), "left_semi")
+        val dsum = prev.join(danglingNodes, Seq("node"), "left_semi")
           .agg(coalesce(sum("r"), lit(0L)).as("dsum"))
         val inflow = ed
-          .join(r, col("node") === col("u"))
+          .join(prev, col("node") === col("u"))
           .groupBy(col("v"))
           .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
           .select(col("v").as("node"), col("inflow"))
-        r = lc(nodes
+        lc(nodes
           .join(inflow, Seq("node"), "left_outer")
           .crossJoin(broadcast(dsum))
           .select(col("node"),
             expr(s"CAST(150000 + (85 * (coalesce(inflow, 0L) + dsum div ${n}L))" +
               " div 100 AS BIGINT)").as("r")))
       }
-      r
     }
   }
 }

@@ -144,15 +144,28 @@ object DedupPack extends QueryPack {
 
   /** (doc_id, band, key) banded MinHash signatures off the memoized
     * signature relation — d03/d17's candidate generation, shared with
-    * p25's cross-table (corpus × benchmark) decontamination join. */
+    * p25's cross-table (corpus × benchmark) decontamination join.
+    *
+    * Empty shingle sets produce all-NULL minhash signatures, and
+    * `concat_ws` SKIPS nulls — the band key would be "" (empty string,
+    * not null), so on a short-doc-heavy corpus every empty-shingle doc
+    * would band-join every other on ONE hot "" bucket: exactly the
+    * quadratic hot key LSH exists to avoid (and the one the DuckDB
+    * twins never form, because SQL `||` propagates NULL keys that no
+    * equi-join matches). Dropping null-signature rows here makes the
+    * Spark plan structurally match the oracle's null semantics AND
+    * removes the hot bucket for d03/d17/p25 at once; output is
+    * unchanged (those pairs always scored null Jaccard and were
+    * filtered downstream). */
   private[queries] def bandedSignatures(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)
     val bandKeys = (0 until numBands).map { b =>
       concat_ws("|",
         (0 until bandSize).map(j => col(s"sig${b * bandSize + j}")): _*)
     }
-    sig.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    sig.filter(col("sig0").isNotNull)
+      .select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
   }
 
   /** (doc_id, shingle set) off the same memoized relation — the exact
@@ -379,8 +392,12 @@ object DedupPack extends QueryPack {
         }
         val isNew = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
           16, 10).cast("long") % 100 < 20
-        val bands = sig.select(col("doc_id"), isNew.as("is_new"),
-          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        // null-signature (empty-shingle) rows dropped before banding —
+        // same "" hot-key hazard and oracle-null parity as
+        // [[bandedSignatures]]'s scaladoc
+        val bands = sig.filter(col("sig0").isNotNull)
+          .select(col("doc_id"), isNew.as("is_new"),
+            posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
         val cand = bands.as("a")
           .join(bands.filter(col("is_new")).as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -1125,8 +1142,10 @@ object DedupPack extends QueryPack {
             concat_ws("|",
               (0 until rpb).map(j => col(s"sig${b * rpb + j}")): _*)
           }
-          val bands = sig.select(col("doc_id"),
-            posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+          // same null-signature drop as [[bandedSignatures]]
+          val bands = sig.filter(col("sig0").isNotNull)
+            .select(col("doc_id"),
+              posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
           val cand = bands.as("x")
             .join(bands.as("y"),
               col("x.band") === col("y.band") && col("x.key") === col("y.key")

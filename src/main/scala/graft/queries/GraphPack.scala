@@ -688,9 +688,28 @@ object GraphPack extends QueryPack {
             sum(col("x") * col("x")).as("sxx"))
           .withColumn("num", expr("k * sxy - sx * sy"))
           .withColumn("den", expr("k * sxx - sx * sx"))
+          // Overflow-safe ppm division (q60's convention): num grows
+          // ~k²·cov(x,y), so for graphs with ~1000+ distinct degree
+          // values (exactly the web-scale inputs this audit targets)
+          // abs(num)*1e6 exceeds int64 — Spark (non-ANSI) would wrap to
+          // a garbage slope while DuckDB errors, diverging where it
+          // matters. When den ≥ 1e6, divide by the down-scaled den
+          // instead of up-scaling num; both operands stay non-negative
+          // (abs + Cauchy–Schwarz den ≥ 0) so truncating div == floor
+          // in both engines. Residual bound: num/den themselves stay in
+          // int64 up to ~9e4 distinct degree values (x,y ≤ ~35e3 ppt) —
+          // an order past any real degree census (distinct degrees grow
+          // ~√E).
           .select(expr("""CASE WHEN den = 0 THEN 0
-                               WHEN num >= 0 THEN abs(num) * 1000000L div den
-                               ELSE -(abs(num) * 1000000L div den) END""")
+                               WHEN num >= 0 THEN
+                                 CASE WHEN den >= 1000000
+                                      THEN abs(num) div (den div 1000000)
+                                      ELSE abs(num) * 1000000L div den END
+                               ELSE
+                                -(CASE WHEN den >= 1000000
+                                       THEN abs(num) div (den div 1000000)
+                                       ELSE abs(num) * 1000000L div den END)
+                          END""")
             .as("slope_ppm"))
         broadcast(card).crossJoin(fit)
           .select(col("n_nodes"), expr("n_endpoints div 2").as("n_edges"),
@@ -715,13 +734,18 @@ object GraphPack extends QueryPack {
                      CAST(sum(x*y) AS BIGINT) AS sxy,
                      CAST(sum(x*x) AS BIGINT) AS sxx
               FROM pts),
-        fit AS (SELECT CASE WHEN k*sxx - sx*sx = 0 THEN 0
-                       WHEN k*sxy - sx*sy >= 0
-                       THEN CAST(abs(k*sxy - sx*sy) * 1000000 // (k*sxx - sx*sx)
-                            AS BIGINT)
-                       ELSE -CAST(abs(k*sxy - sx*sy) * 1000000 // (k*sxx - sx*sx)
-                            AS BIGINT) END AS slope_ppm
-                FROM s)
+        nd AS (SELECT k*sxy - sx*sy AS num, k*sxx - sx*sx AS den FROM s),
+        fit AS (SELECT CASE WHEN den = 0 THEN 0
+                       WHEN num >= 0 THEN
+                         CASE WHEN den >= 1000000
+                              THEN CAST(abs(num) // (den // 1000000) AS BIGINT)
+                              ELSE CAST(abs(num) * 1000000 // den AS BIGINT) END
+                       ELSE
+                        -(CASE WHEN den >= 1000000
+                               THEN CAST(abs(num) // (den // 1000000) AS BIGINT)
+                               ELSE CAST(abs(num) * 1000000 // den AS BIGINT) END)
+                       END AS slope_ppm
+                FROM nd)
         SELECT n_nodes, CAST(n_endpoints // 2 AS BIGINT) AS n_edges,
                max_degree,
                CAST(max_degree * 1000000 // n_endpoints AS BIGINT)

@@ -1167,8 +1167,11 @@ object PipelinePack extends QueryPack {
             graft.functions.GraftFunctions.jaccardE4(col("sa"), col("sb"))
               .as("j"),
             // benchmark-side containment |∩|/|bench| in exact e4 ints;
-            // sb is never empty here (empty shingle sets hash to null
-            // band keys, which the equi-join drops)
+            // sb is never empty here: empty shingle sets carry all-null
+            // signatures, which bandedSignatures DROPS before banding
+            // (concat_ws would otherwise skip the nulls and emit a hot
+            // "" band key — see the helper's scaladoc), so no
+            // empty-shingle doc ever reaches the candidate join
             expr("size(array_intersect(sa, sb)) * 10000 div size(sb)")
               .cast("long").as("c"))
           .filter(col("j") >= 2000 || col("c") >= 5000)

@@ -1,0 +1,44 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the compact tail record Bench prints AFTER its full JSON line
+  * (round-8 verdict item 5): the driver's BENCH_r{N}.json keeps only
+  * the last ~2000 chars of output, and r7/r8's single full-JSON line
+  * was sliced mid-record ("parsed": null). The summary line must stay
+  * parseable inside any such tail window — < 500 chars, valid JSON,
+  * headline fields present — including under pathological inputs
+  * (long failure lists, long sf paths). json4s ships with Spark, so
+  * "valid JSON" here is a real parser, not a regex. */
+class BenchSummarySpec extends AnyFunSuite {
+
+  private val fields = Seq("summary", "total", "iter_total", "heavy_total",
+    "stream_rows_per_sec", "stream_ok", "batch_ms_p50", "batch_ms_p95",
+    "calib_sec", "n_failed", "failed", "sf")
+
+  test("summary line is < 500 chars, valid JSON, all headline fields") {
+    val line = Bench.summaryLine(7.873456, 14.2345, 3.1, 153000L,
+      streamOk = true, 210L, 480L, 0.8123, Nil, "/root/testdata/sf0.1")
+    assert(line.length < 500, s"summary line is ${line.length} chars")
+    val parsed = JsonMethods.parse(line)
+    for (f <- fields)
+      assert((parsed \ f) !== JNothing, s"summary line is missing '$f'")
+    assert((parsed \ "total").values === 7.873)
+    assert((parsed \ "stream_rows_per_sec").values === 153000L)
+  }
+
+  test("summary line stays < 500 chars under pathological inputs") {
+    // every query failed with long names, sf path is absurdly long —
+    // the cap (5 names + count) and the path tail-trim must hold
+    val manyFailed = (1 to 60).map(i => s"q${i}_some_long_query_name_here")
+    val line = Bench.summaryLine(-1.0, -1.0, -1.0, -1L,
+      streamOk = false, -1L, -1L, 99.987654, manyFailed,
+      "/very/long/prefix/" + ("x" * 300))
+    assert(line.length < 500, s"summary line is ${line.length} chars")
+    val parsed = JsonMethods.parse(line)
+    assert((parsed \ "n_failed").values === 60L)
+    assert((parsed \ "failed").asInstanceOf[JArray].arr.length === 5)
+  }
+}

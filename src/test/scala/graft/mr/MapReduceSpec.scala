@@ -8,15 +8,31 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      Files.createTempDirectory("graft-warehouse").toString)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // A `def` guarded on isStopped, not a `lazy val`: the checkpoint-
+  // recovery spec (CheckpointRecoverySpec) deliberately STOPS the
+  // SparkContext to prove reliable-checkpoint files survive a driver
+  // restart — suites that run after it (sbt forks one JVM and runs
+  // suites sequentially: testForkedParallel=false) transparently get a
+  // fresh session here. Per-suite `lazy val spark = SparkTestSession
+  // .spark` captures are safe: they initialize when the suite RUNS,
+  // never across a stop.
+  private var cached: SparkSession = _
+  def spark: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      cached = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+          Files.createTempDirectory("graft-warehouse").toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    cached
+  }
 }
 
 class Md5PartitionerSpec extends AnyFunSuite {

@@ -63,4 +63,41 @@ class HitsSpec extends AnyFunSuite {
     assert(java.nio.file.Files.list(ckpt).count() > 0,
       "checkpoint dir is empty — rounds did not go through the reliable path")
   }
+
+  test("tol=0 ≡ fixed rounds (the oracle-replayable surface, unchanged)") {
+    val got = Hits.scores(fan.toDF("u", "v"), 2, tol = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === scores(fan, 2))
+  }
+
+  test("tol mode stops at the convergence round, not before or never") {
+    // fan hits its fixpoint after round 1, so the tol run's round-2
+    // deltas are 0 and a 10-round cap must return the round-1 state
+    // (early stop FIRES — a broken stop would be equal too, which is
+    // why the second graph below is the real power of this test)
+    val fanTol = Hits.scores(fan.toDF("u", "v"), 10, tol = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fanTol === scores(fan, 1))
+    // two-hub graph converges later: walk the engine's fixed-round
+    // trajectory, find the first adjacent pair whose max per-node
+    // |Δhub|/|Δauth| is ≤ tol — EXACTLY the loop's stopping rule, so
+    // delta-of-exactly-1 rounds can't skew the expectation — check the
+    // trajectory actually moves first (the test has power), and pin
+    // that the tol run stops exactly there
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+    val tol = 2000L
+    val traj = (1 to 6).map(k => scores(g, k))
+    def pairDiff(x: Map[Long, (Long, Long)],
+        y: Map[Long, (Long, Long)]): Long =
+      x.keys.map { n =>
+        math.max(math.abs(x(n)._1 - y(n)._1), math.abs(x(n)._2 - y(n)._2))
+      }.max
+    val j = (0 until 5).find(j => pairDiff(traj(j), traj(j + 1)) <= tol)
+      .getOrElse(fail("two-hub graph never converged within 6 rounds"))
+    assert(pairDiff(traj(0), traj(j + 1)) > tol,
+      "graph converges immediately — test has no power")
+    val gTol = Hits.scores(g.toDF("u", "v"), 20, tol = tol)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gTol === traj(j + 1), s"tol run did not stop at round ${j + 2}")
+  }
 }

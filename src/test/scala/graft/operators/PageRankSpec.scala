@@ -117,4 +117,72 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
   }
+
+  test("tol=0 ≡ fixed rounds (the oracle-replayable surface, unchanged)") {
+    val got = PageRank.ranks(star.toDF("u", "v"), 3, tol = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ranks(star, 3))
+  }
+
+  test("tol mode stops at its convergence round and returns exactly " +
+      "that round's fixed-round state") {
+    // Self-calibrating (no hand-picked round number): a driver-side
+    // integer simulator — the exact update rule, r'(v) = 150000 +
+    // (85·Σ r(u) div d(u)) div 100, on this 3-node graph — walks the
+    // fixed-round trajectory r_1..r_cap, finds the first round i*
+    // whose max|Δ| vs the previous round is ≤ tol, and the spec pins
+    // BOTH that the engine agrees with the simulator at i* (one fixed-
+    // round run) AND that the tol run (capped far above i*) returns
+    // r_{i*} exactly — falsifiable if early-stop fires a round off or
+    // not at all. (Walking the trajectory with 40 Spark runs would
+    // cost O(cap²) rounds; the simulator is why this test is cheap.)
+    def simulate(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = deg.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val contrib = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+        }
+        r = contrib.map { case (v, s) => v -> (150000L + 85L * s / 100L) }
+      }
+      r
+    }
+    // simulator ≡ engine on the hand-computed prefix
+    assert(simulate(star, 3) ===
+      Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
+    val tol = 50000L
+    val cap = 40
+    val traj = (1 to cap).map(k => simulate(star, k))
+    val iStar = (1 until cap).find { k =>
+      val prev = traj(k - 1); val cur = traj(k)
+      cur.keys.map(n => math.abs(cur(n) - prev(n))).max <= tol
+    }.map(_ + 1).getOrElse(fail(s"star never converged within $cap rounds"))
+    assert(iStar > 1, "graph converges immediately — test has no power")
+    assert(ranks(star, iStar) === traj(iStar - 1),
+      s"engine diverged from the simulator at round $iStar")
+    val tolRun = PageRank.ranks(star.toDF("u", "v"), cap, tol = tol)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tolRun === traj(iStar - 1),
+      s"tol run did not stop at round $iStar with the fixed-round state")
+  }
+
+  test("initialRanks resume: ranks(e,5) ≡ ranks(e,3, init = ranks(e,2))") {
+    val full = ranks(star, 5)
+    val r2 = PageRank.ranks(star.toDF("u", "v"), 2)
+    val resumed = PageRank.ranks(star.toDF("u", "v"), 3,
+        initialRanks = Some(r2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === full, "resume from an intermediate state diverged")
+  }
+
+  test("initialRanks resume holds in dangling-redistribution mode") {
+    val sinks = Seq((1L, 2L), (1L, 3L))
+    def dr(iters: Int, init: Option[org.apache.spark.sql.DataFrame] = None) =
+      PageRank.ranks(sinks.toDF("u", "v"), iters,
+          redistributeDangling = true, initialRanks = init)
+    val full = dr(4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resumed = dr(2, Some(dr(2)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === full)
+  }
 }

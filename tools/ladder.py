@@ -6,17 +6,26 @@ killed) on a 10x ladder — verifiable without /tmp archaeology: one
 committed artifact with per-query hash-pass + wall seconds at each
 rung.
 
-Rungs:
+Rungs (round 9 extended the ladder both ways the r8 verdict asked):
   sf0.01 — ALL registered queries (the driver's own gate scale)
   sf0.1  — bench ∪ iterative ∪ heavy groups (Verify's @bench set)
-  sf1    — same subset, on the 10x key-shifted replica fixture
-           (built by tools/make_sf1.py into /tmp/sf1 if absent)
+  sf1    — ALL registered queries on the 10x key-shifted replica
+           fixture (tools/make_sf1.py → /tmp/sf1): the 100 TB posture
+           claims are made for every query, so the 100x-of-gate-scale
+           rung runs every query, not just the bench groups. The
+           bounded-by-design quadratic instruments (d05/s05-class) are
+           fenced by their own executable caps — if one refuses or
+           crawls here, that is a finding for SCALE.md, not a reason
+           to shrink the rung.
+  sf10   — spot-rung (tools/make_sf1.py with 100 replicas →
+           /tmp/sf10, ~60M lineitem rows): iterative ∪ heavy groups
+           + d02/d03, the queries whose sf0.1→sf1 growth was
+           superlinear in r8 — this rung pins the growth EXPONENT
+           (flattening shuffle-bound vs compounding memory-bound).
 
-The sf0.1/sf1 rungs run the bench subset, not the full suite, because
-the bounded-by-design DuckDB ORACLES of a few instrument queries (the
-adjudicated quadratic yardsticks) dominate wall time at 10x — the
-SPARK side is what the ladder exists to falsify, and the bench groups
-are its headline surfaces.
+All rungs run with the same SPARK_GRAFT_CPUS so growth factors are
+comparable; the sf10 rung raises the driver heap instead of the
+thread count.
 
 Usage: python3 tools/ladder.py <round_number> [out.json]
 """
@@ -29,14 +38,26 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 SF1 = "/tmp/sf1"
+SF10 = "/tmp/sf10"
+
+# iterative ∪ heavy bench groups (membership spec-pinned in
+# BenchSmokeSpec) + the near-dup pair, for the sf10 spot-rung
+SF10_SUBSET = ",".join([
+    "d06_dup_clusters", "g01_pagerank", "g05_kcore", "g08_sssp",
+    "g10_hits", "s09_int_kmeans",
+    "d18_tfidf_similarity", "d20_entity_blocks", "s20_ivf_adc_topk",
+    "d02_ngram_jaccard", "d03_minhash_lsh",
+])
 
 
-def run_verify(sf_dir, out_dir, subset=None, cpus="8"):
+def run_verify(sf_dir, out_dir, subset=None, cpus="8", mem=None):
     cmd = f"runMain graft.Verify {sf_dir} {out_dir}"
     if subset:
         cmd += f" {subset}"
-    subprocess.run(["sbt", "-batch", cmd], cwd=REPO, check=True,
-                   env=dict(os.environ, SPARK_GRAFT_CPUS=cpus))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+    if mem:
+        env["SPARK_DRIVER_MEM"] = mem
+    subprocess.run(["sbt", "-batch", cmd], cwd=REPO, check=True, env=env)
 
 
 def run_check(out_dir, sf_dir):
@@ -53,29 +74,42 @@ def run_check(out_dir, sf_dir):
     }, r.returncode
 
 
+def ensure_fixture(dst, replicas):
+    if not Path(dst, "lineitem.parquet").exists():
+        print(f"[ladder] building {dst} fixture via make_sf1.py "
+              f"({replicas} replicas) ...")
+        subprocess.run(["python3", str(REPO / "tools/make_sf1.py"),
+                        "/root/testdata/sf0.1", dst, str(replicas)],
+                       check=True)
+
+
 def main():
     rnd = sys.argv[1]
     out = sys.argv[2] if len(sys.argv) > 2 else f"LADDER_r{rnd}.json"
-    if not Path(SF1, "lineitem.parquet").exists():
-        print("[ladder] building sf1 fixture via make_sf1.py ...")
-        subprocess.run(["python3", str(REPO / "tools/make_sf1.py"),
-                        "/root/testdata/sf0.1", SF1], check=True)
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    ensure_fixture(SF1, 10)
+    ensure_fixture(SF10, 100)
     rungs = {}
     failed = False
-    for sf_dir, subset, label in [
-            ("/root/testdata/sf0.01", None, "sf0.01"),
-            ("/root/testdata/sf0.1", "@bench", "sf0.1"),
-            (SF1, "@bench", "sf1")]:
+    for sf_dir, subset, label, mem in [
+            ("/root/testdata/sf0.01", None, "sf0.01", None),
+            ("/root/testdata/sf0.1", "@bench", "sf0.1", None),
+            (SF1, None, "sf1", None),
+            (SF10, SF10_SUBSET, "sf10", "64g")]:
+        if only and label not in only:
+            continue
         print(f"[ladder] rung {label}: verify ...")
         vdir = f"/tmp/ladder_{label}"
         t0 = time.time()
-        run_verify(sf_dir, vdir, subset)
+        run_verify(sf_dir, vdir, subset, mem=mem)
         print(f"[ladder] rung {label}: oracle compare ...")
         results, rc = run_check(vdir, sf_dir)
         failed = failed or rc != 0
         rungs[label] = {
             "dir": sf_dir,
-            "queries": "all" if subset is None else "bench+iter+heavy",
+            "queries": "all" if subset is None
+            else ("bench+iter+heavy" if subset == "@bench"
+                  else "iter+heavy+d02+d03"),
             "n_pass": sum(1 for v in results.values() if v["pass"]),
             "n_fail": sum(1 for v in results.values()
                           if v["pass"] is False),

@@ -21,7 +21,12 @@ distributions, and skew scale the way a real 10x corpus would.
              = replica 0, so query count stays fixed while the corpus 10x's)
   region/nation: dimension tables, copied as-is.
 
-Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [replicas]
+
+`replicas` (default 10) extends the same construction one decade
+further: 100 replicas of sf0.1 is the sf10 spot-rung fixture
+(~60M lineitem rows) the round-9 scale ladder uses to measure the
+iterative/heavy groups' growth exponent.
 """
 import sys
 
@@ -29,7 +34,7 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 SHIFTS = {
     "customer": [("c_custkey", 15000)],
