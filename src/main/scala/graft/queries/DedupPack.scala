@@ -222,6 +222,16 @@ object DedupPack extends QueryPack {
     // 10× the join it saves — the count-based join IS the fast exact
     // path; d03 (MinHash+LSH) is the approximate scale path when even
     // shared-shingle buckets are too hot.
+    // The self-join is HINTED shuffle-hash (round 9): Catalyst's size
+    // estimate for Generate-over-cached-shingles undershoots, so the
+    // optimizer broadcast the ENTIRE exploded relation — wrong twice
+    // over. At 100 TB the exploded side is corpus-sized (never
+    // broadcastable), and even at bench scale the driver-side collect
+    // + torrent rebroadcast of 260k generated rows was the measured
+    // variance source (warm reps 2.3–22 s broadcast vs 1.4–2.0 s
+    // shuffled). Shuffling BOTH sides on g makes the two subplans
+    // identical, so one ReusedExchange feeds both and the relation is
+    // exploded/shuffled exactly once.
     "d02_ngram_jaccard" -> Q(
       run = (s, d) => {
         val t = 0.2999
@@ -229,7 +239,7 @@ object DedupPack extends QueryPack {
         val ex = sh.select(col("doc_id"), size(col("s")).as("sz"),
           explode(col("s")).as("g"))
         val cand = ex.as("a")
-          .join(ex.as("b"),
+          .join(ex.hint("shuffle_hash").as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
               && col("a.sz") >= col("b.sz") * t
               && col("b.sz") >= col("a.sz") * t)
