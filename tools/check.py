@@ -2,6 +2,11 @@
 """Local replica of the driver's correctness gate.
 
 Usage: python3 tools/check.py <verify_out_dir> [sf_dir] [--json out.json]
+                              [--only q1,q2]
+
+--only restricts the compare to the named queries (e.g. to re-run one
+oracle that failed for an infrastructure reason — a DuckDB temp-spill
+disk-full — without paying for the other 218).
 
 --json additionally writes {query: {"pass": bool, "rows": n}} (pass is
 null for a query with no oracle) — consumed by tools/ladder.py.
@@ -78,6 +83,11 @@ def main():
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i:i + 2]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
     out_dir = Path(args[0])
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
@@ -90,6 +100,8 @@ def main():
 
     n_pass = n_fail = 0
     for name in sorted(p.name for p in out_dir.iterdir() if p.is_dir()):
+        if only is not None and name not in only:
+            continue
         got_rel = con.query(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         got = canon(got_rel.fetchall(), got_rel.columns, got_rel.types,

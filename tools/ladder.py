@@ -27,7 +27,15 @@ All rungs run with the same SPARK_GRAFT_CPUS so growth factors are
 comparable; the sf10 rung raises the driver heap instead of the
 thread count.
 
-Usage: python3 tools/ladder.py <round_number> [out.json]
+Usage: python3 tools/ladder.py <round_number> [out.json] [rungs]
+       python3 tools/ladder.py <round_number> --recheck <label>
+                               [--only q1,q2]
+
+--recheck re-runs ONLY the DuckDB oracle compare for one existing rung
+(the Spark verify output under /tmp/ladder_<label> is reused) and folds
+the result into LADDER_r<N>.json, recording the rechecked query names —
+the escape hatch for oracle-infrastructure failures (disk-full temp
+spill) that are not correctness evidence either way.
 """
 import json
 import os
@@ -60,11 +68,13 @@ def run_verify(sf_dir, out_dir, subset=None, cpus="8", mem=None):
     subprocess.run(["sbt", "-batch", cmd], cwd=REPO, check=True, env=env)
 
 
-def run_check(out_dir, sf_dir):
-    rep = Path(out_dir) / "report.json"
-    r = subprocess.run(
-        ["python3", str(REPO / "tools/check.py"), out_dir, sf_dir,
-         "--json", str(rep)], cwd=REPO)
+def run_check(out_dir, sf_dir, only=None, rep_name="report.json"):
+    rep = Path(out_dir) / rep_name
+    cmd = ["python3", str(REPO / "tools/check.py"), out_dir, sf_dir,
+           "--json", str(rep)]
+    if only:
+        cmd += ["--only", only]
+    r = subprocess.run(cmd, cwd=REPO)
     results = json.loads(rep.read_text())
     timings = json.loads((Path(out_dir) / "timings.json").read_text())
     return {
@@ -83,8 +93,41 @@ def ensure_fixture(dst, replicas):
                        check=True)
 
 
+def recheck(rnd, label, only):
+    """Re-run the oracle compare (not the Spark verify) for one rung's
+    existing /tmp/ladder_<label> output and fold the result back into
+    the committed artifact. For oracle-INFRASTRUCTURE failures only —
+    e.g. a DuckDB temp-spill disk-full mid-suite; the Spark parquet
+    under the rung dir is untouched, so the compare is the same
+    experiment with a healthy oracle. The artifact records which
+    queries were rechecked."""
+    out = REPO / f"LADDER_r{rnd}.json"
+    artifact = json.loads(out.read_text())
+    rung = artifact["rungs"][label]
+    results, rc = run_check(f"/tmp/ladder_{label}", rung["dir"], only,
+                            rep_name="report_recheck.json")
+    rung["results"].update(results)
+    rung["n_pass"] = sum(1 for v in rung["results"].values() if v["pass"])
+    rung["n_fail"] = sum(1 for v in rung["results"].values()
+                         if v["pass"] is False)
+    rechecked = sorted(set(rung.get("rechecked", [])) | set(results))
+    rung["rechecked"] = rechecked
+    out.write_text(json.dumps(artifact, indent=1, sort_keys=True))
+    print(f"[ladder] recheck {label} ({','.join(sorted(results))}): "
+          f"now {rung['n_pass']}p/{rung['n_fail']}f")
+    sys.exit(rc)
+
+
 def main():
     rnd = sys.argv[1]
+    if "--recheck" in sys.argv:
+        i = sys.argv.index("--recheck")
+        label = sys.argv[i + 1]
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1]
+        recheck(rnd, label, only)
+        return
     out = sys.argv[2] if len(sys.argv) > 2 else f"LADDER_r{rnd}.json"
     only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     ensure_fixture(SF1, 10)
