@@ -30,6 +30,12 @@ thread count.
 Usage: python3 tools/ladder.py <round_number> [out.json] [rungs]
        python3 tools/ladder.py <round_number> --recheck <label>
                                [--only q1,q2]
+       python3 tools/ladder.py <round_number> --rebuild sf0.01,sf1,...
+
+--rebuild composes the artifact from EXISTING /tmp/ladder_<label>
+outputs (report.json + timings.json) without re-running anything —
+the recovery path when a late rung crashed before the mainline loop
+reached its single write at the end.
 
 --recheck re-runs ONLY the DuckDB oracle compare for one existing rung
 (the Spark verify output under /tmp/ladder_<label> is reused) and folds
@@ -93,6 +99,48 @@ def ensure_fixture(dst, replicas):
                        check=True)
 
 
+# label → (fixture dir, queries tag); shared by the mainline loop and
+# the --rebuild path so the two can't drift
+RUNG_DEFS = {
+    "sf0.01": ("/root/testdata/sf0.01", "all"),
+    "sf0.1": ("/root/testdata/sf0.1", "bench+iter+heavy"),
+    "sf1": (SF1, "all"),
+    "sf10": (SF10, "iter+heavy+d02+d03"),
+}
+
+
+def load_rung(label):
+    """Compose one rung entry from an existing /tmp/ladder_<label> dir
+    (check.py's report.json + Verify's timings.json) without re-running
+    anything — the recovery path when a later rung crashed before the
+    mainline loop could write the artifact. verify_wall_sec is null on
+    this path (the original end-to-end wall was not persisted)."""
+    vdir = Path(f"/tmp/ladder_{label}")
+    results = json.loads((vdir / "report.json").read_text())
+    timings = json.loads((vdir / "timings.json").read_text())
+    sf_dir, tag = RUNG_DEFS[label]
+    results = {q: {"pass": v["pass"], "rows": v["rows"],
+                   "wall_sec": timings.get(q)}
+               for q, v in results.items()}
+    return {
+        "dir": sf_dir, "queries": tag,
+        "n_pass": sum(1 for v in results.values() if v["pass"]),
+        "n_fail": sum(1 for v in results.values() if v["pass"] is False),
+        "verify_wall_sec": None,
+        "results": results,
+    }
+
+
+def rebuild(rnd, labels):
+    out = REPO / f"LADDER_r{rnd}.json"
+    artifact = {"round": int(rnd), "generated_by": "tools/ladder.py",
+                "rungs": {lb: load_rung(lb) for lb in labels}}
+    out.write_text(json.dumps(artifact, indent=1, sort_keys=True))
+    print(f"[ladder] rebuilt {out.name}: " + ", ".join(
+        f"{k} {v['n_pass']}p/{v['n_fail']}f"
+        for k, v in artifact["rungs"].items()))
+
+
 def recheck(rnd, label, only):
     """Re-run the oracle compare (not the Spark verify) for one rung's
     existing /tmp/ladder_<label> output and fold the result back into
@@ -120,6 +168,10 @@ def recheck(rnd, label, only):
 
 def main():
     rnd = sys.argv[1]
+    if "--rebuild" in sys.argv:
+        labels = sys.argv[sys.argv.index("--rebuild") + 1].split(",")
+        rebuild(rnd, labels)
+        return
     if "--recheck" in sys.argv:
         i = sys.argv.index("--recheck")
         label = sys.argv[i + 1]
