@@ -220,13 +220,22 @@ object GraphPack extends QueryPack {
           SELECT ab.src AS a, ab.dst AS b, ac.dst AS c
           FROM ori ab JOIN ori ac
             ON ab.src = ac.src AND (ab.ddst, ab.dst) < (ac.ddst, ac.dst)
-          WHERE EXISTS (SELECT 1 FROM ori bc
-                        WHERE bc.src = ab.dst AND bc.dst = ac.dst))
+          JOIN ori bc ON bc.src = ab.dst AND bc.dst = ac.dst)
         SELECT node, count(*) AS n_tri FROM (
-          SELECT a AS node FROM tri
-          UNION ALL SELECT b FROM tri
-          UNION ALL SELECT c FROM tri)
+          SELECT unnest([a, b, c]) AS node FROM tri)
         GROUP BY node ORDER BY node""")),
+        // ^ Two oracle-side (DuckDB) rewrites so the SAME semantics stay
+        // checkable at the sf1 ladder rung (411M oriented wedges there):
+        // (1) the wedge-closing EXISTS compiled to a RIGHT_SEMI hash
+        // join that BUILT on the 411M-row wedge stream — >58 GB of temp
+        // spill, disk-full; a plain inner join against ori is
+        // equivalent (ori's (src,dst) pairs are distinct, so at most
+        // one bc matches) and builds on the 12M-row edge side instead.
+        // (2) tri is referenced ONCE (unnest fans each triangle to its
+        // 3 corners in-stream) instead of 3x in a UNION ALL, which made
+        // DuckDB materialize the CTE. Verified row-identical to the old
+        // form at sf0.01 and to the Spark result at sf1 (sum 56534640),
+        // wall 231 s, temp bounded.
 
     // ── Link prediction: top-k common-neighbor / Jaccard candidates ────
     // The recommender / entity-resolution primitive: for every supplier,
