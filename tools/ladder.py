@@ -105,6 +105,7 @@ RUNG_DEFS = {
     "sf0.01": ("/root/testdata/sf0.01", "all"),
     "sf0.1": ("/root/testdata/sf0.1", "bench+iter+heavy"),
     "sf1": (SF1, "all"),
+    "sf1i": (SF1, "iter+heavy+d02+d03 isolated"),
     "sf10": (SF10, "iter+heavy+d02+d03"),
 }
 
@@ -190,13 +191,22 @@ def main():
             ("/root/testdata/sf0.01", None, "sf0.01", None),
             ("/root/testdata/sf0.1", "@bench", "sf0.1", None),
             (SF1, None, "sf1", None),
+            # sf1i: the sf10 subset at sf1 under the SAME one-JVM-per-
+            # query methodology as sf10, so the sf1→sf10 growth ratio
+            # compares like with like (the full-suite sf1 rung's walls
+            # carry 219-query shared-session cache effects: d18 reads
+            # slower there, s20 warmer). Not run by default — the full
+            # sf1 rung already correctness-gates these queries.
+            (SF1, SF10_SUBSET, "sf1i", "64g"),
             (SF10, SF10_SUBSET, "sf10", "64g")]:
+        if label == "sf1i" and not only:
+            continue
         if only and label not in only:
             continue
         print(f"[ladder] rung {label}: verify ...")
         vdir = f"/tmp/ladder_{label}"
         t0 = time.time()
-        if label == "sf10":
+        if label in ("sf10", "sf1i"):
             # One fresh JVM PER QUERY. The shared-session run collapsed
             # at this rung (round-9 finding): caches memoized across 11
             # queries at sf10 scale pushed the 64g heap to its ceiling,
