@@ -26,9 +26,13 @@ import graft.Tables
   */
 object GraphPack extends QueryPack {
 
-  /** One DuckDB PageRank step from CTE `prev` into CTE `out`. */
+  /** One DuckDB PageRank step from CTE `prev` into CTE `out`.
+    * MATERIALIZED throughout (like g05/g07/g09/g10): `edges` is
+    * referenced by deg + every step, and inlined CTEs re-evaluate the
+    * whole lineitem⋈orders prefix per reference — at the sf10 rung the
+    * inlined form spilled DuckDB's temp storage to disk-full. */
   private def duckStep(prev: String, out: String): String =
-    s"""$out AS (
+    s"""$out AS MATERIALIZED (
        |  SELECT e.v AS node,
        |         CAST(150000 + (85 * sum(p.r // dg.d)) // 100 AS BIGINT) AS r
        |  FROM edges e
@@ -52,10 +56,12 @@ object GraphPack extends QueryPack {
           .select(col("node"), col("r").as("rank_e6")).orderBy("node")
       },
       oracle = Some(s"""
-        WITH e0 AS (SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
-                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-        deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS MATERIALIZED (SELECT u, count(*) AS d FROM edges GROUP BY u),
         r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
         ${duckStep("r0", "i1")},
         ${duckStep("i1", "i2")},
