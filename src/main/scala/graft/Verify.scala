@@ -21,9 +21,16 @@ object Verify {
         else args(2).split(",").toSet)
       else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the thread count (the ladder's
+    // comparable-layout rule) but can be raised independently: at the
+    // sf10 rung cpus=8 packs ~7.5M shuffle rows per partition per
+    // iterative round, and "partitions follow data volume, not cores"
+    // is exactly the production guidance the ladder exists to test.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
