@@ -11,6 +11,7 @@ rung — and commits min/median/all walls per arm.
 
 Usage: python3 tools/growth_exp.py <round> [reps] [out.json]
                                    [--arms tag=query:parts,...]
+                                   [--dir /tmp/sf1]
 Default arms are in ARMS below; --arms overrides them (parts "def"
 = leave the knob unset, i.e. shuffle partitions follow cpus). The
 artifact is merged arm-by-arm into an existing out.json so the
@@ -34,13 +35,13 @@ ARMS = [
 ]
 
 
-def run_once(query, parts, out_dir):
+def run_once(query, parts, out_dir, sf_dir=SF10):
     env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_DRIVER_MEM="64g")
     if parts:
         env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = parts
     t0 = time.time()
     subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Verify {SF10} {out_dir} {query}"],
+        ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir} {query}"],
         cwd=REPO, check=True, env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     wall = round(time.time() - t0, 1)
@@ -64,6 +65,11 @@ def main():
         i = argv.index("--arms")
         arm_list = parse_arms(argv[i + 1])
         del argv[i:i + 2]
+    sf_dir = SF10
+    if "--dir" in argv:
+        i = argv.index("--dir")
+        sf_dir = argv[i + 1]
+        del argv[i:i + 2]
     rnd = argv[0]
     reps = int(argv[1]) if len(argv) > 1 else 3
     out = argv[2] if len(argv) > 2 else f"GROWTH_r{rnd}.json"
@@ -74,7 +80,7 @@ def main():
         walls = []
         for rep in range(reps):
             odir = f"/tmp/growth_{tag}_rep{rep}"
-            w, total = run_once(query, parts, odir)
+            w, total = run_once(query, parts, odir, sf_dir)
             walls.append(w)
             print(f"[growth] {tag} rep{rep}: query {w:.1f}s "
                   f"(jvm total {total:.1f}s)", flush=True)
@@ -82,7 +88,7 @@ def main():
         arms[tag] = {
             "query": query, "cpus": 8,
             "shuffle_partitions": int(parts) if parts else 8,
-            "driver_mem": "64g", "dir": SF10,
+            "driver_mem": "64g", "dir": sf_dir,
             "walls_sec": walls, "min_sec": walls_sorted[0],
             "median_sec": walls_sorted[len(walls_sorted) // 2],
         }
