@@ -64,16 +64,24 @@ object Hits {
     val e = edges.select(col("u"), col("v"))
     // two pre-partitioned edge copies, one per alternating join key —
     // each round's edge⋈score join then reshuffles only the node-sized
-    // score table, never the edge list
+    // score table, never the edge list. The CALLER'S edge plan is
+    // evaluated exactly once (into eByU's cut); eByV and the degree
+    // aggregate derive from the checkpoint, never from the caller's
+    // plan. Before this, all three setup relations independently
+    // re-ran the caller's edge DERIVATION — for g10 a fact⋈fact join
+    // + distinct that costs more than every HITS round combined at the
+    // sf10 rung (IterProbe: setup ≈ the whole 2-round wall, per-round
+    // marginal ≈ noise), which is what made HITS the scale ladder's
+    // lone >8x-growth outlier while PageRank (which pins first) grew 4x.
     val eByU = lc.pin(e.repartition(col("u")))
-    val eByV = lc.pin(e.repartition(col("v")))
+    val eByV = lc.pin(eByU.repartition(col("v")))
     // node set and total degree (in+out, bag union) come from ONE
-    // grouped aggregate — the count rides the same shuffle the distinct
-    // node set needs anyway, so the overflow guard below costs one
-    // node-sized agg over the checkpointed table instead of a second
-    // full edge scan
-    val grouped = lc.pin(e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node")))
+    // grouped aggregate over the checkpointed copies — the count rides
+    // the same shuffle the distinct node set needs anyway, so the
+    // overflow guard below costs one node-sized agg over checkpointed
+    // edges instead of a third evaluation of the caller's plan
+    val grouped = lc.pin(eByU.select(col("u").as("node"))
+      .union(eByV.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d")))
     val nodes = grouped.select(col("node"))
     // loud int64-headroom guard (scaladoc above): scores are ≤ 1e6 after
