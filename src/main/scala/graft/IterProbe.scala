@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * layout arms (GROWTH_r{N}) measure whole queries one JVM at a time;
   * this probe answers the follow-up those artifacts raise — WHICH stage
   * of an iterative query owns its growth (g10's sf10 reading is the
-  * motivating case: HITS grows ~12x min-of-3-matched for 10x data where
-  * PageRank grows ~4x, and the difference must be setup, round cost, or
-  * round count to be actionable).
+  * motivating case: pre-fix HITS grew 21.4x for 10x data at the default
+  * cpus-tied 8 shuffle partitions — GROWTH_r9's headline outlier — and
+  * still ~11.7x at the 64-partition layout arm, where PageRank grows
+  * ~4x; the difference had to be setup, round cost, or round count to
+  * be actionable, and the probe attributed it to setup).
   *
-  * Usage: runMain graft.IterProbe <sfDir> <pagerank|hits> [maxRounds]
+  * Usage: runMain graft.IterProbe <sfDir> <pagerank|hits|cc> [maxRounds]
   * Env: SPARK_GRAFT_CPUS / SPARK_GRAFT_SHUFFLE_PARTITIONS (Verify's
   * knobs, same defaults) so probe readings are comparable to the
   * ladder's.
@@ -43,15 +45,12 @@ object IterProbe {
       println(f"[iterprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
 
-    // the g01/g05/g08/g10 edge derivation (GraphPack's shared shape)
+    // the g01/g05/g10 edge derivation — GraphPack's OWN uncached helper
+    // (not a hand copy: if the shared derivation changes, the probe
+    // must keep measuring the graph the queries actually run on). The
+    // cache bypass is the point here: the probe times the derivation.
     def baseEdges(): DataFrame =
-      Tables.lineitem(spark, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey").as("u"),
-          (col("o_custkey") + lit(1000000L)).as("v"))
-        .distinct()
+      queries.GraphPack.deriveSupplierCustomerEdges(spark, d)
 
     timed("edge derivation (distinct count)")(baseEdges().count())
 
@@ -65,21 +64,39 @@ object IterProbe {
               .queryExecution.toRdd.count()
           }
       case "hits" =>
-        // g10's orientation: customers point at suppliers
-        val edges = Tables.lineitem(spark, d)
-          .select(col("l_orderkey"), col("l_suppkey"))
-          .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") + lit(1000000L)).as("u"),
-            col("l_suppkey").as("v"))
-          .distinct()
+        // g10's orientation: customers point at suppliers (the query's
+        // own reversal of the shared derivation, GraphPack.scala g10)
+        val edges = baseEdges()
+          .select(col("v").as("u"), col("u").as("v"))
         for (r <- 0 to maxRounds)
           timed(s"hits rounds=$r") {
             operators.Hits.scores(edges, r)
               .queryExecution.toRdd.count()
           }
+      case "cc" =>
+        // d06's shape: d03's LSH pair list → min-label components.
+        // Three attributable stages: (a) PAIR DERIVATION (the full d03
+        // path — shingles, minhash signatures, band join; memoized
+        // across queries in a shared session, paid in full by d06's
+        // one-JVM-per-query ladder runs), (b) CC SETUP (rounds=0: sym
+        // edge distinct + repartition + label init), (c) PER-ROUND
+        // marginal (one sym⋈labels join + min-agg + cut each). The
+        // round-9 open question this answers: d06's sf10 growth (5.4×
+        // min-of-3) and 84/91/158 s spread — which stage moves?
+        val pairs = graft.SparkEntry
+          .queries("d03_minhash_lsh")(spark, d)
+          .select(col("da"), col("db"))
+        timed("d03 pair derivation (count)")(pairs.count())
+        // pin so the CC timings below never re-pay the pair derivation
+        val pinned = pairs.localCheckpoint(true)
+        for (r <- 0 to maxRounds)
+          timed(s"cc rounds=$r") {
+            operators.ConnectedComponents
+              .minLabel(pinned, maxIterations = r)
+              .queryExecution.toRdd.count()
+          }
       case other =>
-        sys.error(s"unknown engine '$other' (pagerank|hits)")
+        sys.error(s"unknown engine '$other' (pagerank|hits|cc)")
     }
     spark.stop()
   }

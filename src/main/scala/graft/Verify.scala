@@ -7,6 +7,31 @@ import java.nio.file.{Files, Paths}
   * tools/ladder.py can record per-rung wall times in LADDER_r{N}.json
   * without a second run. */
 object Verify {
+
+  /** Shuffle-partition default: `max(cpus, ceil(4 × bytes / 128 MB))`.
+    * `bytes` is the fixture's on-disk parquet footprint; the ×4 is the
+    * measured snappy-parquet → UnsafeRow expansion (sf10: 2.4 GB on
+    * disk, ~60M lineitem rows ≈ 100 B each decoded), so the quotient
+    * approximates "decoded data / 128 MB target partition". At the
+    * driver's gate scales this stays = cpus (sf0.01 is 1.9 MB); it
+    * only rises once the data genuinely outgrows the thread count
+    * (sf10 → 75, the band the g10 layout experiment measured as 1.65×
+    * faster than cpus-tied 8). Spec-pinned in VerifyPartitionsSpec. */
+  def derivedShufflePartitions(inputBytes: Long, cpus: Int): Int =
+    math.max(cpus, math.ceil(inputBytes * 4.0 / (128L << 20)).toInt)
+
+  /** Recursive on-disk size of the fixture dir's parquet payload. */
+  def inputBytes(sfDir: String): Long = {
+    val root = Paths.get(sfDir)
+    if (!Files.exists(root)) 0L
+    else {
+      val s = Files.walk(root)
+      try s.filter(p => Files.isRegularFile(p))
+        .mapToLong(p => Files.size(p)).sum()
+      finally s.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg: comma-separated query names (dev iteration aid),
@@ -21,13 +46,17 @@ object Verify {
         else args(2).split(",").toSet)
       else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle partitions default to the thread count (the ladder's
-    // comparable-layout rule) but can be raised independently: at the
-    // sf10 rung cpus=8 packs ~7.5M shuffle rows per partition per
-    // iterative round, and "partitions follow data volume, not cores"
-    // is exactly the production guidance the ladder exists to test.
+    // Shuffle partitions FOLLOW DATA VOLUME, not core count (round 10,
+    // encoding round 9's measured layout lesson as the default): at the
+    // sf10 rung the old cpus-tied default packed ~7.5M shuffle rows per
+    // partition per iterative round and cost g10 546.6 vs 330.6 s
+    // against 64 partitions — and AQE cannot fix it at runtime because
+    // the initial partition count caps the post-coalesce layout.
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS still overrides (the ladder's
+    // layout-experiment knob).
     val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        derivedShufflePartitions(inputBytes(sfDir), cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -37,9 +66,28 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val timings = scala.collection.mutable.Map.empty[String, Double]
-    SparkEntry.queries
+    // Cache sweep at every query-GROUP boundary (round 10): the packs
+    // memoize materialized relations per (session, dir) and a full
+    // 219-query suite through one session otherwise accumulates all of
+    // them — the compounding that collapsed the shared-session sf10
+    // run. Group = the name's alpha prefix (d, e, g, mr, …), which is
+    // also the pack boundary, so within-group reuse (ten graph queries
+    // sharing one edge relation) is preserved while nothing survives
+    // into the next group. Peak block-manager storage is sampled after
+    // each query and recorded in storage.json — the managed-surface
+    // evidence SCALE.md cites.
+    var prevGroup = ""
+    var peakMem = 0L; var peakDisk = 0L; var peakRdds = 0
+    // iterate in PACK order (SparkEntry.all), not SparkEntry.queries'
+    // hash-map order — hash order interleaves packs, which would make
+    // the group-boundary sweep thrash (a sweep per query, destroying
+    // exactly the within-group reuse the memos exist for)
+    SparkEntry.all
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+      .foreach { case (name, q) =>
+      val fn = q.run
+      val group = name.takeWhile(!_.isDigit)
+      if (group != prevGroup) { Caches.sweep(spark); prevGroup = group }
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -48,7 +96,16 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val (nRdds, mem, disk) = Caches.storageBytes(spark)
+      if (mem + disk > peakMem + peakDisk) {
+        peakMem = mem; peakDisk = disk; peakRdds = nRdds
+      }
     }
+    Caches.sweep(spark)
+    Files.writeString(Paths.get(s"$outDir/storage.json"),
+      s"""{"peak_storage_mem_bytes": $peakMem, """ +
+        s""""peak_storage_disk_bytes": $peakDisk, """ +
+        s""""peak_persisted_rdds": $peakRdds}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -50,9 +50,21 @@ object Hits {
     *              their stopping round's fixed-round state exactly.
     * @return columns `node`, `hub_e6`, `auth_e6` for every node
     *         appearing in the edge list (either side) */
+  /** @param dualEdgePin true (default) = checkpoint TWO pre-partitioned
+    *              edge copies, one per alternating join key, so no
+    *              round ever reshuffles the edge list. false = pin only
+    *              the u-keyed copy and let each h-round's join reshuffle
+    *              it on `v` — halves setup materialization (the sf10
+    *              residual: two 58.7M-row pins before round 1) at the
+    *              price of one edge-sized shuffle per round. The
+    *              break-even is rounds ≈ 1-2 vs pin cost; both arms are
+    *              measured min-of-3 at sf10 in GROWTH_r10 (SCALE.md).
+    *              Results are IDENTICAL either way (same joins, same
+    *              arithmetic) — this is purely a physical-layout choice. */
   def scores(edges: DataFrame, iterations: Int,
       checkpointDir: Option[String] = None,
-      tol: Long = 0L): DataFrame = {
+      tol: Long = 0L,
+      dualEdgePin: Boolean = true): DataFrame = {
     require(tol >= 0L, s"tol must be ≥ 0 (got $tol)")
     // rotated per-round cuts: h/a interleave through one keep=2 FIFO —
     // a(n-1) is released when a(n) cuts, by which point h(n-1..n) were
@@ -74,7 +86,10 @@ object Hits {
     // marginal ≈ noise), which is what made HITS the scale ladder's
     // lone >8x-growth outlier while PageRank (which pins first) grew 4x.
     val eByU = lc.pin(e.repartition(col("u")))
-    val eByV = lc.pin(eByU.repartition(col("v")))
+    // single-pin mode reads the u-keyed checkpoint for BOTH joins —
+    // the h-round's join then reshuffles edges on `v` per round
+    // instead of paying a second up-front pin (scaladoc trade-off)
+    val eByV = if (dualEdgePin) lc.pin(eByU.repartition(col("v"))) else eByU
     // node set and total degree (in+out, bag union) come from ONE
     // grouped aggregate over the checkpointed copies — the count rides
     // the same shuffle the distinct node set needs anyway, so the

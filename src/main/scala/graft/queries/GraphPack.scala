@@ -61,35 +61,63 @@ object GraphPack extends QueryPack {
     * multiset) and g03 (part co-occurrence graph) derive their own. */
   private val edgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
-  private def supplierCustomerEdges(s: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, d),
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey").as("u"),
-          (col("o_custkey") + lit(1000000L)).as("v"))
-        .distinct()
-        // localCheckpoint, NOT persist: consumers re-scan this relation
-        // many times (engines pin/repartition it, declarative queries
-        // branch it), and an InMemoryRelation pays columnar
-        // compression + row conversion PER SCAN — measured SLOWER than
-        // re-deriving the cheap codegen join at sf0.1 (g01 warm 3.2 →
-        // 5.4 s under a persist() cache). A localCheckpoint stores raw
-        // UnsafeRow blocks — the same storage the engines' own pins
-        // use — and scans at block-read speed.
-        .localCheckpoint(true))
 
-  /** Unpins the memoized edge relation for `session` (DedupPack.clear's
-    * contract): entries are keyed (session, dir); other sessions'
-    * caches are untouched. */
+  /** The UNCACHED derivation — package-visible for [[graft.IterProbe]],
+    * whose whole point is to time this relational prefix separately
+    * from engine setup, so it must bypass the memo but measure the SAME
+    * plan the queries run (a hand-copied twin silently drifts). */
+  private[graft] def deriveSupplierCustomerEdges(
+      s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("u"),
+        (col("o_custkey") + lit(1000000L)).as("v"))
+      .distinct()
+
+  private def supplierCustomerEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.get((s, d)).getOrElse {
+      // Build-then-putIfAbsent, NOT getOrElseUpdate: TrieMap's
+      // getOrElseUpdate is not atomic over its builder, and the eager
+      // localCheckpoint inside it materializes blocks — two threads
+      // racing here would both checkpoint and the loser's pinned
+      // blocks would leak for the session lifetime (clear only sees
+      // the map entry). With putIfAbsent the loser's checkpoint is
+      // unpersisted before its DataFrame is dropped.
+      //
+      // localCheckpoint, NOT persist: consumers re-scan this relation
+      // many times (engines pin/repartition it, declarative queries
+      // branch it), and an InMemoryRelation pays columnar
+      // compression + row conversion PER SCAN — measured SLOWER than
+      // re-deriving the cheap codegen join at sf0.1 (g01 warm 3.2 →
+      // 5.4 s under a persist() cache). A localCheckpoint stores raw
+      // UnsafeRow blocks — the same storage the engines' own pins
+      // use — and scans at block-read speed.
+      val built = deriveSupplierCustomerEdges(s, d).localCheckpoint(true)
+      edgeCache.putIfAbsent((s, d), built) match {
+        case Some(winner) => unpinCheckpoint(built); winner
+        case None => built
+      }
+    }
+
+  private def unpinCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = true))
+
+  /** Drops the memoized edge relation for `session` — entries are keyed
+    * (session, dir); other sessions' caches are untouched. STRONGER
+    * than DedupPack.clear's unpin: that pack's persist-backed relations
+    * transparently recompute after unpersist, whereas unpersisting a
+    * localCheckpoint'd RDD truncates lineage — any still-held DataFrame
+    * derived from the cached edge relation THROWS on its next action
+    * instead of recomputing. Callers must not hold graph-query
+    * DataFrames across a clear; re-request them (the next call
+    * re-derives and re-pins). */
   def clear(session: SparkSession): Unit =
     edgeCache.keys.filter(_._1 eq session).foreach { k =>
-      edgeCache.remove(k).foreach { df =>
-        df.queryExecution.analyzed.collectFirst {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = true))
-      }
+      edgeCache.remove(k).foreach(unpinCheckpoint)
     }
 
   def queries: Seq[(String, Q)] = Seq(
@@ -507,7 +535,12 @@ object GraphPack extends QueryPack {
       run = (s, d) => {
         val edges = supplierCustomerEdges(s, d)
           .select(col("v").as("u"), col("u").as("v"))
-        graft.operators.Hits.scores(edges, 2).orderBy("node")
+        // SPARK_GRAFT_HITS_SINGLE_PIN=1 is the GROWTH_r10 layout-arm
+        // knob (never set by the driver): results are identical either
+        // way — see Hits.scores(dualEdgePin) for the measured trade
+        graft.operators.Hits.scores(edges, 2,
+          dualEdgePin = !sys.env.get("SPARK_GRAFT_HITS_SINGLE_PIN")
+            .contains("1")).orderBy("node")
       },
       oracle = Some {
         def round(hPrev: String, i: Int): String =

@@ -16,11 +16,12 @@ class BenchSummarySpec extends AnyFunSuite {
 
   private val fields = Seq("summary", "total", "iter_total", "heavy_total",
     "stream_rows_per_sec", "stream_ok", "batch_ms_p50", "batch_ms_p95",
-    "calib_sec", "n_failed", "failed", "sf")
+    "calib_sec", "calib_par_sec", "n_failed", "failed", "sf")
 
   test("summary line is < 500 chars, valid JSON, all headline fields") {
     val line = Bench.summaryLine(7.873456, 14.2345, 3.1, 153000L,
-      streamOk = true, 210L, 480L, 0.8123, Nil, "/root/testdata/sf0.1")
+      streamOk = true, 210L, 480L, 0.8123, 0.6345, Nil,
+      "/root/testdata/sf0.1")
     assert(line.length < 500, s"summary line is ${line.length} chars")
     val parsed = JsonMethods.parse(line)
     for (f <- fields)
@@ -34,7 +35,7 @@ class BenchSummarySpec extends AnyFunSuite {
     // the cap (5 names + count) and the path tail-trim must hold
     val manyFailed = (1 to 60).map(i => s"q${i}_some_long_query_name_here")
     val line = Bench.summaryLine(-1.0, -1.0, -1.0, -1L,
-      streamOk = false, -1L, -1L, 99.987654, manyFailed,
+      streamOk = false, -1L, -1L, 99.987654, 99.123456, manyFailed,
       "/very/long/prefix/" + ("x" * 300))
     assert(line.length < 500, s"summary line is ${line.length} chars")
     val parsed = JsonMethods.parse(line)

@@ -64,6 +64,21 @@ class HitsSpec extends AnyFunSuite {
       "checkpoint dir is empty — rounds did not go through the reliable path")
   }
 
+  test("single-pin layout is bit-identical to dual-pin (physical-only)") {
+    // dualEdgePin=false trades the second pre-partitioned edge pin for
+    // a per-round edge shuffle — a pure physical-layout choice that
+    // must never move a score. Run it on the graph whose round-1
+    // scores are asymmetric (two-hub) at two round counts.
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+    for (iters <- Seq(1, 3)) {
+      val single = Hits.scores(g.toDF("u", "v"), iters, dualEdgePin = false)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(single === scores(g, iters),
+        s"single-pin diverged from dual-pin at iterations=$iters")
+    }
+  }
+
   test("tol=0 ≡ fixed rounds (the oracle-replayable surface, unchanged)") {
     val got = Hits.scores(fan.toDF("u", "v"), 2, tol = 0L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -27,18 +27,28 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 SF10 = "/tmp/sf10"
 
-# (tag, query, shuffle_partitions_or_None_for_default)
+# (tag, query, shuffle_partitions_or_None_for_default[, extra_env])
+# round 10: parts=None now means Verify's DATA-DERIVED default
+# (max(cpus, ceil(4 x bytes / 128 MB)) -> 75 at sf10), not cpus-tied 8
 ARMS = [
-    ("g10_p64", "g10_hits", "64"),
-    ("g10_p8", "g10_hits", None),
-    ("g01_p64", "g01_pagerank", "64"),
+    ("g10_dual_def", "g10_hits", None),
+    ("g10_single_def", "g10_hits", None,
+     {"SPARK_GRAFT_HITS_SINGLE_PIN": "1"}),
+    ("g01_def", "g01_pagerank", None),
+    ("d06_def", "d06_dup_clusters", None),
+    ("g05_def", "g05_kcore", None),
+    ("g08_def", "g08_sssp", None),
+    ("d02_def", "d02_ngram_jaccard", None),
+    ("d03_def", "d03_minhash_lsh", None),
 ]
 
 
-def run_once(query, parts, out_dir, sf_dir=SF10):
+def run_once(query, parts, out_dir, sf_dir=SF10, extra_env=None):
     env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_DRIVER_MEM="64g")
     if parts:
         env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = parts
+    if extra_env:
+        env.update(extra_env)
     t0 = time.time()
     subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir} {query}"],
@@ -50,11 +60,19 @@ def run_once(query, parts, out_dir, sf_dir=SF10):
 
 
 def parse_arms(spec):
+    # tag=query:parts[:KEY=VAL] - parts "def" leaves the knob unset
+    # (Verify's data-derived default); an optional trailing KEY=VAL is
+    # passed into the arm's environment (e.g. the g10 single-pin knob)
     arms = []
     for item in spec.split(","):
-        tag, rhs = item.split("=")
-        query, parts = rhs.split(":")
-        arms.append((tag, query, None if parts == "def" else parts))
+        tag, rhs = item.split("=", 1)
+        fields = rhs.split(":")
+        query, parts = fields[0], fields[1]
+        extra = None
+        if len(fields) > 2:
+            k, v = fields[2].split("=", 1)
+            extra = {k: v}
+        arms.append((tag, query, None if parts == "def" else parts, extra))
     return arms
 
 
@@ -76,18 +94,21 @@ def main():
     out_path = REPO / out
     arms = (json.loads(out_path.read_text())["arms"]
             if out_path.exists() else {})
-    for tag, query, parts in arm_list:
+    for arm in arm_list:
+        tag, query, parts = arm[0], arm[1], arm[2]
+        extra_env = arm[3] if len(arm) > 3 else None
         walls = []
         for rep in range(reps):
             odir = f"/tmp/growth_{tag}_rep{rep}"
-            w, total = run_once(query, parts, odir, sf_dir)
+            w, total = run_once(query, parts, odir, sf_dir, extra_env)
             walls.append(w)
             print(f"[growth] {tag} rep{rep}: query {w:.1f}s "
                   f"(jvm total {total:.1f}s)", flush=True)
         walls_sorted = sorted(walls)
         arms[tag] = {
             "query": query, "cpus": 8,
-            "shuffle_partitions": int(parts) if parts else 8,
+            "shuffle_partitions": int(parts) if parts else "data-derived",
+            "extra_env": extra_env,
             "driver_mem": "64g", "dir": sf_dir,
             "walls_sec": walls, "min_sec": walls_sorted[0],
             "median_sec": walls_sorted[len(walls_sorted) // 2],

@@ -28,9 +28,18 @@ comparable; the sf10 rung raises the driver heap instead of the
 thread count.
 
 Usage: python3 tools/ladder.py <round_number> [out.json] [rungs]
+                               [--reps N]
        python3 tools/ladder.py <round_number> --recheck <label>
                                [--only q1,q2]
        python3 tools/ladder.py <round_number> --rebuild sf0.01,sf1,...
+
+--reps N (round 10, verdict item 7): the one-JVM-per-query rungs
+(sf10, sf1i) run each query N times and record min/median/all walls —
+round 9 proved single readings at that rung carry ±2-3x weather (g05:
+368 s rung reading vs 132 s min-of-3), so future readers quoting the
+rung need the min-of-N IN the rung, not in a side artifact. Defaults
+to 3 for sf10/sf1i; the single-JVM suite rungs are unaffected (their
+walls come from one shared-session pass by design).
 
 --rebuild composes the artifact from EXISTING /tmp/ladder_<label>
 outputs (report.json + timings.json) without re-running anything —
@@ -181,8 +190,14 @@ def main():
             only = sys.argv[sys.argv.index("--only") + 1]
         recheck(rnd, label, only)
         return
-    out = sys.argv[2] if len(sys.argv) > 2 else f"LADDER_r{rnd}.json"
-    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    argv = list(sys.argv)
+    reps = 3
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i:i + 2]
+    out = argv[2] if len(argv) > 2 else f"LADDER_r{rnd}.json"
+    only = argv[3].split(",") if len(argv) > 3 else None
     ensure_fixture(SF1, 10)
     ensure_fixture(SF10, 100)
     rungs = {}
@@ -215,25 +230,48 @@ def main():
             # wall was confounded by the previous queries' cache
             # pressure. Isolation is also the production-faithful
             # shape: each job owns its session and executors.
-            merged = {}
-            for qname in subset.split(","):
-                try:
-                    run_verify(sf_dir, vdir, qname, mem=mem)
-                except subprocess.CalledProcessError:
-                    print(f"[ladder] {label}/{qname}: verify FAILED "
-                          f"(recorded; continuing)")
-                try:
-                    merged.update(json.loads(
-                        Path(vdir, "timings.json").read_text()))
-                except FileNotFoundError:
-                    pass
-            Path(vdir, "timings.json").write_text(
-                json.dumps(merged, indent=1, sort_keys=True))
+            #
+            # min-of-N (round 10): each query runs `reps` fresh JVMs,
+            # ROUND-ROBIN over the whole subset (Bench's interleaving
+            # rationale: back-to-back repetitions let one host-load
+            # spike poison all of a query's readings; interleaved, each
+            # query's repetitions are many minutes apart). wall_sec is
+            # the MIN; wall_all carries every reading in run order.
+            merged = {}        # qname -> list of walls, run order
+            for rep in range(reps):
+                for qname in subset.split(","):
+                    try:
+                        run_verify(sf_dir, vdir, qname, mem=mem)
+                    except subprocess.CalledProcessError:
+                        print(f"[ladder] {label}/{qname} rep {rep}: "
+                              f"verify FAILED (recorded; continuing)")
+                    try:
+                        t = json.loads(
+                            Path(vdir, "timings.json").read_text())
+                        if qname in t:
+                            merged.setdefault(qname, []).append(t[qname])
+                    except FileNotFoundError:
+                        pass
+            Path(vdir, "timings.json").write_text(json.dumps(
+                {q: min(w) for q, w in merged.items()},
+                indent=1, sort_keys=True))
+            Path(vdir, "timings_all.json").write_text(json.dumps(
+                merged, indent=1, sort_keys=True))
         else:
             run_verify(sf_dir, vdir, subset, mem=mem)
         print(f"[ladder] rung {label}: oracle compare ...")
         results, rc = run_check(vdir, sf_dir)
         failed = failed or rc != 0
+        # min-of-N rungs: fold every reading + the median into the rung
+        # (wall_sec stays the min — the round-over-round comparable)
+        allpath = Path(vdir, "timings_all.json")
+        if allpath.exists():
+            walls = json.loads(allpath.read_text())
+            for qname, ws in walls.items():
+                if qname in results:
+                    s = sorted(ws)
+                    results[qname]["wall_all"] = ws
+                    results[qname]["wall_median"] = s[len(s) // 2]
         if subset and subset != "@bench":
             # a query whose verify crashed has no output dir and would
             # otherwise vanish from the report — record it as a fail
