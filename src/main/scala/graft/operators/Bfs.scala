@@ -31,30 +31,35 @@ object Bfs {
     * @return columns `node`, `hop` (min hops from any source, ≤ maxHops) */
   def hops(edges: DataFrame, sources: DataFrame, maxHops: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    // rotated per-round cuts: a superseded distance table's blocks are
-    // unpersisted once 2 newer cuts exist (see [[LineageCut]]) — bounded
-    // storage by construction, not ContextCleaner timing
-    val lc = new LineageCut(checkpointDir)
-    // pre-partitioned on the per-round join key (the g01 hoist): each
-    // round's frontier⋈e join reshuffles only the frontier
-    val e = lc.pin(edges.select(col("u"), col("v")).repartition(col("u")))
-    var dist = lc(sources.select(col("node"), lit(0L).as("hop")).distinct())
-    var h = 1
-    var exhausted = false
-    while (h <= maxHops && !exhausted) {
-      val frontier = dist.filter(col("hop") === (h - 1))
-      // an empty frontier can never add rows — stop instead of running
-      // the remaining maxHops rounds as no-ops (matters when callers
-      // pass a generous bound rather than the graph's diameter)
-      if (frontier.limit(1).count() == 0L) exhausted = true
-      else {
-        val next = frontier.join(e, frontier("node") === e("u"))
-          .select(e("v").as("node"), lit(h.toLong).as("hop"))
-        dist = lc(dist.union(next)
-          .groupBy("node").agg(min("hop").as("hop")))
+    // core-tied round layout (see [[RoundLayout]]): node-sized
+    // per-round state must not inherit a corpus-derived session
+    // partition count -- measured at sf10 in GROWTH_r10
+    RoundLayout.coreTied(edges.sparkSession) {
+      // rotated per-round cuts: a superseded distance table's blocks are
+      // unpersisted once 2 newer cuts exist (see [[LineageCut]]) — bounded
+      // storage by construction, not ContextCleaner timing
+      val lc = new LineageCut(checkpointDir)
+      // pre-partitioned on the per-round join key (the g01 hoist): each
+      // round's frontier⋈e join reshuffles only the frontier
+      val e = lc.pin(edges.select(col("u"), col("v")).repartition(col("u")))
+      var dist = lc(sources.select(col("node"), lit(0L).as("hop")).distinct())
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        val frontier = dist.filter(col("hop") === (h - 1))
+        // an empty frontier can never add rows — stop instead of running
+        // the remaining maxHops rounds as no-ops (matters when callers
+        // pass a generous bound rather than the graph's diameter)
+        if (frontier.limit(1).count() == 0L) exhausted = true
+        else {
+          val next = frontier.join(e, frontier("node") === e("u"))
+            .select(e("v").as("node"), lit(h.toLong).as("hop"))
+          dist = lc(dist.union(next)
+            .groupBy("node").agg(min("hop").as("hop")))
+        }
+        h += 1
       }
-      h += 1
+      dist
     }
-    dist
   }
 }

@@ -48,45 +48,50 @@ object ConnectedComponents {
     *                      `localCheckpoint` */
   def minLabel(edges: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    // rotated per-round cuts: a superseded label table's blocks are
-    // unpersisted once 2 newer cuts exist (see [[LineageCut]])
-    val lc = new LineageCut(checkpointDir)
-    val e = edges.toDF("a", "b")
-    // pre-partitioned on the per-round join key (the g01 hoist): the
-    // persisted blocks keep their partitioning, so each round's
-    // sym⋈labels join reshuffles only the node-sized label table —
-    // the edge relation never re-crosses the wire
-    val sym = e
-      .union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .repartition(col("a"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager checkpoint: materializes AND truncates lineage to a
-    // LogicalRDD — constant-size plans per round (see scaladoc)
-    var labels = lc(sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      // change detection rides the SAME aggregate: each node's own label
-      // travels in the union flagged `own`, the agg keeps min(all) and
-      // the own label, and "any node improved" is a cheap filter over
-      // the already-checkpointed result — one join + one agg per round,
-      // not join + agg + a second labels⋈next join just to diff.
-      val msgs = sym
-        .join(labels, sym("a") === labels("node"))
-        .select(sym("b").as("node"), labels("label"), lit(0L).as("own"))
-        .union(labels.withColumn("own", lit(1L)))
-      val next = lc(msgs.groupBy("node")
-        .agg(min("label").as("label"),
-          max(when(col("own") === 1L, col("label"))).as("prev")))
-      val changed = next.filter(col("label") < col("prev"))
-        .limit(1).count()
-      labels = next.select("node", "label")
-      converged = changed == 0L
-      i += 1
+    // core-tied round layout (see [[RoundLayout]]): node-sized
+    // per-round state must not inherit a corpus-derived session
+    // partition count -- measured at sf10 in GROWTH_r10
+    RoundLayout.coreTied(edges.sparkSession) {
+      // rotated per-round cuts: a superseded label table's blocks are
+      // unpersisted once 2 newer cuts exist (see [[LineageCut]])
+      val lc = new LineageCut(checkpointDir)
+      val e = edges.toDF("a", "b")
+      // pre-partitioned on the per-round join key (the g01 hoist): the
+      // persisted blocks keep their partitioning, so each round's
+      // sym⋈labels join reshuffles only the node-sized label table —
+      // the edge relation never re-crosses the wire
+      val sym = e
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .repartition(col("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager checkpoint: materializes AND truncates lineage to a
+      // LogicalRDD — constant-size plans per round (see scaladoc)
+      var labels = lc(sym.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        // change detection rides the SAME aggregate: each node's own label
+        // travels in the union flagged `own`, the agg keeps min(all) and
+        // the own label, and "any node improved" is a cheap filter over
+        // the already-checkpointed result — one join + one agg per round,
+        // not join + agg + a second labels⋈next join just to diff.
+        val msgs = sym
+          .join(labels, sym("a") === labels("node"))
+          .select(sym("b").as("node"), labels("label"), lit(0L).as("own"))
+          .union(labels.withColumn("own", lit(1L)))
+        val next = lc(msgs.groupBy("node")
+          .agg(min("label").as("label"),
+            max(when(col("own") === 1L, col("label"))).as("prev")))
+        val changed = next.filter(col("label") < col("prev"))
+          .limit(1).count()
+        labels = next.select("node", "label")
+        converged = changed == 0L
+        i += 1
+      }
+      sym.unpersist()
+      labels.select(col("node"), col("label").as("component"))
     }
-    sym.unpersist()
-    labels.select(col("node"), col("label").as("component"))
   }
 }

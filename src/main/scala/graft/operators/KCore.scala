@@ -38,26 +38,31 @@ object KCore {
     *                      `localCheckpoint` */
   def core(edges: DataFrame, k: Int, maxRounds: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    // rotated per-round cuts: a peeled-away edge generation's blocks
-    // are unpersisted once 2 newer cuts exist (see [[LineageCut]])
-    val lc = new LineageCut(checkpointDir)
-    var cur = lc(edges.select(col("u"), col("v")).repartition(col("u")))
-    var nEdges = cur.count()
-    var stable = nEdges == 0L
-    var round = 0
-    while (!stable && round < maxRounds) {
-      val keep = cur.groupBy("u").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("u")
-      val next = lc(cur
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).repartition(col("u")))
-      val n2 = next.count()
-      stable = n2 == nEdges
-      cur = next
-      nEdges = n2
-      round += 1
+    // core-tied round layout (see [[RoundLayout]]): node-sized
+    // per-round state must not inherit a corpus-derived session
+    // partition count -- measured at sf10 in GROWTH_r10
+    RoundLayout.coreTied(edges.sparkSession) {
+      // rotated per-round cuts: a peeled-away edge generation's blocks
+      // are unpersisted once 2 newer cuts exist (see [[LineageCut]])
+      val lc = new LineageCut(checkpointDir)
+      var cur = lc(edges.select(col("u"), col("v")).repartition(col("u")))
+      var nEdges = cur.count()
+      var stable = nEdges == 0L
+      var round = 0
+      while (!stable && round < maxRounds) {
+        val keep = cur.groupBy("u").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("u")
+        val next = lc(cur
+          .join(keep, Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")).repartition(col("u")))
+        val n2 = next.count()
+        stable = n2 == nEdges
+        cur = next
+        nEdges = n2
+        round += 1
+      }
+      cur.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
     }
-    cur.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 }

@@ -44,25 +44,30 @@ object LabelPropagation {
   def propagate(edges: DataFrame, seeds: DataFrame,
       maxIterations: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    // rotated per-round cuts: won/labels interleave through one keep=2
-    // FIFO — labels(n-1) is released when labels(n) cuts, by which point
-    // won(n) and labels(n) were already materialized from it
-    val lc = new LineageCut(checkpointDir)
-    // pre-partitioned on the per-round join key (the g01 hoist): each
-    // round's e⋈labels join reshuffles only the label table
-    val e = edges.toDF("u", "v").repartition(col("u"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = lc(seeds.toDF("node", "label"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      val won = lc(round(e, labels))
-      if (won.limit(1).count() == 0L) converged = true
-      else labels = lc(labels.union(won))
-      i += 1
+    // core-tied round layout (see [[RoundLayout]]): node-sized
+    // per-round state must not inherit a corpus-derived session
+    // partition count -- measured at sf10 in GROWTH_r10
+    RoundLayout.coreTied(edges.sparkSession) {
+      // rotated per-round cuts: won/labels interleave through one keep=2
+      // FIFO — labels(n-1) is released when labels(n) cuts, by which point
+      // won(n) and labels(n) were already materialized from it
+      val lc = new LineageCut(checkpointDir)
+      // pre-partitioned on the per-round join key (the g01 hoist): each
+      // round's e⋈labels join reshuffles only the label table
+      val e = edges.toDF("u", "v").repartition(col("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = lc(seeds.toDF("node", "label"))
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        val won = lc(round(e, labels))
+        if (won.limit(1).count() == 0L) converged = true
+        else labels = lc(labels.union(won))
+        i += 1
+      }
+      e.unpersist()
+      labels
     }
-    e.unpersist()
-    labels
   }
 
   /** One propagation round: (node, label) wins among the still-unlabeled

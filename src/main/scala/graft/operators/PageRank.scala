@@ -90,122 +90,127 @@ object PageRank {
       teleportTo: Option[DataFrame] = None,
       tol: Long = 0L,
       initialRanks: Option[DataFrame] = None): DataFrame = {
-    require(teleportTo.isEmpty || !redistributeDangling,
-      "teleportTo is only supported under the symmetric contract " +
-        "(redistributeDangling=false)")
-    require(tol >= 0L, s"tol must be ≥ 0 (got $tol)")
-    // per-round cuts rotate through LineageCut so superseded rounds'
-    // blocks are unpersisted BY CONSTRUCTION (≤2 rank states live at
-    // any time), not left to ContextCleaner GC timing; setup relations
-    // are pinned for the whole run
-    val lc = new LineageCut(checkpointDir)
-    val e = lc.pin(edges.select(col("u"), col("v")))
-    val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
-    // contribution edges (u, v, d) built ONCE and pre-partitioned on the
-    // join key: the loop used to redo e⋈deg every round, shuffling the
-    // full edge list per iteration; now each round reshuffles only the
-    // rank table (one row per node) plus the destination-keyed sum
-    val ed = lc.pin(e.join(deg, "u").repartition(col("u")))
-
-    // shared round driver for all three modes: fixed-count when tol=0
-    // (the pre-tol behavior, bit-identical), early-stop on
-    // max|Δr| ≤ tol otherwise. prev and r are adjacent LineageCut
-    // generations (keep=2), so prev's blocks are still live when the
-    // delta reads them.
-    def loop(init: DataFrame)(step: DataFrame => DataFrame): DataFrame = {
-      var r = init
-      var i = 0
-      var converged = false
-      while (i < iterations && !converged) {
-        val prev = r
-        r = step(prev)
-        if (tol > 0L) {
-          val delta = r.select(col("node"), col("r"))
-            .join(prev.select(col("node"), col("r").as("r_prev")), "node")
-            .agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L))
-              .as("d"))
-            .head.getLong(0)
-          converged = delta <= tol
+    // core-tied round layout (see [[RoundLayout]]): node-sized
+    // per-round state must not inherit a corpus-derived session
+    // partition count -- measured at sf10 in GROWTH_r10
+    RoundLayout.coreTied(edges.sparkSession) {
+      require(teleportTo.isEmpty || !redistributeDangling,
+        "teleportTo is only supported under the symmetric contract " +
+          "(redistributeDangling=false)")
+      require(tol >= 0L, s"tol must be ≥ 0 (got $tol)")
+      // per-round cuts rotate through LineageCut so superseded rounds'
+      // blocks are unpersisted BY CONSTRUCTION (≤2 rank states live at
+      // any time), not left to ContextCleaner GC timing; setup relations
+      // are pinned for the whole run
+      val lc = new LineageCut(checkpointDir)
+      val e = lc.pin(edges.select(col("u"), col("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+      // contribution edges (u, v, d) built ONCE and pre-partitioned on the
+      // join key: the loop used to redo e⋈deg every round, shuffling the
+      // full edge list per iteration; now each round reshuffles only the
+      // rank table (one row per node) plus the destination-keyed sum
+      val ed = lc.pin(e.join(deg, "u").repartition(col("u")))
+  
+      // shared round driver for all three modes: fixed-count when tol=0
+      // (the pre-tol behavior, bit-identical), early-stop on
+      // max|Δr| ≤ tol otherwise. prev and r are adjacent LineageCut
+      // generations (keep=2), so prev's blocks are still live when the
+      // delta reads them.
+      def loop(init: DataFrame)(step: DataFrame => DataFrame): DataFrame = {
+        var r = init
+        var i = 0
+        var converged = false
+        while (i < iterations && !converged) {
+          val prev = r
+          r = step(prev)
+          if (tol > 0L) {
+            val delta = r.select(col("node"), col("r"))
+              .join(prev.select(col("node"), col("r").as("r_prev")), "node")
+              .agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L))
+                .as("d"))
+              .head.getLong(0)
+            converged = delta <= tol
+          }
+          i += 1
         }
-        i += 1
+        r
       }
-      r
-    }
-    // resume surface: a caller-provided starting state replaces the
-    // uniform init — cut once so the first round's two reads (dsum +
-    // inflow in the redistribute mode) don't re-evaluate an arbitrary
-    // caller plan (e.g. a checkpoint-recovery scan)
-    val resumeInit: Option[DataFrame] =
-      initialRanks.map(df => lc.pin(df.select(col("node"), col("r"))))
-
-    if (!redistributeDangling) {
-      // loud guard for the documented contract (scaladoc above): a
-      // destination with no out-edges would silently absorb rank
-      val dangling = e.select(col("v").as("u")).distinct()
-        .join(deg, Seq("u"), "left_anti").limit(1).count()
-      require(dangling == 0L,
-        "PageRank(redistributeDangling=false) requires a symmetrized edge " +
-          "list (every destination must also be a source); found dangling " +
-          "destinations — symmetrize the input or pass redistributeDangling=true")
-      val init = resumeInit.getOrElse(
-        deg.select(col("u").as("node"), lit(1000000L).as("r")))
-      teleportTo match {
-        case None =>
-          loop(init) { prev =>
-            lc(ed
-              .join(prev, col("node") === col("u"))
-              .groupBy(col("v"))
-              .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
-                .as("r2"))
-              .select(col("v").as("node"), col("r2").as("r")))
-          }
-        case Some(t) =>
-          // nodes with zero inflow still carry their seed base, so the
-          // update is anchored on the node set (= sources, symmetric
-          // contract), not on the destinations that happened to receive
-          val nodes = lc.pin(deg.select(col("u").as("node")))
-          val seeds = lc.pin(t.select(col("node")).distinct()
-            .withColumn("is_seed", lit(1)))
-          loop(init) { prev =>
-            val inflow = ed
-              .join(prev, col("node") === col("u"))
-              .groupBy(col("v"))
-              .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
-              .select(col("v").as("node"), col("inflow"))
-            lc(nodes
-              .join(inflow, Seq("node"), "left_outer")
-              .join(seeds, Seq("node"), "left_outer")
-              .select(col("node"),
-                expr("CAST((CASE WHEN is_seed = 1 THEN 150000 ELSE 0 END)" +
-                  " + (85 * coalesce(inflow, 0L)) div 100 AS BIGINT)")
-                  .as("r")))
-          }
-      }
-    } else {
-      val nodes = lc.pin(e.select(col("u").as("node"))
-        .union(e.select(col("v").as("node"))).distinct())
-      // graph cardinality is fixed across rounds — one setup count, a
-      // literal thereafter (metadata-sized, not a per-round collect)
-      val n = nodes.count()
-      val danglingNodes = nodes.join(
-        deg.select(col("u").as("node")), Seq("node"), "left_anti")
-      val init = resumeInit.getOrElse(nodes.withColumn("r", lit(1000000L)))
-      loop(init) { prev =>
-        // one-row dangling-mass aggregate, broadcast into every node's
-        // update via cross join — stays distributed, no driver round-trip
-        val dsum = prev.join(danglingNodes, Seq("node"), "left_semi")
-          .agg(coalesce(sum("r"), lit(0L)).as("dsum"))
-        val inflow = ed
-          .join(prev, col("node") === col("u"))
-          .groupBy(col("v"))
-          .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
-          .select(col("v").as("node"), col("inflow"))
-        lc(nodes
-          .join(inflow, Seq("node"), "left_outer")
-          .crossJoin(broadcast(dsum))
-          .select(col("node"),
-            expr(s"CAST(150000 + (85 * (coalesce(inflow, 0L) + dsum div ${n}L))" +
-              " div 100 AS BIGINT)").as("r")))
+      // resume surface: a caller-provided starting state replaces the
+      // uniform init — cut once so the first round's two reads (dsum +
+      // inflow in the redistribute mode) don't re-evaluate an arbitrary
+      // caller plan (e.g. a checkpoint-recovery scan)
+      val resumeInit: Option[DataFrame] =
+        initialRanks.map(df => lc.pin(df.select(col("node"), col("r"))))
+  
+      if (!redistributeDangling) {
+        // loud guard for the documented contract (scaladoc above): a
+        // destination with no out-edges would silently absorb rank
+        val dangling = e.select(col("v").as("u")).distinct()
+          .join(deg, Seq("u"), "left_anti").limit(1).count()
+        require(dangling == 0L,
+          "PageRank(redistributeDangling=false) requires a symmetrized edge " +
+            "list (every destination must also be a source); found dangling " +
+            "destinations — symmetrize the input or pass redistributeDangling=true")
+        val init = resumeInit.getOrElse(
+          deg.select(col("u").as("node"), lit(1000000L).as("r")))
+        teleportTo match {
+          case None =>
+            loop(init) { prev =>
+              lc(ed
+                .join(prev, col("node") === col("u"))
+                .groupBy(col("v"))
+                .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
+                  .as("r2"))
+                .select(col("v").as("node"), col("r2").as("r")))
+            }
+          case Some(t) =>
+            // nodes with zero inflow still carry their seed base, so the
+            // update is anchored on the node set (= sources, symmetric
+            // contract), not on the destinations that happened to receive
+            val nodes = lc.pin(deg.select(col("u").as("node")))
+            val seeds = lc.pin(t.select(col("node")).distinct()
+              .withColumn("is_seed", lit(1)))
+            loop(init) { prev =>
+              val inflow = ed
+                .join(prev, col("node") === col("u"))
+                .groupBy(col("v"))
+                .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
+                .select(col("v").as("node"), col("inflow"))
+              lc(nodes
+                .join(inflow, Seq("node"), "left_outer")
+                .join(seeds, Seq("node"), "left_outer")
+                .select(col("node"),
+                  expr("CAST((CASE WHEN is_seed = 1 THEN 150000 ELSE 0 END)" +
+                    " + (85 * coalesce(inflow, 0L)) div 100 AS BIGINT)")
+                    .as("r")))
+            }
+        }
+      } else {
+        val nodes = lc.pin(e.select(col("u").as("node"))
+          .union(e.select(col("v").as("node"))).distinct())
+        // graph cardinality is fixed across rounds — one setup count, a
+        // literal thereafter (metadata-sized, not a per-round collect)
+        val n = nodes.count()
+        val danglingNodes = nodes.join(
+          deg.select(col("u").as("node")), Seq("node"), "left_anti")
+        val init = resumeInit.getOrElse(nodes.withColumn("r", lit(1000000L)))
+        loop(init) { prev =>
+          // one-row dangling-mass aggregate, broadcast into every node's
+          // update via cross join — stays distributed, no driver round-trip
+          val dsum = prev.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum("r"), lit(0L)).as("dsum"))
+          val inflow = ed
+            .join(prev, col("node") === col("u"))
+            .groupBy(col("v"))
+            .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
+            .select(col("v").as("node"), col("inflow"))
+          lc(nodes
+            .join(inflow, Seq("node"), "left_outer")
+            .crossJoin(broadcast(dsum))
+            .select(col("node"),
+              expr(s"CAST(150000 + (85 * (coalesce(inflow, 0L) + dsum div ${n}L))" +
+                " div 100 AS BIGINT)").as("r")))
+        }
       }
     }
   }

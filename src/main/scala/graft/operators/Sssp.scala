@@ -43,42 +43,47 @@ object Sssp {
     *         over ≤ maxRounds edges; unreached nodes absent) */
   def distances(edges: DataFrame, sources: DataFrame, maxRounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    // rotated per-round cuts with keep=3 (see [[LineageCut]]): the
-    // frontier cut reads `dist` from TWO cut generations back
-    // (dist(n-1) joins against merged(n) AFTER merged(n)'s cut), so
-    // three generations stay live — still bounded by construction
-    val lc = new LineageCut(checkpointDir, keep = 3)
-    // pre-partitioned on the per-round join key (the g01 hoist): each
-    // round's frontier⋈e join reshuffles only the frontier
-    val e = lc.pin(edges.select(col("u"), col("v"), col("w"))
-      .repartition(col("u")))
-    require(e.filter(col("w") < 0).limit(1).count() == 0L,
-      "Sssp requires non-negative edge weights: with negative weights " +
-        "the empty-frontier stop is not a fixpoint proof")
-    var dist = lc(sources.select(col("node"), lit(0L).as("d")).distinct())
-    var frontier = dist
-    var r = 1
-    var exhausted = false
-    while (r <= maxRounds && !exhausted) {
-      // an empty frontier means the last round improved nothing —
-      // every ≤-maxRounds-edge path minimum is already in `dist`
-      if (frontier.limit(1).count() == 0L) exhausted = true
-      else {
-        val cand = frontier.join(e, frontier("node") === e("u"))
-          .select(e("v").as("node"), (frontier("d") + e("w")).as("d"))
-        val merged = lc(dist.union(cand)
-          .groupBy("node").agg(min("d").as("d")))
-        // next frontier = strictly improved rows (new node, or a
-        // cheaper route found) — the only rows whose relaxation can
-        // still produce new candidates
-        frontier = lc(merged
-          .join(dist.withColumnRenamed("d", "od"), Seq("node"), "left")
-          .filter(col("od").isNull || col("d") < col("od"))
-          .select(col("node"), col("d")))
-        dist = merged
+    // core-tied round layout (see [[RoundLayout]]): node-sized
+    // per-round state must not inherit a corpus-derived session
+    // partition count -- measured at sf10 in GROWTH_r10
+    RoundLayout.coreTied(edges.sparkSession) {
+      // rotated per-round cuts with keep=3 (see [[LineageCut]]): the
+      // frontier cut reads `dist` from TWO cut generations back
+      // (dist(n-1) joins against merged(n) AFTER merged(n)'s cut), so
+      // three generations stay live — still bounded by construction
+      val lc = new LineageCut(checkpointDir, keep = 3)
+      // pre-partitioned on the per-round join key (the g01 hoist): each
+      // round's frontier⋈e join reshuffles only the frontier
+      val e = lc.pin(edges.select(col("u"), col("v"), col("w"))
+        .repartition(col("u")))
+      require(e.filter(col("w") < 0).limit(1).count() == 0L,
+        "Sssp requires non-negative edge weights: with negative weights " +
+          "the empty-frontier stop is not a fixpoint proof")
+      var dist = lc(sources.select(col("node"), lit(0L).as("d")).distinct())
+      var frontier = dist
+      var r = 1
+      var exhausted = false
+      while (r <= maxRounds && !exhausted) {
+        // an empty frontier means the last round improved nothing —
+        // every ≤-maxRounds-edge path minimum is already in `dist`
+        if (frontier.limit(1).count() == 0L) exhausted = true
+        else {
+          val cand = frontier.join(e, frontier("node") === e("u"))
+            .select(e("v").as("node"), (frontier("d") + e("w")).as("d"))
+          val merged = lc(dist.union(cand)
+            .groupBy("node").agg(min("d").as("d")))
+          // next frontier = strictly improved rows (new node, or a
+          // cheaper route found) — the only rows whose relaxation can
+          // still produce new candidates
+          frontier = lc(merged
+            .join(dist.withColumnRenamed("d", "od"), Seq("node"), "left")
+            .filter(col("od").isNull || col("d") < col("od"))
+            .select(col("node"), col("d")))
+          dist = merged
+        }
+        r += 1
       }
-      r += 1
+      dist
     }
-    dist
   }
 }

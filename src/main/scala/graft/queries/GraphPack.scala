@@ -535,11 +535,16 @@ object GraphPack extends QueryPack {
       run = (s, d) => {
         val edges = supplierCustomerEdges(s, d)
           .select(col("v").as("u"), col("u").as("v"))
-        // SPARK_GRAFT_HITS_SINGLE_PIN=1 is the GROWTH_r10 layout-arm
-        // knob (never set by the driver): results are identical either
-        // way — see Hits.scores(dualEdgePin) for the measured trade
+        // single-pin SHIPPED as g10's layout after the GROWTH_r10 A/B:
+        // at sf10 min-of-3, single 211.1 s vs dual 255.1 s (and 136.4
+        // with core-tied rounds, the shipped combination) — at 2
+        // rounds, the second 58.7M-row pre-partitioned pin costs more
+        // than the two per-round edge shuffles it avoids (break-even
+        // ≈ 4-5 rounds; see Hits.scores scaladoc). Results identical
+        // either way; SPARK_GRAFT_HITS_DUAL_PIN=1 restores the
+        // long-run layout for experiments.
         graft.operators.Hits.scores(edges, 2,
-          dualEdgePin = !sys.env.get("SPARK_GRAFT_HITS_SINGLE_PIN")
+          dualEdgePin = sys.env.get("SPARK_GRAFT_HITS_DUAL_PIN")
             .contains("1")).orderBy("node")
       },
       oracle = Some {
