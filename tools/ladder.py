@@ -73,14 +73,46 @@ SF10_SUBSET = ",".join([
 ])
 
 
+# build.sbt's run-fork JVM flags, mirrored for the direct-java path
+# (Spark 4.x on JDK 17 outside spark-submit needs the add-opens set)
+JDK17_ADD_OPENS = [
+    flag for pkg in [
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar",
+    ] for flag in ("--add-opens", f"java.base/{pkg}=ALL-UNNAMED")
+]
+CLASSES = REPO / "target/scala-2.13/classes"
+
+
 def run_verify(sf_dir, out_dir, subset=None, cpus="8", mem=None):
-    cmd = f"runMain graft.Verify {sf_dir} {out_dir}"
-    if subset:
-        cmd += f" {subset}"
     env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
     if mem:
         env["SPARK_DRIVER_MEM"] = mem
-    subprocess.run(["sbt", "-batch", cmd], cwd=REPO, check=True, env=env)
+    if (CLASSES / "graft/Verify.class").exists():
+        # Direct JVM on the compiled classpath: the min-of-N rungs spawn
+        # one JVM per (query, rep) — 33 launches for the sf10 rung — and
+        # sbt adds 25-40 s of launcher/build overhead to EACH. The walls
+        # the artifact records are measured inside Verify either way;
+        # this only removes dead time between them. Caller must keep the
+        # classes current (`sbt compile`); stale classes here would
+        # silently measure an old binary, so the fallback is sbt, never
+        # a partial classpath.
+        cmd = (["java"] + JDK17_ADD_OPENS +
+               ["-Dspark.ui.enabled=false",
+                "-Dspark.sql.session.timeZone=UTC",
+                f"-Xmx{env.get('SPARK_DRIVER_MEM', '32g')}",
+                "-cp", f"{CLASSES}:/opt/spark/jars/*",
+                "graft.Verify", sf_dir, out_dir])
+        if subset:
+            cmd.append(subset)
+    else:
+        run = f"runMain graft.Verify {sf_dir} {out_dir}"
+        if subset:
+            run += f" {subset}"
+        cmd = ["sbt", "-batch", run]
+    subprocess.run(cmd, cwd=REPO, check=True, env=env)
 
 
 def run_check(out_dir, sf_dir, only=None, rep_name="report.json"):
