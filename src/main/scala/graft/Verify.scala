@@ -75,7 +75,12 @@ object Verify {
     // sharing one edge relation) is preserved while nothing survives
     // into the next group. Peak block-manager storage is sampled after
     // each query and recorded in storage.json — the managed-surface
-    // evidence SCALE.md cites.
+    // evidence SCALE.md cites. SPARK_GRAFT_NO_SWEEP=1 disables the
+    // group-boundary sweeps (the final sweep stays): the measurement
+    // arm that quantifies what the registry buys — same suite, same
+    // session, unmanaged accumulation — so SCALE.md's peak-storage
+    // claim is a measured delta, not a prose argument.
+    val noSweep = sys.env.get("SPARK_GRAFT_NO_SWEEP").contains("1")
     var prevGroup = ""
     var peakMem = 0L; var peakDisk = 0L; var peakRdds = 0
     // iterate in PACK order (SparkEntry.all), not SparkEntry.queries'
@@ -87,7 +92,10 @@ object Verify {
       .foreach { case (name, q) =>
       val fn = q.run
       val group = name.takeWhile(!_.isDigit)
-      if (group != prevGroup) { Caches.sweep(spark); prevGroup = group }
+      if (group != prevGroup) {
+        if (!noSweep) Caches.sweep(spark)
+        prevGroup = group
+      }
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
