@@ -65,6 +65,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // scalar+parallel probe pair BEFORE and AFTER the measured queries
+    // (round 11, verdict item 4): every artifact built on this JVM's
+    // timings (LADDER/GROWTH rows, layout arms) carries its own
+    // contention reading instead of borrowing one from a Bench run
+    // hours away. ~4 s per JVM — noise next to any rung this feeds.
+    Calibration.warmup(spark)
+    val probeStart = Calibration.probe(spark)
     val timings = scala.collection.mutable.Map.empty[String, Double]
     // Cache sweep at every query-GROUP boundary (round 10): the packs
     // memoize materialized relations per (session, dir) and a full
@@ -110,6 +117,11 @@ object Verify {
       }
     }
     Caches.sweep(spark)
+    val probeEnd = Calibration.probe(spark)
+    Files.writeString(Paths.get(s"$outDir/calibration.json"),
+      s"""{"start": ${probeStart.json}, "end": ${probeEnd.json}, """ +
+        s""""par_over_scalar": ${
+          (probeStart.parOverScalar + probeEnd.parOverScalar) / 2}}""")
     Files.writeString(Paths.get(s"$outDir/storage.json"),
       s"""{"peak_storage_mem_bytes": $peakMem, """ +
         s""""peak_storage_disk_bytes": $peakDisk, """ +

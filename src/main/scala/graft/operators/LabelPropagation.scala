@@ -40,10 +40,27 @@ object LabelPropagation {
     * @param checkpointDir when set, per-round lineage cuts go through
     *                      reliable `checkpoint` into this directory
     *                      (survives executor loss) instead of
-    *                      `localCheckpoint` */
+    *                      `localCheckpoint`
+    * @param minDelta      measured-convergence mode (round 11, the
+    *                      PageRank/HITS `tol` analogue for a frontier
+    *                      engine): stop as soon as a round wins ≤
+    *                      `minDelta` NEW nodes. 0 (default) is the
+    *                      exact fixpoint — identical output to every
+    *                      prior round, spec-pinned. A 100 TB production
+    *                      run sets this to a small fraction of the node
+    *                      count: the frontier is monotone, so late
+    *                      rounds label a long thin tail (graph
+    *                      periphery) at one full edges⋈labels shuffle
+    *                      per round — the same diminishing-returns
+    *                      shape tol cuts off in the score engines. The
+    *                      result is a documented UNDER-labeling (the
+    *                      unreached tail stays unlabeled); won labels
+    *                      are exact either way because clamping makes
+    *                      every emitted label final the round it wins. */
   def propagate(edges: DataFrame, seeds: DataFrame,
       maxIterations: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      minDelta: Long = 0L): DataFrame = {
     // core-tied round layout (see [[RoundLayout]]): node-sized
     // per-round state must not inherit a corpus-derived session
     // partition count -- measured at sf10 in GROWTH_r10
@@ -61,8 +78,14 @@ object LabelPropagation {
       var i = 0
       while (!converged && i < maxIterations) {
         val won = lc(round(e, labels))
-        if (won.limit(1).count() == 0L) converged = true
-        else labels = lc(labels.union(won))
+        // fixpoint mode keeps the cheap emptiness probe; delta mode
+        // counts the (already checkpointed) win table — one scan of
+        // node-sized state, dwarfed by the round's edge join
+        val nWon =
+          if (minDelta == 0L) won.limit(1).count()
+          else won.count()
+        if (nWon <= minDelta) converged = true
+        if (nWon > 0L) labels = lc(labels.union(won))
         i += 1
       }
       e.unpersist()

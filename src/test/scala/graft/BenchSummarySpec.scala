@@ -15,11 +15,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSummarySpec extends AnyFunSuite {
 
   private val fields = Seq("summary", "total", "iter_total", "heavy_total",
+    "total_norm", "iter_total_norm", "heavy_total_norm",
+    "par_over_scalar", "basis",
     "stream_rows_per_sec", "stream_ok", "batch_ms_p50", "batch_ms_p95",
     "calib_sec", "calib_par_sec", "n_failed", "failed", "sf")
 
   test("summary line is < 500 chars, valid JSON, all headline fields") {
-    val line = Bench.summaryLine(7.873456, 14.2345, 3.1, 153000L,
+    val line = Bench.summaryLine(7.873456, 14.2345, 3.1,
+      7.1234, 13.5678, 2.9876, 1.0412, 153000L,
       streamOk = true, 210L, 480L, 0.8123, 0.6345, Nil,
       "/root/testdata/sf0.1")
     assert(line.length < 500, s"summary line is ${line.length} chars")
@@ -27,19 +30,37 @@ class BenchSummarySpec extends AnyFunSuite {
     for (f <- fields)
       assert((parsed \ f) !== JNothing, s"summary line is missing '$f'")
     assert((parsed \ "total").values === 7.873)
+    assert((parsed \ "total_norm").values === 7.123)
     assert((parsed \ "stream_rows_per_sec").values === 153000L)
   }
 
   test("summary line stays < 500 chars under pathological inputs") {
     // every query failed with long names, sf path is absurdly long —
-    // the cap (5 names + count) and the path tail-trim must hold
+    // the cap (3 names + count) and the path tail-trim must hold
     val manyFailed = (1 to 60).map(i => s"q${i}_some_long_query_name_here")
-    val line = Bench.summaryLine(-1.0, -1.0, -1.0, -1L,
+    val line = Bench.summaryLine(-1.0, -1.0, -1.0,
+      -1.0, -1.0, -1.0, 99.876543, -1L,
       streamOk = false, -1L, -1L, 99.987654, 99.123456, manyFailed,
       "/very/long/prefix/" + ("x" * 300))
     assert(line.length < 500, s"summary line is ${line.length} chars")
     val parsed = JsonMethods.parse(line)
     assert((parsed \ "n_failed").values === 60L)
-    assert((parsed \ "failed").asInstanceOf[JArray].arr.length === 5)
+    assert((parsed \ "failed").asInstanceOf[JArray].arr.length === 3)
+  }
+
+  test("basis declares the comparison field per the par_over_scalar gate") {
+    // ≤ 1.15 → raw numbers are the round-over-round basis; above it,
+    // the normalized totals are (the r10 gray-zone close: a 1.24
+    // reading now self-declares instead of needing adjudication)
+    def basisAt(ratio: Double): String = {
+      val line = Bench.summaryLine(10.0, 14.0, 4.0, 9.0, 13.0, 3.7,
+        ratio, 125000L, streamOk = true, 210L, 480L, 0.9, 1.1, Nil, "/x")
+      (JsonMethods.parse(line) \ "basis").values.toString
+    }
+    assert(basisAt(1.02) === "raw")
+    assert(basisAt(1.15) === "raw")
+    assert(basisAt(1.24) === "norm")
+    assert(basisAt(1.48) === "norm")
+    assert(Bench.RawBasisCeiling === 1.15)
   }
 }

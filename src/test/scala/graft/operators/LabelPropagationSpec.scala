@@ -13,9 +13,10 @@ class LabelPropagationSpec extends AnyFunSuite {
 
   private def run(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)],
       maxIterations: Int = 50,
-      checkpointDir: Option[String] = None): Map[Long, Long] =
+      checkpointDir: Option[String] = None,
+      minDelta: Long = 0L): Map[Long, Long] =
     LabelPropagation.propagate(sym(edges).toDF("u", "v"),
-        seeds.toDF("node", "label"), maxIterations, checkpointDir)
+        seeds.toDF("node", "label"), maxIterations, checkpointDir, minDelta)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("converges on a path graph: labels meet in the middle") {
@@ -72,5 +73,33 @@ class LabelPropagationSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
     val got = run(edges, Seq((1L, 10L)), maxIterations = 1)
     assert(got === Map(1L -> 10L, 2L -> 10L))
+  }
+
+  test("minDelta=0 IS the exact fixpoint (tol-mode contract, round 11)") {
+    // the delta path must not change the default semantics: same graph,
+    // same seeds, explicit minDelta=0 ≡ the fixpoint-mode answer
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val seeds = Seq((1L, 10L), (6L, 20L))
+    assert(run(edges, seeds, minDelta = 0L) === run(edges, seeds))
+  }
+
+  test("minDelta stops the thin tail early; won labels are still exact") {
+    // star(1..4 around hub 0) + a path tail 4-5-6-7-8, seed 1→10:
+    // round 1 wins exactly {0}, so minDelta=1 converges immediately —
+    // the star arms and the tail stay unlabeled — while the exact run
+    // walks the whole graph. Every label the early run DID emit must
+    // match the exact run (clamping makes wins final).
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))
+    val seeds = Seq((1L, 10L))
+    val exact = run(edges, seeds)
+    val early = run(edges, seeds, minDelta = 1L)
+    assert(exact.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    assert(early.size < exact.size,
+      s"minDelta=1 should stop before the full tail (got ${early.size})")
+    // under-labeling only, never wrong labels
+    assert(early.forall { case (n, l) => exact(n) == l })
+    // and the seeds' neighborhood (the high-delta rounds) is covered
+    assert(Set(0L, 1L).subsetOf(early.keySet))
   }
 }

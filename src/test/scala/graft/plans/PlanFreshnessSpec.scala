@@ -39,21 +39,20 @@ class PlanFreshnessSpec extends AnyFunSuite {
   test("committed fingerprints match the plans the queries build today") {
     // mirror graft.Plans' session config in a child session — SQLConf
     // is per-session, so this doesn't disturb the shared test session;
-    // master core count doesn't enter the plan shape
+    // master core count doesn't enter the plan shape. Round 11: the
+    // index covers the WHOLE registry (219 names), walked by the same
+    // Plans.fingerprintAll the generator uses (pack order + group-
+    // boundary sweeps), so memo-dependent shapes recompute identically.
     val spark = SparkTestSession.spark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val sfDir = "/root/testdata/sf0.01"
-    val names = SparkEntry.benchQueries ++ SparkEntry.benchHeavyQueries
     val pinned = committed
-    assert(names.toSet === pinned.keySet,
+    val current = Plans.fingerprintAll(spark, sfDir)
+    assert(current.map(_._1).toSet === pinned.keySet,
       "PLANS.md fingerprint index covers a different query set than the " +
-        "current bench+heavy groups — regenerate: sbt \"runMain graft.Plans\"")
-    val stale = names.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val now = Plans.fingerprint(plan)
+        "current registry — regenerate: sbt \"runMain graft.Plans\"")
+    val stale = current.flatMap { case (name, (now, _)) =>
       if (now != pinned(name)) Some(s"$name:\n  committed ${pinned(name)}\n  current   $now")
       else None
     }

@@ -18,10 +18,11 @@ Rungs (round 9 extended the ladder both ways the r8 verdict asked):
            crawls here, that is a finding for SCALE.md, not a reason
            to shrink the rung.
   sf10   — spot-rung (tools/make_sf1.py with 100 replicas →
-           /tmp/sf10, ~60M lineitem rows): iterative ∪ heavy groups
-           + d02/d03, the queries whose sf0.1→sf1 growth was
-           superlinear in r8 — this rung pins the growth EXPONENT
-           (flattening shuffle-bound vs compounding memory-bound).
+           /tmp/sf10, ~60M lineitem rows): the FULL @bench set
+           (headline ∪ iterative ∪ heavy — round 11 widened it from
+           iter+heavy+d02/d03) — this rung pins the growth EXPONENT
+           (flattening shuffle-bound vs compounding memory-bound)
+           for every query the bench artifact reports.
 
 All rungs run with the same SPARK_GRAFT_CPUS so growth factors are
 comparable; the sf10 rung raises the driver heap instead of the
@@ -63,13 +64,24 @@ REPO = Path(__file__).resolve().parent.parent
 SF1 = "/tmp/sf1"
 SF10 = "/tmp/sf10"
 
-# iterative ∪ heavy bench groups (membership spec-pinned in
-# BenchSmokeSpec) + the near-dup pair, for the sf10 spot-rung
+# the FULL @bench set (headline ∪ iterative ∪ heavy — membership
+# spec-pinned in BenchSmokeSpec; the headline group already contains
+# d02/d03) for the sf10 spot-rung. Round 11 widened this from the
+# 11-query iter+heavy+d02+d03 subset (verdict item 6): the headline
+# queries were proven at sf0.1/sf1 but only assumed at sf10.
 SF10_SUBSET = ",".join([
+    # headline (bench=true)
+    "q01_pricing_summary", "q02_filter_pushdown", "q03_join_topk",
+    "e01_tumbling_hourly", "e03_sessionize", "e05_asof_join",
+    "e06_asof_join_native", "t02_quality_score",
+    "d02_ngram_jaccard", "d03_minhash_lsh",
+    "s01_cosine_topk", "s04_cosine_topk_native",
+    "mr01_wordcount", "p01_corpus_pipeline",
+    # iterative
     "d06_dup_clusters", "g01_pagerank", "g05_kcore", "g08_sssp",
     "g10_hits", "s09_int_kmeans",
+    # heavy
     "d18_tfidf_similarity", "d20_entity_blocks", "s20_ivf_adc_topk",
-    "d02_ngram_jaccard", "d03_minhash_lsh",
 ])
 
 
@@ -86,19 +98,43 @@ JDK17_ADD_OPENS = [
 CLASSES = REPO / "target/scala-2.13/classes"
 
 
+def classes_current():
+    """True iff the compiled classes are NEWER than every main source —
+    the guard that keeps the direct-java fast path from silently
+    measuring a stale binary (round-10 advice: existence alone proved
+    nothing). Falls back to sbt (which compiles) when sources win."""
+    if not (CLASSES / "graft/Verify.class").exists():
+        return False
+    newest_class = max(
+        (p.stat().st_mtime for p in CLASSES.rglob("*.class")), default=0)
+    newest_src = max(
+        (p.stat().st_mtime
+         for p in (REPO / "src/main/scala").rglob("*.scala")), default=0)
+    return newest_class >= newest_src
+
+
 def run_verify(sf_dir, out_dir, subset=None, cpus="8", mem=None):
     env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
     if mem:
         env["SPARK_DRIVER_MEM"] = mem
-    if (CLASSES / "graft/Verify.class").exists():
+    # a crashed rep must not leave the PREVIOUS rep's per-query files in
+    # place for the caller to re-read as this rep's result (round-10
+    # advice: with a single-query subset the same qname would be
+    # double-appended into wall_all)
+    for stale in ("timings.json", "calibration.json"):
+        try:
+            (Path(out_dir) / stale).unlink()
+        except FileNotFoundError:
+            pass
+    if classes_current():
         # Direct JVM on the compiled classpath: the min-of-N rungs spawn
-        # one JVM per (query, rep) — 33 launches for the sf10 rung — and
+        # one JVM per (query, rep) — 69 launches for the sf10 rung — and
         # sbt adds 25-40 s of launcher/build overhead to EACH. The walls
         # the artifact records are measured inside Verify either way;
-        # this only removes dead time between them. Caller must keep the
-        # classes current (`sbt compile`); stale classes here would
-        # silently measure an old binary, so the fallback is sbt, never
-        # a partial classpath.
+        # this only removes dead time between them. classes_current()
+        # gates this path on class-vs-source mtimes; stale or missing
+        # classes fall back to sbt (which compiles), never a partial
+        # classpath.
         cmd = (["java"] + JDK17_ADD_OPENS +
                ["-Dspark.ui.enabled=false",
                 "-Dspark.sql.session.timeZone=UTC",
@@ -146,8 +182,8 @@ RUNG_DEFS = {
     "sf0.01": ("/root/testdata/sf0.01", "all"),
     "sf0.1": ("/root/testdata/sf0.1", "bench+iter+heavy"),
     "sf1": (SF1, "all"),
-    "sf1i": (SF1, "iter+heavy+d02+d03 isolated"),
-    "sf10": (SF10, "iter+heavy+d02+d03"),
+    "sf1i": (SF1, "bench+iter+heavy isolated"),
+    "sf10": (SF10, "bench+iter+heavy"),
 }
 
 
@@ -270,6 +306,7 @@ def main():
             # query's repetitions are many minutes apart). wall_sec is
             # the MIN; wall_all carries every reading in run order.
             merged = {}        # qname -> list of walls, run order
+            calibs = {}        # qname -> list of par_over_scalar, run order
             for rep in range(reps):
                 for qname in subset.split(","):
                     try:
@@ -277,11 +314,18 @@ def main():
                     except subprocess.CalledProcessError:
                         print(f"[ladder] {label}/{qname} rep {rep}: "
                               f"verify FAILED (recorded; continuing)")
+                    # run_verify deleted the previous rep's files, so a
+                    # crashed rep reads as FileNotFoundError here — never
+                    # as a stale double-append (round-10 advice)
                     try:
                         t = json.loads(
                             Path(vdir, "timings.json").read_text())
                         if qname in t:
                             merged.setdefault(qname, []).append(t[qname])
+                        c = json.loads(
+                            Path(vdir, "calibration.json").read_text())
+                        calibs.setdefault(qname, []).append(
+                            round(c["par_over_scalar"], 3))
                     except FileNotFoundError:
                         pass
             Path(vdir, "timings.json").write_text(json.dumps(
@@ -289,21 +333,33 @@ def main():
                 indent=1, sort_keys=True))
             Path(vdir, "timings_all.json").write_text(json.dumps(
                 merged, indent=1, sort_keys=True))
+            Path(vdir, "calibs_all.json").write_text(json.dumps(
+                calibs, indent=1, sort_keys=True))
         else:
             run_verify(sf_dir, vdir, subset, mem=mem)
         print(f"[ladder] rung {label}: oracle compare ...")
         results, rc = run_check(vdir, sf_dir)
         failed = failed or rc != 0
-        # min-of-N rungs: fold every reading + the median into the rung
-        # (wall_sec stays the min — the round-over-round comparable)
+        # min-of-N rungs: fold every reading + the median + each rep's
+        # own contention probe into the rung (wall_sec stays the min —
+        # the round-over-round comparable; par_over_scalar_all makes
+        # each row self-adjudicating, round-11 verdict item 4: no more
+        # hour-matching against a Bench run to read a rung's weather)
         allpath = Path(vdir, "timings_all.json")
         if allpath.exists():
             walls = json.loads(allpath.read_text())
+            calibs = {}
+            cpath = Path(vdir, "calibs_all.json")
+            if cpath.exists():
+                calibs = json.loads(cpath.read_text())
             for qname, ws in walls.items():
                 if qname in results:
                     s = sorted(ws)
                     results[qname]["wall_all"] = ws
                     results[qname]["wall_median"] = s[len(s) // 2]
+                    if qname in calibs:
+                        results[qname]["par_over_scalar_all"] = \
+                            calibs[qname]
         if subset and subset != "@bench":
             # a query whose verify crashed has no output dir and would
             # otherwise vanish from the report — record it as a fail
@@ -315,15 +371,21 @@ def main():
                     failed = True
         rungs[label] = {
             "dir": sf_dir,
-            "queries": "all" if subset is None
-            else ("bench+iter+heavy" if subset == "@bench"
-                  else "iter+heavy+d02+d03"),
+            # tag comes from RUNG_DEFS so the mainline loop and
+            # --rebuild cannot write different metadata for the same
+            # rung (round-10 advice)
+            "queries": RUNG_DEFS[label][1],
             "n_pass": sum(1 for v in results.values() if v["pass"]),
             "n_fail": sum(1 for v in results.values()
                           if v["pass"] is False),
             "verify_wall_sec": round(time.time() - t0, 1),
             "results": results,
         }
+        # single-JVM rungs: the whole rung ran under one probe pair —
+        # attach it at rung level (min-of-N rungs carry per-row lists)
+        cpath = Path(vdir, "calibration.json")
+        if label not in ("sf10", "sf1i") and cpath.exists():
+            rungs[label]["calibration"] = json.loads(cpath.read_text())
     out_path = Path(REPO / out)
     # merge into an existing artifact so one rung can be (re)run alone
     # (e.g. after --rebuild recovered the finished rungs from a crash)
