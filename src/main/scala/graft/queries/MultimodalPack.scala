@@ -1,8 +1,5 @@
 package graft.queries
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,38 +7,30 @@ import graft.Tables
 
 /** Multimodal-column plumbing for a training-data pipeline: opaque
   * `binary` payloads with typed metadata, batched per-partition
-  * decode/feature-extract, and frame sampling.
+  * decode/feature-extract, frame sampling, and perceptual-hash dedup.
   *
-  * No image/audio codecs exist in this environment, so the DECODE STEP
-  * IS A STUB: payloads are the documents' UTF-8 bytes and "decoding"
-  * derives deterministic pseudo-features from md5 of the payload (see
-  * [[Fake.features]]). Everything around the stub — binary schema,
-  * per-partition batching with a reused per-batch handle (the
-  * `mapInPandas` / model-handle pattern), frame-window slicing,
-  * metadata extraction — is real, tested Spark plumbing; swapping
-  * [[Fake.features]] for a real decoder changes no plan shape.
+  * Round 11 removed the pack's one admitted stub: m02 and m07 now run
+  * a REAL decode — PNG (all five row filters) and BMP (bottom-up,
+  * BGR, stride padding) parsed byte-by-byte in pure JDK code
+  * ([[graft.functions.ImageCodec]]) over a committed 64-image corpus
+  * whose pixels are a closed-form function of (image id, x, y)
+  * (`tools/gen_images.py`, a second encoder implementation in Python).
+  * The DuckDB oracle recomputes the expected pixels ARITHMETICALLY —
+  * it never decodes — so a decoder bug in filter reconstruction, row
+  * order, channel order, or stride shifts the positional sums and
+  * fails the hash compare. m03/m05/m06 still treat payloads as opaque
+  * bytes by design (frame slicing, entropy triage, and integrity
+  * quarantine are pre-decode passes); m04 aHashes a CONTENT-derived
+  * feature grid at document scale, complementing m07's decoded-pixel
+  * grid at corpus scale.
   *
-  * Scale posture: all three queries are narrow per-row/per-partition
-  * maps over the binary column (no shuffle except final small aggs);
-  * binary payloads stream through the scan without driver
-  * materialization, and the batched extractor amortizes handle setup
-  * per partition exactly as a GPU/codec handle would need.
+  * Scale posture: decode stays a narrow per-row/per-partition map (no
+  * shuffle; the per-partition [[graft.functions.ImageCodec.Handle]]
+  * amortizes codec setup exactly as a GPU/codec handle would need);
+  * decoded FEATURES join the corpus-sized tables via broadcast —
+  * image bytes never enter a shuffle.
   */
 object MultimodalPack extends QueryPack {
-
-  private[queries] object Fake {
-    /** Deterministic stand-in for a real decoder: 4 pseudo-features from
-      * md5 of the payload — `(md5 hex)[8k..8k+8) as int64 % 1000`.
-      * Mirrored exactly by the oracle SQL, so the plumbing is verified
-      * end-to-end even though the "model" is fake. */
-    def features(payload: Array[Byte]): Seq[Long] = {
-      val hex = MessageDigest.getInstance("MD5").digest(payload)
-        .map("%02x".format(_)).mkString
-      (0 until 4).map { k =>
-        java.lang.Long.parseLong(hex.substring(8 * k, 8 * k + 8), 16) % 1000
-      }
-    }
-  }
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -62,33 +51,76 @@ object MultimodalPack extends QueryPack {
                lower(hex(substr(text, 1, 16)::BLOB)) AS head_hex
         FROM documents ORDER BY doc_id""")),
 
-    // ── Batched per-partition decode / feature extraction (STUB) ───────
+    // ── Batched per-partition decode / feature extraction (REAL) ───────
+    // Each document is assigned a corpus image (doc_id % 64 — even ids
+    // are PNG, odd are BMP, so BOTH decoders sit on the oracle-gated
+    // path); the image decodes ONCE per partition-batch via a reused
+    // codec handle, features are per-quadrant luma sums (luma =
+    // r + 2g + b — integer, position-dependent), and documents join
+    // the 64-row feature table by BROADCAST. The oracle recomputes the
+    // quadrant sums from the corpus's closed-form pixel formula — it
+    // never sees an image byte, so Spark's decode is load-bearing.
+    // Production shape at 100 TB: decode each distinct media object
+    // once, broadcast/equi-join features onto the corpus — bytes never
+    // shuffle.
     "m02_feature_extract" -> Q(
       run = (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("text"))
-          .as[(Long, String)]
+        val feats = graft.functions.ImageCodec.corpusDF(s)
+          .select(col("img_id"), col("payload"))
+          .as[(Int, Array[Byte])]
           .mapPartitions { batch =>
-            // one "decoder handle" per partition (amortized setup, the
+            // one decoder handle per partition (amortized setup, the
             // way a real codec/model handle would be held)
-            batch.map { case (id, text) =>
-              val f = Fake.features(text.getBytes(StandardCharsets.UTF_8))
-              (id, f(0), f(1), f(2), f(3))
+            val codec = new graft.functions.ImageCodec.Handle
+            batch.map { case (k, bytes) =>
+              val img = codec.decode(bytes)
+              val f = new Array[Long](4)
+              var y = 0
+              while (y < img.height) {
+                var x = 0
+                while (x < img.width) {
+                  val o = (y * img.width + x) * 3
+                  val luma = img.rgb(o) + 2 * img.rgb(o + 1) + img.rgb(o + 2)
+                  f((y / 8) * 2 + (x / 8)) += luma
+                  x += 1
+                }
+                y += 1
+              }
+              (k, f(0), f(1), f(2), f(3))
             }
           }
-          .toDF("doc_id", "f0", "f1", "f2", "f3")
+          .toDF("img_id", "f0", "f1", "f2", "f3")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (col("doc_id") % 64).cast("int").as("img_id"))
+          .join(broadcast(feats), "img_id")
+          .select("doc_id", "f0", "f1", "f2", "f3")
           .orderBy("doc_id")
       },
-      oracle = Some {
-        val fs = (0 until 4).map { k =>
-          s"('0x' || substr(md5(text), ${8 * k + 1}, 8))::BIGINT % 1000 AS f$k"
-        }.mkString(",\n               ")
-        s"""
-        SELECT doc_id,
-               $fs
-        FROM documents ORDER BY doc_id"""
-      }),
+      oracle = Some("""
+        WITH px AS (SELECT k.range AS k, x.range AS x, y.range AS y
+                    FROM range(64) k, range(16) x, range(16) y),
+        ch AS (SELECT k, x, y,
+                      ((k % 48)*3 + x*5 + y*7) % 256 AS r,
+                      (((k % 48)*11 + x*13 + y*17) +
+                       CASE WHEN k >= 48 AND x = 0 AND y = 0
+                            THEN 100 ELSE 0 END) % 256 AS g,
+                      ((k % 48)*19 + x*23 + y*29) % 256 AS b
+               FROM px),
+        feats AS (SELECT k AS img_id,
+                 CAST(sum(CASE WHEN y < 8 AND x < 8
+                          THEN r + 2*g + b ELSE 0 END) AS BIGINT) AS f0,
+                 CAST(sum(CASE WHEN y < 8 AND x >= 8
+                          THEN r + 2*g + b ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(sum(CASE WHEN y >= 8 AND x < 8
+                          THEN r + 2*g + b ELSE 0 END) AS BIGINT) AS f2,
+                 CAST(sum(CASE WHEN y >= 8 AND x >= 8
+                          THEN r + 2*g + b ELSE 0 END) AS BIGINT) AS f3
+                 FROM ch GROUP BY k)
+        SELECT d.doc_id, f.f0, f.f1, f.f2, f.f3
+        FROM documents d JOIN feats f ON d.doc_id % 64 = f.img_id
+        ORDER BY d.doc_id""")),
 
     // ── Frame sampling: fixed-stride windows over the payload ──────────
     "m03_frame_sample" -> Q(
@@ -109,15 +141,16 @@ object MultimodalPack extends QueryPack {
               FROM documents)
         ORDER BY doc_id, frame_no""")),
 
-    // ── Perceptual-hash near-dup over decoded media (aHash) ────────────
-    // Media dedup: decode each payload to a fixed-size grid, average-
-    // hash it (bit = cell ≥ mean), find pairs within hamming ≤ 2 via
-    // d04's banded pigeonhole join — never an all-pairs cartesian. The
-    // DECODE IS THE STUB (as in m02): a real decoder emits an 8×8 luma
-    // grid; here the deterministic stand-in is a 32-bin content
-    // histogram, which — unlike m02's md5 pseudo-features — PRESERVES
-    // SIMILARITY, so near-identical payloads land within the hamming
-    // ball and the banding actually exercises the near-dup contract.
+    // ── Perceptual-hash near-dup over content feature grids (aHash) ────
+    // Media dedup at DOCUMENT scale: derive a fixed-size feature grid
+    // per payload, average-hash it (bit = cell ≥ mean), find pairs
+    // within hamming ≤ 2 via d04's banded pigeonhole join — never an
+    // all-pairs cartesian. The grid here is a 32-bin content histogram
+    // (similarity-preserving, so near-identical payloads land within
+    // the hamming ball and the banding exercises the real near-dup
+    // contract); m07 below runs the SAME pipeline over genuinely
+    // DECODED 8×8 luma grids at corpus scale — between them, both the
+    // document-volume path and the real-decode path are oracle-gated.
     // Everything downstream of the stub (mean-threshold hash, band
     // keys, equi-join candidates, exact verify) is the production
     // pHash pipeline unchanged.
@@ -282,6 +315,102 @@ object MultimodalPack extends QueryPack {
                CAST(sum(bad_sum) AS BIGINT) AS n_checksum_fail,
                CAST(sum(greatest(bad_magic, bad_sum)) AS BIGINT)
                  AS n_quarantined
-        FROM f GROUP BY 1, 2 ORDER BY source"""))
+        FROM f GROUP BY 1, 2 ORDER BY source""")),
+
+    // ── Perceptual-hash near-dup over DECODED pixels (aHash, real) ─────
+    // m04's pipeline with the decode made real: every corpus image is
+    // decoded (PNG even ids / BMP odd ids), downsampled to an 8×8 luma
+    // grid (2×2 block sums — the aHash "resize"), hashed bit-per-cell
+    // against the integer mean, and near-dup pairs found via a banded
+    // hamming equi-join (4 × 16-bit bands; pigeonhole guarantees every
+    // hamming ≤ 3 pair shares a band — never all-pairs). The corpus is
+    // CONSTRUCTED with known near-dups (image k ≥ 48 = image k−48 with
+    // one pixel perturbed): expected answer is exactly 17 pairs —
+    // 16 constructed at hamming 0–2 plus one accidental at 3 — which
+    // the oracle recomputes from the closed-form pixel formula alone.
+    // At fleet scale this is the media twin of d04's SimHash join: hash
+    // once per object, shuffle only (band, key) tuples.
+    "m07_media_phash_neardup" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val hashes = graft.functions.ImageCodec.corpusDF(s)
+          .select(col("img_id"), col("payload"))
+          .as[(Int, Array[Byte])]
+          .mapPartitions { batch =>
+            val codec = new graft.functions.ImageCodec.Handle
+            batch.map { case (k, bytes) =>
+              val img = codec.decode(bytes)
+              val cells = new Array[Long](64)
+              var y = 0
+              while (y < img.height) {
+                var x = 0
+                while (x < img.width) {
+                  val o = (y * img.width + x) * 3
+                  cells((y / 2) * 8 + (x / 2)) +=
+                    img.rgb(o) + 2 * img.rgb(o + 1) + img.rgb(o + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              val mn = cells.sum / 64
+              var h = 0L
+              var i = 0
+              while (i < 64) {
+                if (cells(i) >= mn) h |= 1L << i
+                i += 1
+              }
+              (k, h)
+            }
+          }
+          .toDF("img_id", "h")
+        val bandExprs = (0 until 4).map { i =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("h"), i * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("key"))
+        }
+        val bands = hashes.select(col("img_id"), col("h"),
+          explode(array(bandExprs: _*)).as("bk"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.bk") === col("b.bk") && col("a.img_id") < col("b.img_id"))
+          .select(col("a.img_id").as("ka"), col("b.img_id").as("kb"),
+            expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("ka", "kb")
+      },
+      oracle = Some("""
+        WITH px AS (SELECT k.range AS k, x.range AS x, y.range AS y
+                    FROM range(64) k, range(16) x, range(16) y),
+        ch AS (SELECT k, x, y,
+                      ((k % 48)*3 + x*5 + y*7) % 256 AS r,
+                      (((k % 48)*11 + x*13 + y*17) +
+                       CASE WHEN k >= 48 AND x = 0 AND y = 0
+                            THEN 100 ELSE 0 END) % 256 AS g,
+                      ((k % 48)*19 + x*23 + y*29) % 256 AS b
+               FROM px),
+        cells AS (SELECT k, (y // 2) * 8 + (x // 2) AS cell,
+                         CAST(sum(r + 2*g + b) AS BIGINT) AS s
+                  FROM ch GROUP BY 1, 2),
+        tot AS (SELECT k, CAST(sum(s) AS BIGINT) // 64 AS mn
+                FROM cells GROUP BY 1),
+        -- two 32-bit halves: DuckDB's BIGINT << rejects shift 63
+        -- (signed overflow), so the oracle never shifts past 31;
+        -- hamming over (lo, hi) equals hamming over the 64-bit hash
+        hs AS (SELECT c.k,
+                      CAST(sum(CASE WHEN c.s >= t.mn AND c.cell < 32
+                        THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
+                        ELSE 0 END) AS BIGINT) AS hlo,
+                      CAST(sum(CASE WHEN c.s >= t.mn AND c.cell >= 32
+                        THEN (CAST(1 AS BIGINT) << CAST(c.cell - 32 AS INT))
+                        ELSE 0 END) AS BIGINT) AS hhi
+               FROM cells c JOIN tot t ON c.k = t.k GROUP BY c.k)
+        SELECT CAST(a.k AS INT) AS ka, CAST(b.k AS INT) AS kb,
+               CAST(bit_count(xor(a.hlo, b.hlo)) +
+                    bit_count(xor(a.hhi, b.hhi)) AS INT) AS hamming
+        FROM hs a JOIN hs b ON a.k < b.k
+        WHERE bit_count(xor(a.hlo, b.hlo)) +
+              bit_count(xor(a.hhi, b.hhi)) <= 3
+        ORDER BY ka, kb"""))
   )
 }
