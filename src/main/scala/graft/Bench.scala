@@ -105,6 +105,13 @@ object Bench {
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // per-query stray reclamation (round 12, Verify's policy): each
+    // engine rep leaks its final LineageCut generations + pins until
+    // driver GC; dropping them between queries keeps later reps'
+    // memory regime flat. OUTSIDE the timed region (non-blocking
+    // unpersist, sub-ms); pack memos are untouched so warm reuse
+    // across passes is preserved.
+    def reclaim(): Unit = Caches.strayUnpersist(spark)
 
     // Two groups: the FIXED headline set (14 queries, `value` = its total,
     // kept stable for round-over-round comparability) and the ITERATIVE
@@ -122,7 +129,10 @@ object Bench {
     // Warm-up: JVM JIT / codegen / parquet-footer startup, untimed —
     // each query shape pays 1-3s of Janino+JIT on first execution.
     // Failures are tolerated here; the measured loop reports them.
-    allNames.foreach(n => try force(n) catch { case _: Throwable => () })
+    allNames.foreach { n =>
+      try force(n) catch { case _: Throwable => () }
+      reclaim()
+    }
 
     // Probe pair at EVERY pass boundary (round 11): pass i's samples
     // are bracketed by probes(i-1) and probes(i), so each repetition
@@ -155,6 +165,7 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        reclaim()
       }
       probes += Calibration.probe(spark)
     }
@@ -200,21 +211,22 @@ object Bench {
     // normalized twin: each repetition divided by ITS pass's factor,
     // then min — the round-over-round comparison basis when the box
     // reads contended (see "basis" below)
-    def summarizeNorm(ns: Seq[String]): (String, Double) = {
+    def summarizeNorm(ns: Seq[String])
+        : (Seq[(String, Double)], String, Double) = {
       val results = ns.map { n =>
         val mins = passSamples(n).map { case (p, s) => s / passFactor(p) }
         n -> (if (mins.isEmpty) -1.0 else mins.min)
       }
       val json = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      (json, results.map(_._2).filter(_ >= 0).sum)
+      (results, json, results.map(_._2).filter(_ >= 0).sum)
     }
     val (res, qs, total) = summarize(names)
     val (iterRes, iterQs, iterTotal) = summarize(iterNames)
     val (heavyRes, heavyQs, heavyTotal) = summarize(heavyNames)
-    val (qsNorm, totalNorm) = summarizeNorm(names)
-    val (_, iterTotalNorm) = summarizeNorm(iterNames)
-    val (_, heavyTotalNorm) = summarizeNorm(heavyNames)
+    val (resNorm, qsNorm, totalNorm) = summarizeNorm(names)
+    val (iterResNorm, _, iterTotalNorm) = summarizeNorm(iterNames)
+    val (heavyResNorm, _, heavyTotalNorm) = summarizeNorm(heavyNames)
     // streaming floor THRESHOLD (documented in SCALE.md): the stream
     // path is a correctness-gated but otherwise unmeasured surface —
     // without a floor, a 10x collapse (state-store regression, listing
@@ -240,6 +252,16 @@ object Bench {
       .map(_.toLong)
       .getOrElse(math.round(50000L * calibParRefSec / calibParMean))
     val streamRate = if (streamSec > 0) streamRows / streamSec else -1.0
+    // normalized stream rate (round 12, r11 verdict stretch): the
+    // replay ran between the last two probes; scale the rate UP by
+    // that window's contention factor (clamped ≥ 1 like the query
+    // normalization — an idle box never deflates). The raw rate stays
+    // the r1–r11 continuity series; the norm rate is the
+    // regime-comparable one (r11's 125k → 115k slide was the box).
+    val streamFactor = math.max(1.0,
+      (probes(probes.length - 2).parOverScalar +
+        probes.last.parOverScalar) / 2)
+    val streamRateNorm = if (streamSec > 0) streamRate * streamFactor else -1.0
     val streamFailed = streamRate < streamFloor
     // per-micro-batch latency percentiles (nearest-rank over the pooled
     // replays): throughput alone hides one straggler batch behind two
@@ -278,18 +300,29 @@ object Bench {
     val streamJson =
       s"""{"rows":$streamRows,"sec":$streamSec,"rows_per_sec":${
         if (streamSec > 0) (streamRows / streamSec).round else -1
+      },"rows_per_sec_norm":${
+        if (streamSec > 0) streamRateNorm.round else -1
       },"floor_rows_per_sec":$streamFloor,"floor_scaled_by_calibration":${
         sys.env.get("SPARK_GRAFT_STREAM_FLOOR").isEmpty
       },"batch_ms_p50":$batchP50,"batch_ms_p95":$batchP95,"n_batches":${
         streamBatchMs.length
       },"ok":${!streamFailed}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iter_queries":$iterQs,"iter_total":$iterTotal,"heavy_queries":$heavyQs,"heavy_total":$heavyTotal,"queries_norm":$qsNorm,"total_norm":$totalNorm,"iter_total_norm":$iterTotalNorm,"heavy_total_norm":$heavyTotalNorm,"samples":$rawJson,"calibration":$calibJson,"stream":$streamJson,"failed":$failed,"sf":"$sfDir"}""")
+    // compact per-query record BEFORE the summary: the driver keeps
+    // only the last ~2000 chars of output and the full JSON line above
+    // gets sliced — r11's committed artifact carried 13 of 23 rows.
+    // Short names (the unique q01/d18/g05 prefixes) keep BOTH min
+    // tables + the summary line inside that window (round 12, r11
+    // verdict item 6).
+    println(perQueryLine(res ++ iterRes ++ heavyRes,
+      resNorm ++ iterResNorm ++ heavyResNorm))
     val failedNames = (res ++ iterRes ++ heavyRes).collect {
       case (k, v) if v < 0 => k
     } ++ (if (streamFailed) Seq("stream") else Nil)
     println(summaryLine(total, iterTotal, heavyTotal,
       totalNorm, iterTotalNorm, heavyTotalNorm, parOverScalar,
       if (streamSec > 0) math.round(streamRows / streamSec) else -1L,
+      if (streamSec > 0) streamRateNorm.round else -1L,
       !streamFailed, batchP50, batchP95, calibEnd, calibParEnd,
       failedNames, sfDir))
     if (failedNames.nonEmpty) { spark.stop(); sys.exit(1) }
@@ -315,7 +348,8 @@ object Bench {
   def summaryLine(total: Double, iterTotal: Double, heavyTotal: Double,
       totalNorm: Double, iterTotalNorm: Double, heavyTotalNorm: Double,
       parOverScalar: Double,
-      streamRowsPerSec: Long, streamOk: Boolean,
+      streamRowsPerSec: Long, streamRowsPerSecNorm: Long,
+      streamOk: Boolean,
       batchMsP50: Long, batchMsP95: Long, calibSec: Double,
       calibParSec: Double, failed: Seq[String], sf: String): String = {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
@@ -329,11 +363,30 @@ object Bench {
       s""","iter_total_norm":${r3(iterTotalNorm)}""" +
       s""","heavy_total_norm":${r3(heavyTotalNorm)}""" +
       s""","par_over_scalar":${r3(parOverScalar)},"basis":"$basis"""" +
-      s""","stream_rows_per_sec":$streamRowsPerSec,"stream_ok":$streamOk""" +
+      s""","stream_rows_per_sec":$streamRowsPerSec""" +
+      s""","stream_rows_per_sec_norm":$streamRowsPerSecNorm""" +
+      s""","stream_ok":$streamOk""" +
       s""","batch_ms_p50":$batchMsP50,"batch_ms_p95":$batchMsP95""" +
       s""","calib_sec":${r3(calibSec)},"calib_par_sec":${r3(calibParSec)}""" +
       s""","n_failed":${failed.length}""" +
       s""","failed":$f,"sf":"${sf.takeRight(40)}"}"""
+  }
+
+  /** Compact whole-board per-query record (round 12): raw AND
+    * normalized min per bench query, keyed by the query's UNIQUE short
+    * prefix (chars before the first '_': q01, d18, g05 — uniqueness
+    * pinned by BenchSummarySpec). Values rounded to 3 decimals. With
+    * 23 queries this line is ~700 chars, so it plus the < 500-char
+    * summary line always fit the driver's ~2000-char tail window —
+    * the committed artifact carries every row on both bases. */
+  def perQueryLine(mins: Seq[(String, Double)],
+      minsNorm: Seq[(String, Double)]): String = {
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def short(n: String): String = n.takeWhile(_ != '_')
+    def tab(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    s"""{"per_query":1,"mins":${tab(mins)},"mins_norm":${tab(minsNorm)}}"""
   }
 
   /** par_over_scalar above which the summary's "basis" flips to the

@@ -88,6 +88,17 @@ object Verify {
     // session, unmanaged accumulation — so SCALE.md's peak-storage
     // claim is a measured delta, not a prose argument.
     val noSweep = sys.env.get("SPARK_GRAFT_NO_SWEEP").contains("1")
+    // Per-QUERY stray reclamation (round 12): after each result is
+    // written, drop every LineageCut generation/pin no rotation will
+    // ever release (Caches.strayUnpersist — ownership-aware: pack
+    // memos are untouched, so within-group reuse survives). This is
+    // the granularity SHARED_r11 proved pack-boundary sweeps cannot
+    // reach: the sf10 sweep arm OOM'd IN-pack on eleven graph
+    // queries' edge-sized pins before any boundary sweep could run.
+    // SPARK_GRAFT_NO_STRAY=1 is the measurement arm that restores the
+    // r11 behavior (strays left to the ContextCleaner).
+    val noStray = sys.env.get("SPARK_GRAFT_NO_STRAY").contains("1")
+    var straysDropped = 0
     var prevGroup = ""
     var peakMem = 0L; var peakDisk = 0L; var peakRdds = 0
     // iterate in PACK order (SparkEntry.all), not SparkEntry.queries'
@@ -115,6 +126,9 @@ object Verify {
       if (mem + disk > peakMem + peakDisk) {
         peakMem = mem; peakDisk = disk; peakRdds = nRdds
       }
+      // AFTER the peak sample: the record keeps the within-query
+      // footprint; what the next query inherits is memos only
+      if (!noStray) straysDropped += Caches.strayUnpersist(spark)
     }
     Caches.sweep(spark)
     val probeEnd = Calibration.probe(spark)
@@ -125,7 +139,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/storage.json"),
       s"""{"peak_storage_mem_bytes": $peakMem, """ +
         s""""peak_storage_disk_bytes": $peakDisk, """ +
-        s""""peak_persisted_rdds": $peakRdds}""")
+        s""""peak_persisted_rdds": $peakRdds, """ +
+        s""""stray_cuts_released": $straysDropped}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

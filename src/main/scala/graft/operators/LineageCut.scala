@@ -49,9 +49,18 @@ import org.apache.spark.sql.execution.LogicalRDD
   * sets, seed sets — the g01 hoist products) go through [[pin]],
   * which cuts WITHOUT enrolling in the rotation.
   */
-final class LineageCut(checkpointDir: Option[String], keep: Int = 2) {
+final class LineageCut(checkpointDirOpt: Option[String], keep: Int = 2) {
   require(keep >= 1, "LineageCut must keep at least one generation")
   private val live = scala.collection.mutable.Queue.empty[RDD[_]]
+
+  // MEASUREMENT-ONLY escape (round 12, like RoundLayout's
+  // SPARK_GRAFT_NO_CORE_TIED): SPARK_GRAFT_CHECKPOINT_DIR flips every
+  // engine in a run to reliable-checkpoint mode without threading a
+  // parameter through 9 query builders — the knob the sf10
+  // reliable-checkpoint-tax arms need. Production callers pass
+  // checkpointDir explicitly; an explicit Some always wins.
+  private val checkpointDir: Option[String] =
+    checkpointDirOpt.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
 
   private def cutOnly(df: DataFrame): DataFrame = {
     checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
@@ -61,11 +70,18 @@ final class LineageCut(checkpointDir: Option[String], keep: Int = 2) {
 
   /** Eagerly cut `df` and enroll it in the rotation: once `keep` newer
     * cuts exist, its blocks are unpersisted (non-blocking) and — in
-    * reliable mode — its checkpoint directory is deleted. */
+    * reliable mode — its checkpoint directory is deleted. Every cut is
+    * also registered with [[graft.Caches]]'s transient registry so the
+    * generations the rotation can never release — the final `keep`
+    * states a finished run leaves behind — are reclaimed by the
+    * caller's post-query `Caches.strayUnpersist`, not left to driver
+    * GC (round 12: the per-query leak that OOM'd SHARED_r11's sf10
+    * sweep arm in-pack). */
   def apply(df: DataFrame): DataFrame = {
     val out = cutOnly(df)
     out.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
       .foreach { rdd =>
+        graft.Caches.track(rdd)
         live.enqueue(rdd)
         while (live.size > keep) release(live.dequeue())
       }
@@ -73,20 +89,22 @@ final class LineageCut(checkpointDir: Option[String], keep: Int = 2) {
   }
 
   private def release(rdd: RDD[_]): Unit = {
-    rdd.unpersist(blocking = false)
-    // getCheckpointFile is Some only for RELIABLE checkpoints (local
-    // checkpoints have no file); deletion is best-effort — a failed
-    // delete costs disk, never correctness
-    rdd.getCheckpointFile.foreach { dir =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        p.getFileSystem(rdd.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      } catch { case _: java.io.IOException => () }
-    }
+    // the rotation is releasing this generation itself — deregister
+    // before the blocks drop so strayUnpersist never double-releases
+    graft.Caches.untrack(rdd)
+    // releaseRdd: unpersist + (reliable mode) checkpoint-dir delete —
+    // getCheckpointFile is Some only for RELIABLE checkpoints
+    graft.Caches.releaseRdd(rdd)
   }
 
-  /** Eagerly cut `df` WITHOUT enrolling it — for setup relations the
-    * whole loop reads every round (pre-partitioned edges, node sets). */
-  def pin(df: DataFrame): DataFrame = cutOnly(df)
+  /** Eagerly cut `df` WITHOUT enrolling it in the rotation — for setup
+    * relations the whole loop reads every round (pre-partitioned
+    * edges, node sets). Still registered as a transient: a pin is
+    * edge-SIZED and dead once the run's result is consumed. */
+  def pin(df: DataFrame): DataFrame = {
+    val out = cutOnly(df)
+    out.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+      .foreach(graft.Caches.track)
+    out
+  }
 }

@@ -84,6 +84,29 @@ object DedupPack extends QueryPack {
         "corpora run the bucketed paths instead: s03 (sign-LSH) or s14 " +
         "(SemDeDup cells).")
 
+  /** d02's executable adjudication (round 12 — the d05 cap pattern
+    * applied to the adjudicated quadratic): before building the
+    * shared-shingle self-join, ONE cheap aggregation over the memoized
+    * shingle relation computes the exact candidate-pair multiset size
+    * Σ_g df·(df−1)/2 — the same number d16's hot-shingle audit ranks
+    * per-shingle — and refuses past the bound, naming d03 as the scale
+    * path. Calibration is measured, not guessed: the replica ladder
+    * grows pair mass linearly (1.27M at sf0.1 → 12.7M at sf1 →
+    * 126.6M at sf10, where the measured min-of-3 wall is 126 s ≈
+    * 1 µs/pair at the rung layout), so 500M caps the worst case near
+    * ~8 min and an sf100-scale corpus (~1.27G pairs, the ~20-minute
+    * extrapolation r11's verdict flagged) refuses instead of silently
+    * burning a cluster. The pre-agg costs one scan of the persisted
+    * shingle relation — noise next to the join it guards. */
+  val MaxJaccardPairMass = 500000000L
+  private[queries] def requireJaccardBudget(pairMass: Long): Unit =
+    require(pairMass <= MaxJaccardPairMass,
+      s"d02 is the EXACT shared-shingle quadratic, capped at " +
+        s"$MaxJaccardPairMass candidate pairs (this corpus generates " +
+        s"$pairMass = sum over shingles of df*(df-1)/2). For corpora " +
+        "past the cap run d03 (MinHash+LSH banding) — the approximate " +
+        "scale path with measured recall (d15/d17/d19 instruments).")
+
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def signatures(s: SparkSession, d: String): DataFrame =
@@ -238,6 +261,11 @@ object DedupPack extends QueryPack {
         val sh = shingled(s, d)
         val ex = sh.select(col("doc_id"), size(col("s")).as("sz"),
           explode(col("s")).as("g"))
+        // executable scale guard — see [[requireJaccardBudget]]
+        requireJaccardBudget(
+          ex.groupBy("g").agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+            .first().getLong(0))
         val cand = ex.as("a")
           .join(ex.hint("shuffle_hash").as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
@@ -758,6 +786,11 @@ object DedupPack extends QueryPack {
         val sh = shingled(s, d)
         val ex = sh.select(col("doc_id"), size(col("s")).as("sz"),
           explode(col("s")).as("g"))
+        // same exact-quadratic shape as d02 → same executable guard
+        requireJaccardBudget(
+          ex.groupBy("g").agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+            .first().getLong(0))
         val cand = ex.as("a")
           .join(ex.as("b"),
             col("a.g") === col("b.g")
@@ -1144,8 +1177,9 @@ object DedupPack extends QueryPack {
     "d19_banding_sweep" -> Q(
       run = (s, d) => {
         val sig = signatures(s, d)
-        val exact = graft.SparkEntry.queries("d02_ngram_jaccard")(s, d)
-          .select(col("da"), col("db")).localCheckpoint(true)
+        val exact = graft.Caches.trackCut(
+          graft.SparkEntry.queries("d02_ngram_jaccard")(s, d)
+            .select(col("da"), col("db")).localCheckpoint(true))
         val configs = Seq((2, 6), (4, 3), (6, 2))
         configs.map { case (nb, rpb) =>
           val bandKeys = (0 until nb).map { b =>

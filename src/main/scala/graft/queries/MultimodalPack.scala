@@ -411,6 +411,90 @@ object MultimodalPack extends QueryPack {
         FROM hs a JOIN hs b ON a.k < b.k
         WHERE bit_count(xor(a.hlo, b.hlo)) +
               bit_count(xor(a.hhi, b.hhi)) <= 3
-        ORDER BY ka, kb"""))
+        ORDER BY ka, kb""")),
+
+    // ── Corpus-scale decode throughput (the VOLUME row) ────────────────
+    // m02/m07 pin codec CORRECTNESS against the committed cross-
+    // language corpus, but its ~260 KB make decode COST invisible at
+    // every bench rung (r11 verdict item 7). Here decode work scales
+    // with the fixture: every document synthesizes its own 16×16 image
+    // on-executor (closed-form pixels keyed by doc_id % 97, encoded
+    // via [[graft.functions.ImageCodec.Encode]] — PNG for even ids,
+    // BMP for odd, so BOTH decoders run at volume), decodes it back
+    // through the same Handle the corpus path uses, and emits per-doc
+    // quadrant luma sums. The oracle replays the FORMULA over the
+    // 97-image feature space and joins docs on doc_id % 97 — it never
+    // touches a byte. Shape: one narrow mapPartitions (encode→decode→
+    // 4 sums), zero shuffle before the output sort; at 100 TB this is
+    // the embarrassingly-parallel decode stage of a media-ingest
+    // pipeline, measured instead of assumed. (Epistemics documented on
+    // Encode: a mirrored encoder/decoder spec misreading round-trips
+    // here — the cross-language gate stays m02/m07.)
+    "m08_decode_volume" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            val codec = new graft.functions.ImageCodec.Handle
+            val rgb = new Array[Int](16 * 16 * 3)
+            ids.map { id =>
+              val j = (id % 97L).toInt
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  val o = (y * 16 + x) * 3
+                  rgb(o) = (j * 3 + x * 5 + y * 7) % 256
+                  rgb(o + 1) = (j * 11 + x * 13 + y * 17) % 256
+                  rgb(o + 2) = (j * 19 + x * 23 + y * 29) % 256
+                  x += 1
+                }
+                y += 1
+              }
+              val bytes =
+                if (id % 2 == 0)
+                  graft.functions.ImageCodec.Encode.png(16, 16, rgb)
+                else graft.functions.ImageCodec.Encode.bmp(16, 16, rgb)
+              val img = codec.decode(bytes)
+              val f = new Array[Long](4)
+              var yy = 0
+              while (yy < img.height) {
+                var x = 0
+                while (x < img.width) {
+                  val o = (yy * img.width + x) * 3
+                  f((yy / 8) * 2 + (x / 8)) +=
+                    img.rgb(o) + 2 * img.rgb(o + 1) + img.rgb(o + 2)
+                  x += 1
+                }
+                yy += 1
+              }
+              (id, f(0), f(1), f(2), f(3))
+            }
+          }
+          .toDF("doc_id", "f0", "f1", "f2", "f3")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH px AS (SELECT j.range AS j, x.range AS x, y.range AS y
+                    FROM range(97) j, range(16) x, range(16) y),
+        ch AS (SELECT j, x, y,
+                      (j*3  + x*5  + y*7 ) % 256 AS r,
+                      (j*11 + x*13 + y*17) % 256 AS g,
+                      (j*19 + x*23 + y*29) % 256 AS b
+               FROM px),
+        feats AS (SELECT j,
+                 CAST(sum(CASE WHEN y < 8 AND x < 8
+                          THEN r + 2*g + b ELSE 0 END) AS BIGINT) AS f0,
+                 CAST(sum(CASE WHEN y < 8 AND x >= 8
+                          THEN r + 2*g + b ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(sum(CASE WHEN y >= 8 AND x < 8
+                          THEN r + 2*g + b ELSE 0 END) AS BIGINT) AS f2,
+                 CAST(sum(CASE WHEN y >= 8 AND x >= 8
+                          THEN r + 2*g + b ELSE 0 END) AS BIGINT) AS f3
+                 FROM ch GROUP BY j)
+        SELECT d.doc_id, f.f0, f.f1, f.f2, f.f3
+        FROM documents d JOIN feats f ON d.doc_id % 97 = f.j
+        ORDER BY d.doc_id"""),
+      benchHeavy = true)
   )
 }

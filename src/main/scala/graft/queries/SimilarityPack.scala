@@ -560,6 +560,7 @@ object SimilarityPack extends QueryPack {
             (round(col("x") / col("nrm") * 127, 0).cast("int") + lit(127))
               .as("u8"))
           .localCheckpoint(true)
+        graft.Caches.trackCut(q)
         // sorted-literal broadcast rank, not a global window — see
         // seedRanks scaladoc (the 8-row collect is bounded by the limit)
         val ids = broadcast(seedRanks(s,
@@ -578,6 +579,7 @@ object SimilarityPack extends QueryPack {
             .filter(col("rn") === 1)
             .select(col("vec_id"), col("cid"), col("dist"))
             .localCheckpoint(true)
+          graft.Caches.trackCut(assign)
           cent = q.join(assign.select("vec_id", "cid"), "vec_id")
             .groupBy(col("cid"), col("dim"))
             .agg(expr("CAST(sum(u8) div count(1) AS INT)").as("cu8"))

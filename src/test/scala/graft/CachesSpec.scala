@@ -37,6 +37,61 @@ class CachesSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("strayUnpersist reclaims engine leftovers but never pack memos") {
+    import spark.implicits._
+    Caches.sweep(spark)
+    Caches.strayUnpersist(spark)
+    // populate a pack memo (the graph edge relation) ...
+    assert(SparkEntry.queries("g12_degree_skew")(spark, sfDir).count() > 0)
+    val withMemo = persisted
+    assert(withMemo.nonEmpty, "expected the edge memo resident")
+    // ... then run an iterative engine directly: its final LineageCut
+    // generations stay pinned after the result is consumed — the
+    // per-query leak SHARED_r11's sweep arm OOM'd on
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (4L, 5L), (5L, 4L)).toDF("a", "b")
+    assert(operators.ConnectedComponents.minLabel(edges).count() === 5)
+    assert((persisted -- withMemo).nonEmpty,
+      "expected the engine to leave transient cuts behind")
+    // the rotation released superseded generations itself (untrack):
+    // the stray count is the final keep-window + pins, not one per
+    // round — a handful, never tens
+    val released = Caches.strayUnpersist(spark)
+    assert(released > 0 && released < 10,
+      s"expected a bounded leftover set, got $released")
+    assert((persisted -- withMemo).isEmpty,
+      s"strays survived: ${(persisted -- withMemo).toSeq.sorted}")
+    assert(withMemo.subsetOf(persisted),
+      "strayUnpersist must never touch pack-owned memos")
+    // memo still answers without rebuild
+    assert(SparkEntry.queries("g12_degree_skew")(spark, sfDir).count() > 0)
+    Caches.sweep(spark)
+    Caches.strayUnpersist(spark)
+  }
+
+  test("strayUnpersist deletes reliable-checkpoint leftover dirs") {
+    import spark.implicits._
+    import java.nio.file.{Files, Path}
+    Caches.strayUnpersist(spark)
+    val dir = Files.createTempDirectory("graft-stray-ckpt")
+    def rddDirs: Seq[Path] = {
+      val s = Files.walk(dir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .toList
+      finally s.close()
+    }
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+    assert(operators.ConnectedComponents
+      .minLabel(edges, checkpointDir = Some(dir.toString)).count() === 3)
+    // the final generations' checkpoint files survive the run (the
+    // rotation only deleted SUPERSEDED ones)
+    assert(rddDirs.nonEmpty, "expected leftover rdd-N checkpoint dirs")
+    assert(Caches.strayUnpersist(spark) > 0)
+    assert(rddDirs.isEmpty,
+      s"reliable leftovers survived: $rddDirs")
+  }
+
   test("storageBytes reports the block-manager footprint") {
     Caches.sweep(spark)
     SparkEntry.queries("g12_degree_skew")(spark, sfDir).count()

@@ -73,4 +73,60 @@ class ImageCodecSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown image magic"))
   }
+
+  test("Encode round-trips through the decoders (m08's volume path)") {
+    // the throughput row's epistemics: round-trip equality here plus
+    // the cross-language corpus pins above — see Encode scaladoc
+    val codec = new ImageCodec.Handle
+    for (seed <- Seq(0, 13, 96)) {
+      val rgb = Array.tabulate(16 * 16 * 3) { i =>
+        val p = i / 3; val x = p % 16; val y = p / 16
+        ((seed * 7 + x * 5 + y * 11 + i % 3 * 31) % 256)
+      }
+      val png = codec.decode(ImageCodec.Encode.png(16, 16, rgb))
+      assert(png.width === 16 && png.height === 16)
+      assert(png.rgb.toSeq === rgb.toSeq, s"png round-trip seed=$seed")
+      val bmp = codec.decode(ImageCodec.Encode.bmp(16, 16, rgb))
+      assert(bmp.rgb.toSeq === rgb.toSeq, s"bmp round-trip seed=$seed")
+    }
+    // non-4-aligned width exercises encoder stride padding too
+    val rgb5 = Array.tabulate(5 * 3 * 3)(i => (i * 37) % 256)
+    val bmp5 = codec.decode(ImageCodec.Encode.bmp(5, 3, rgb5))
+    assert(bmp5.width === 5 && bmp5.height === 3)
+    assert(bmp5.rgb.toSeq === rgb5.toSeq, "padded bmp round-trip")
+  }
+
+  test("truncated PNG zlib stream fails loudly, never hangs") {
+    // round-12 advice fix: Inflater.inflate returns 0 with
+    // finished()==false on a short stream — the decode loop must break
+    // and let the length require report, not spin forever. Rebuild the
+    // PNG with the IDAT BODY halved but chunk framing intact (the
+    // walker must stay in-bounds so the inflate loop is what's
+    // exercised; CRCs are not verified by the decoder).
+    val rgb = Array.tabulate(16 * 16 * 3)(i => (i * 17) % 256)
+    val full = ImageCodec.Encode.png(16, 16, rgb)
+    def be32(o: Int): Int =
+      ((full(o) & 0xFF) << 24) | ((full(o + 1) & 0xFF) << 16) |
+        ((full(o + 2) & 0xFF) << 8) | (full(o + 3) & 0xFF)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(full, 0, 8)
+    var pos = 8
+    while (pos + 8 <= full.length) {
+      val len = be32(pos)
+      val tag = new String(full, pos + 4, 4, "US-ASCII")
+      if (tag == "IDAT") {
+        val nl = len / 2
+        out.write(Array((nl >>> 24).toByte, (nl >>> 16).toByte,
+          (nl >>> 8).toByte, nl.toByte), 0, 4)
+        out.write(full, pos + 4, 4)       // tag
+        out.write(full, pos + 8, nl)      // halved body
+        out.write(full, pos + 8 + len, 4) // stale CRC (unchecked)
+      } else out.write(full, pos, 12 + len)
+      pos += 12 + len
+    }
+    val e = intercept[IllegalArgumentException] {
+      new ImageCodec.Handle().decodePng(out.toByteArray)
+    }
+    assert(e.getMessage.contains("PNG stream short"))
+  }
 }

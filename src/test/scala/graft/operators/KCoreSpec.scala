@@ -48,6 +48,21 @@ class KCoreSpec extends AnyFunSuite {
     assert(core(tri ++ cyc, 3) === Map.empty)
   }
 
+  test("shuffle semi-join fallback path is identical to broadcast peel") {
+    // round 12: the peel is adaptive — broadcast anti-joins for small
+    // per-round drop sets, keep-set semi-joins past broadcastDropMax.
+    // Force the fallback (bound 0) on the cascade fixture and require
+    // the same core; the default path is what every other case runs.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val e = edges.toDF("u", "v")
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val viaShuffle = KCore.core(sym, 2, broadcastDropMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaShuffle === core(edges, 2),
+      "semi-join fallback diverged from the broadcast peel")
+  }
+
   test("reliable checkpoint mode: identical core, files on disk") {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))

@@ -33,6 +33,24 @@ class DedupCacheSpec extends AnyFunSuite {
     DedupPack.clear(spark)
   }
 
+  test("d02/d12: the exact quadratic refuses past its pair-mass budget") {
+    // round 12 (r11 verdict item 4): the adjudicated quadratic now
+    // carries the d05 treatment — a plan-build Σ df·(df−1)/2 estimate
+    // that refuses past the measured bound and names d03
+    DedupPack.requireJaccardBudget(DedupPack.MaxJaccardPairMass) // at cap
+    val e = intercept[IllegalArgumentException] {
+      DedupPack.requireJaccardBudget(DedupPack.MaxJaccardPairMass + 1)
+    }
+    assert(e.getMessage.contains("d03"),
+      "refusal must name the MinHash+LSH scale path")
+    assert(e.getMessage.contains("df*(df-1)/2"),
+      "refusal must say what the estimate is")
+    // the guard is wired into both quadratic queries: still answer
+    // under cap, results untouched
+    assert(SparkEntry.queries("d02_ngram_jaccard")(spark, sfDir).count() >= 0)
+    assert(SparkEntry.queries("d12_containment")(spark, sfDir).count() >= 0)
+  }
+
   test("d05: the O(n²) yardstick refuses a corpus past its budget (p22 pattern)") {
     DedupPack.requireYardstickBudget(DedupPack.MaxYardstickVectors) // at cap: fine
     val e = intercept[IllegalArgumentException] {

@@ -81,7 +81,8 @@ SF10_SUBSET = ",".join([
     "d06_dup_clusters", "g01_pagerank", "g05_kcore", "g08_sssp",
     "g10_hits", "s09_int_kmeans",
     # heavy
-    "d18_tfidf_similarity", "d20_entity_blocks", "s20_ivf_adc_topk",
+    "d18_tfidf_similarity", "d20_entity_blocks", "m08_decode_volume",
+    "s20_ivf_adc_topk",
 ])
 
 
@@ -107,9 +108,17 @@ def classes_current():
         return False
     newest_class = max(
         (p.stat().st_mtime for p in CLASSES.rglob("*.class")), default=0)
+    # resources are load-bearing classpath content too (the m02/m07
+    # image corpus): regenerating them via tools/gen_images.py without
+    # an `sbt compile` must NOT let the direct-java path measure stale
+    # copied resources under target/ (round-11 advice). Compare newest
+    # source-side resource against its copied twin under CLASSES.
     newest_src = max(
-        (p.stat().st_mtime
-         for p in (REPO / "src/main/scala").rglob("*.scala")), default=0)
+        [p.stat().st_mtime
+         for p in (REPO / "src/main/scala").rglob("*.scala")] +
+        [p.stat().st_mtime
+         for p in (REPO / "src/main/resources").rglob("*")
+         if p.is_file()] or [0])
     return newest_class >= newest_src
 
 
@@ -320,12 +329,19 @@ def main():
                     try:
                         t = json.loads(
                             Path(vdir, "timings.json").read_text())
+                        # append the calibration reading ONLY alongside a
+                        # wall for the same rep — a query that failed
+                        # inside Verify (JVM exit 0, name missing from
+                        # timings.json) must not leave wall_all and
+                        # par_over_scalar_all with different lengths,
+                        # silently misaligning per-rep probes with walls
+                        # (round-11 advice)
                         if qname in t:
                             merged.setdefault(qname, []).append(t[qname])
-                        c = json.loads(
-                            Path(vdir, "calibration.json").read_text())
-                        calibs.setdefault(qname, []).append(
-                            round(c["par_over_scalar"], 3))
+                            c = json.loads(
+                                Path(vdir, "calibration.json").read_text())
+                            calibs.setdefault(qname, []).append(
+                                round(c["par_over_scalar"], 3))
                     except FileNotFoundError:
                         pass
             Path(vdir, "timings.json").write_text(json.dumps(
@@ -386,6 +402,19 @@ def main():
         cpath = Path(vdir, "calibration.json")
         if label not in ("sf10", "sf1i") and cpath.exists():
             rungs[label]["calibration"] = json.loads(cpath.read_text())
+        elif allpath.exists():
+            # min-of-N rungs: aggregate every per-rep probe into ONE
+            # rung-level par_over_scalar (round-12, r11 verdict item 6:
+            # the sf10 rung carried rows-only readings and a rung-level
+            # regime summary required hand-averaging 69 numbers)
+            flat = [p for ps in calibs.values() for p in ps]
+            if flat:
+                rungs[label]["calibration"] = {
+                    "par_over_scalar": round(sum(flat) / len(flat), 3),
+                    "par_over_scalar_min": min(flat),
+                    "par_over_scalar_max": max(flat),
+                    "n_probes": len(flat),
+                }
     out_path = Path(REPO / out)
     # merge into an existing artifact so one rung can be (re)run alone
     # (e.g. after --rebuild recovered the finished rungs from a crash)
