@@ -93,9 +93,14 @@ object Caches {
   /** Unpersist `rdd`'s blocks and — for RELIABLE checkpoints — delete
     * its `rdd-<id>` directory (best-effort: a failed delete costs
     * disk, never correctness). The shared release primitive for
-    * LineageCut's rotation and [[strayUnpersist]]. */
-  def releaseRdd(rdd: RDD[_]): Unit = {
-    rdd.unpersist(blocking = false)
+    * LineageCut's rotation (non-blocking — mid-loop latency matters)
+    * and [[strayUnpersist]] (BLOCKING — it runs between queries, and
+    * an async removal of a finished engine's multi-GB block set
+    * otherwise races whatever is measured next: the round-12 g05 A/B
+    * caught the END calibration probe reading 7.2× par-over-scalar
+    * purely from our own deferred cleanup). */
+  def releaseRdd(rdd: RDD[_], blocking: Boolean = false): Unit = {
+    rdd.unpersist(blocking)
     rdd.getCheckpointFile.foreach { dir =>
       try {
         val p = new org.apache.hadoop.fs.Path(dir)
@@ -120,7 +125,7 @@ object Caches {
       val drained = s.synchronized {
         val d = s.toVector; s.clear(); d
       }
-      drained.foreach(releaseRdd)
+      drained.foreach(releaseRdd(_, blocking = true))
       drained.size
     }.getOrElse(0)
 
