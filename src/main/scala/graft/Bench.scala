@@ -108,9 +108,12 @@ object Bench {
     // per-query stray reclamation (round 12, Verify's policy): each
     // engine rep leaks its final LineageCut generations + pins until
     // driver GC; dropping them between queries keeps later reps'
-    // memory regime flat. OUTSIDE the timed region (non-blocking
-    // unpersist, sub-ms); pack memos are untouched so warm reuse
-    // across passes is preserved.
+    // memory regime flat. OUTSIDE the timed region, and BLOCKING by
+    // design (Caches.releaseRdd scaladoc: the g05 A/B caught an async
+    // drain racing the end calibration probe) — a multi-GB drain can
+    // take seconds between reps, which is exactly why it must finish
+    // before the next timed region starts; pack memos are untouched so
+    // warm reuse across passes is preserved.
     def reclaim(): Unit = Caches.strayUnpersist(spark)
 
     // Two groups: the FIXED headline set (14 queries, `value` = its total,

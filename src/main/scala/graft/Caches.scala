@@ -68,6 +68,13 @@ object Caches {
     * rotation cut and pin, and by [[trackCut]] for direct
     * localCheckpoint scaffolding. */
   def track(rdd: RDD[_]): Unit = {
+    // evict dead-context entries opportunistically: a long-lived JVM
+    // that cycles sessions (the sbt test suite) would otherwise
+    // accumulate one handle set per stopped context forever —
+    // strayUnpersist on a LIVE session never reaches them (round-13
+    // advice). Nothing to release: a stopped context's blocks are gone
+    // with it.
+    transients.keys.filter(_.isStopped).foreach(transients.remove)
     val s = transients.getOrElseUpdate(rdd.sparkContext,
       scala.collection.mutable.Set.empty[RDD[_]])
     s.synchronized(s += rdd)
@@ -126,6 +133,12 @@ object Caches {
         val d = s.toVector; s.clear(); d
       }
       drained.foreach(releaseRdd(_, blocking = true))
+      // drop the entry while it is (still) empty — track re-creates on
+      // demand, and keeping it would leak one map entry per context a
+      // long-lived JVM ever creates. A concurrent track racing this
+      // remove at worst leaves its cut to driver GC (the pre-round-12
+      // behavior), never double-releases.
+      if (s.synchronized(s.isEmpty)) transients.remove(session.sparkContext)
       drained.size
     }.getOrElse(0)
 

@@ -56,13 +56,41 @@ object IterProbe {
 
     which match {
       case "pagerank" =>
-        val e0 = baseEdges()
-        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-        for (r <- 0 to maxRounds)
+        // pre-cut the derivation like every production caller does
+        // (GraphPack's edge memo is a localCheckpoint): since round 13
+        // the engine deliberately does NOT pin its input (PageRank
+        // scaladoc input contract), so an un-cut probe input would
+        // re-derive the 33 s lineitem⋈orders join ~3× inside "setup"
+        // and mis-attribute it to the engine
+        val cut = baseEdges().localCheckpoint(true)
+        val edges = cut.union(cut.select(col("v").as("u"), col("u").as("v")))
+        // per-run shuffle attribution (the g05-treatment instrument,
+        // round 13): differencing adjacent round counts gives marginal
+        // per-round wall AND marginal shuffle bytes — the number that
+        // says whether a round shape is zero-shuffle as designed
+        val ml = new ShuffleAudit.MetricsListener
+        spark.sparkContext.addSparkListener(ml)
+        def shuffleSnap(): (Long, Long) = {
+          org.apache.spark.graftshim.ListenerShim
+            .waitUntilEmpty(spark.sparkContext)
+          (ml.shuffleWrite.sum(), ml.shuffleRead.sum())
+        }
+        for (r <- 0 to maxRounds) {
+          val (w0, rd0) = shuffleSnap()
           timed(s"pagerank rounds=$r") {
             operators.PageRank.ranks(edges, r)
               .queryExecution.toRdd.count()
           }
+          val (w1, rd1) = shuffleSnap()
+          println(f"[iterprobe] pagerank rounds=$r shuffle:" +
+            f" write ${(w1 - w0) / 1e6}%.1f MB" +
+            f" read ${(rd1 - rd0) / 1e6}%.1f MB")
+          // engine leftovers (final generations + pins) drop between
+          // runs so run N+1's storage regime matches a fresh query's.
+          // The probe's own edge cut is NOT enrolled (no trackCut), so
+          // the drain can't invalidate it.
+          Caches.strayUnpersist(spark)
+        }
       case "hits" =>
         // g10's orientation: customers point at suppliers (the query's
         // own reversal of the shared derivation, GraphPack.scala g10)

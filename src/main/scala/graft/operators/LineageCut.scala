@@ -49,6 +49,11 @@ import org.apache.spark.sql.execution.LogicalRDD
   * sets, seed sets — the g01 hoist products) go through [[pin]],
   * which cuts WITHOUT enrolling in the rotation.
   */
+object LineageCut {
+  private val envOverrideLogged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 final class LineageCut(checkpointDirOpt: Option[String], keep: Int = 2) {
   require(keep >= 1, "LineageCut must keep at least one generation")
   private val live = scala.collection.mutable.Queue.empty[RDD[_]]
@@ -60,7 +65,20 @@ final class LineageCut(checkpointDirOpt: Option[String], keep: Int = 2) {
   // reliable-checkpoint-tax arms need. Production callers pass
   // checkpointDir explicitly; an explicit Some always wins.
   private val checkpointDir: Option[String] =
-    checkpointDirOpt.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+    checkpointDirOpt.orElse {
+      val env = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      // log ONCE per JVM when the override is live (round-13 advice):
+      // a stale exported variable silently flips every engine to
+      // reliable-checkpoint semantics — arm provenance must be visible
+      // in run output, like the other measurement escapes
+      env.foreach { d =>
+        if (LineageCut.envOverrideLogged.compareAndSet(false, true))
+          System.err.println("[lineagecut] SPARK_GRAFT_CHECKPOINT_DIR=" +
+            d + " active: ALL lineage cuts in this JVM use RELIABLE " +
+            "checkpoints (measurement escape, writes checkpoint dirs)")
+      }
+      env
+    }
 
   private def cutOnly(df: DataFrame): DataFrame = {
     checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)

@@ -27,10 +27,52 @@ import org.apache.spark.sql.functions._
   *     The per-round dangling sum stays IN-PLAN (a one-row aggregate
   *     broadcast via cross join), never a driver collect.
   *
-  * The edge list is checkpointed once; each iteration is one shuffle
-  * keyed by destination with map-side partial sums, and each round's
-  * rank state (one row per node) is eagerly checkpointed so the plan
-  * stays constant-size across iterations. Lineage cuts follow the
+  * ROUND SHAPE (round 13 — the g05 treatment; IterProbe's `pagerank`
+  * unroll at sf10 put setup at ~187 s — two full edge-sized
+  * checkpoint writes, an edge-sized SMJ and an edge-sized distinct in
+  * the symmetry guard — and each round at ~120 s, an edge-sized
+  * sort-merge join plus the partial-aggregate shuffle over 117M
+  * symmetrized edges):
+  *
+  *   - SETUP pins only the NODE-sized degree table plus ONE narrow
+  *     `(u, v)` edge pin pre-partitioned on the DESTINATION key (no
+  *     `(u, v, d)` join materialization: the per-edge degree rides in
+  *     with the broadcast below). The symmetry guard is an anti hash
+  *     join of raw destinations against the broadcast degree table —
+  *     no distinct, no shuffle, `limit(1)` short-circuit.
+  *   - Each ROUND pre-divides the rank state ONCE per source
+  *     (`c(u) = r(u) div d(u)`, a node-sized broadcast-hash join) and
+  *     BROADCASTS the resulting (u, c) into a hash join against the
+  *     pinned edges. A broadcast hash join preserves the streamed
+  *     side's partitioning, so the `groupBy(v)` inflow aggregation
+  *     reuses the pinned destination partitioning and the whole round
+  *     runs in ONE stage with ZERO shuffle — one scan of the pinned
+  *     edge blocks plus a node-sized broadcast (|V|·16 bytes, ~26 MB
+  *     at sf10). Contributions aggregate fully locally because every
+  *     row for a destination lives in one partition: shuffled rows
+  *     per round drop from |E| to ZERO, not merely toward |V|.
+  *
+  * The broadcast state is node-sized, so past `broadcastRankMax`
+  * nodes (default 32M ≈ 1-2 GB of broadcast relation — sized for a
+  * multi-GB driver, the same doctrine as [[KCore]]'s
+  * `broadcastDropMax`) the loop falls back to the shuffle shape
+  * (contribution edges `(u, v, d)` pre-partitioned by SOURCE, rank
+  * state shuffled to it, destination-keyed aggregate with map-side
+  * partial sums) — the billion-node posture, spec-pinned bit-identical
+  * to broadcast mode.
+  *
+  * INPUT CONTRACT (round 13): `edges` is scanned ~3 times at setup
+  * (degree aggregate, symmetry guard, edge pin) instead of being
+  * eagerly pinned first — every production caller hands this operator
+  * a memoized/checkpointed relation (GraphPack's edge memo), for which
+  * the old edge-sized pin was a pure extra write of blocks that
+  * already existed. Callers with an EXPENSIVE or non-deterministic
+  * edge plan must cut it themselves before calling (localCheckpoint /
+  * [[LineageCut.pin]]), exactly as GraphPack does.
+  *
+  * Each round's rank state (one row per node) is eagerly checkpointed
+  * so the plan stays constant-size across iterations. Lineage cuts
+  * follow the
   * [[ConnectedComponents]] contract: `checkpointDir = None` uses
   * `localCheckpoint` (no extra I/O, but blocks pin executors and die
   * with them — fine on local[n]); `Some(dir)` uses reliable
@@ -83,13 +125,18 @@ object PageRank {
     *                      [[CheckpointRecovery]]) and the remaining
     *                      rounds continue bit-identically
     *                      (ranks(e,5) ≡ ranks(e,3,init=ranks(e,2)),
-    *                      spec-pinned). Must cover the mode's node set. */
+    *                      spec-pinned). Must cover the mode's node set.
+    * @param broadcastRankMax node-count ceiling for the zero-shuffle
+    *                      broadcast round shape (scaladoc above); past
+    *                      it the loop uses the shuffle shape. 0 forces
+    *                      the fallback (the spec's equivalence knob). */
   def ranks(edges: DataFrame, iterations: Int,
       checkpointDir: Option[String] = None,
       redistributeDangling: Boolean = false,
       teleportTo: Option[DataFrame] = None,
       tol: Long = 0L,
-      initialRanks: Option[DataFrame] = None): DataFrame = {
+      initialRanks: Option[DataFrame] = None,
+      broadcastRankMax: Long = 32000000L): DataFrame = {
     // core-tied round layout (see [[RoundLayout]]): node-sized
     // per-round state must not inherit a corpus-derived session
     // partition count -- measured at sf10 in GROWTH_r10
@@ -103,14 +150,45 @@ object PageRank {
       // any time), not left to ContextCleaner GC timing; setup relations
       // are pinned for the whole run
       val lc = new LineageCut(checkpointDir)
-      val e = lc.pin(edges.select(col("u"), col("v")))
-      val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
-      // contribution edges (u, v, d) built ONCE and pre-partitioned on the
-      // join key: the loop used to redo e⋈deg every round, shuffling the
-      // full edge list per iteration; now each round reshuffles only the
-      // rank table (one row per node) plus the destination-keyed sum
-      val ed = lc.pin(e.join(deg, "u").repartition(col("u")))
-  
+      // NOT pinned (input contract above): production callers pass
+      // memoized block scans, and an edge-sized pin here was half the
+      // measured sf10 setup wall
+      val e = edges.select(col("u"), col("v"))
+      // the ONE node-sized setup pin: sources with out-degree
+      val degP = lc.pin(e.groupBy("u").agg(count(lit(1)).as("d")))
+      // edge pin, built ONCE and pre-partitioned on the key the round
+      // shape reuses: narrow (u, v) by DESTINATION in broadcast mode
+      // (the inflow groupBy(v) inherits it — the round is one stage,
+      // zero shuffle; degree rides in with the broadcast state), or
+      // contribution edges (u, v, d) by SOURCE in the shuffle fallback
+      // (the rank join inherits it; only the node-sized rank table and
+      // the map-side combined (v, partial-sum) rows move per round)
+      def edgePin(bcast: Boolean): DataFrame =
+        if (bcast) lc.pin(e.repartition(col("v")))
+        else lc.pin(e.join(degP, "u").repartition(col("u")))
+      // per-round inflow Σ_{(u,v)∈E} (r(u) div d(u)) keyed by v.
+      // Broadcast mode pre-divides ONCE per source (node-sized BHJ
+      // against the broadcast degree pin), then broadcasts (u, c) into
+      // the destination-partitioned edge pin — zero shuffle; fallback
+      // is the r12 shape (state shuffled to the source-partitioned
+      // contribution pin, destination-keyed partial-sum aggregate)
+      def inflowOf(ed: DataFrame, prev: DataFrame, bcast: Boolean)
+          : DataFrame =
+        if (bcast)
+          ed.join(broadcast(
+              prev.select(col("node"), col("r"))
+                .join(broadcast(degP), col("node") === col("u"))
+                .select(col("u"), expr("r div d").as("c"))), "u")
+            .groupBy(col("v"))
+            .agg(sum(col("c")).as("inflow"))
+            .select(col("v").as("node"), col("inflow"))
+        else
+          ed.join(prev.select(col("node"), col("r")),
+              col("node") === col("u"))
+            .groupBy(col("v"))
+            .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
+            .select(col("v").as("node"), col("inflow"))
+
       // shared round driver for all three modes: fixed-count when tol=0
       // (the pre-tol behavior, bit-identical), early-stop on
       // max|Δr| ≤ tol otherwise. prev and r are adjacent LineageCut
@@ -143,39 +221,44 @@ object PageRank {
         initialRanks.map(df => lc.pin(df.select(col("node"), col("r"))))
   
       if (!redistributeDangling) {
+        // node set = sources (symmetric contract) — one setup count
+        // decides broadcast vs shuffle shape for the whole run
+        val bcast = degP.count() <= broadcastRankMax
         // loud guard for the documented contract (scaladoc above): a
-        // destination with no out-edges would silently absorb rank
-        val dangling = e.select(col("v").as("u")).distinct()
-          .join(deg, Seq("u"), "left_anti").limit(1).count()
+        // destination with no out-edges would silently absorb rank.
+        // Anti HASH join of raw destinations against the (broadcast)
+        // degree pin — no distinct shuffle, limit(1) short-circuits
+        val degKeys = degP.select(col("u"))
+        val dangling = e.select(col("v").as("u"))
+          .join(if (bcast) broadcast(degKeys) else degKeys,
+            Seq("u"), "left_anti").limit(1).count()
         require(dangling == 0L,
           "PageRank(redistributeDangling=false) requires a symmetrized edge " +
             "list (every destination must also be a source); found dangling " +
             "destinations — symmetrize the input or pass redistributeDangling=true")
+        val ed = edgePin(bcast)
         val init = resumeInit.getOrElse(
-          deg.select(col("u").as("node"), lit(1000000L).as("r")))
+          degP.select(col("u").as("node"), lit(1000000L).as("r")))
         teleportTo match {
           case None =>
+            // symmetric contract ⇒ every node has in-edges, so the
+            // inflow relation covers the whole node set and the damped
+            // update is a straight projection of it
             loop(init) { prev =>
-              lc(ed
-                .join(prev, col("node") === col("u"))
-                .groupBy(col("v"))
-                .agg(expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)")
-                  .as("r2"))
-                .select(col("v").as("node"), col("r2").as("r")))
+              lc(inflowOf(ed, prev, bcast)
+                .select(col("node"),
+                  expr("CAST(150000 + (85 * inflow) div 100 AS BIGINT)")
+                    .as("r")))
             }
           case Some(t) =>
             // nodes with zero inflow still carry their seed base, so the
             // update is anchored on the node set (= sources, symmetric
             // contract), not on the destinations that happened to receive
-            val nodes = lc.pin(deg.select(col("u").as("node")))
+            val nodes = degP.select(col("u").as("node"))
             val seeds = lc.pin(t.select(col("node")).distinct()
               .withColumn("is_seed", lit(1)))
             loop(init) { prev =>
-              val inflow = ed
-                .join(prev, col("node") === col("u"))
-                .groupBy(col("v"))
-                .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
-                .select(col("v").as("node"), col("inflow"))
+              val inflow = inflowOf(ed, prev, bcast)
               lc(nodes
                 .join(inflow, Seq("node"), "left_outer")
                 .join(seeds, Seq("node"), "left_outer")
@@ -191,19 +274,17 @@ object PageRank {
         // graph cardinality is fixed across rounds — one setup count, a
         // literal thereafter (metadata-sized, not a per-round collect)
         val n = nodes.count()
+        val bcast = n <= broadcastRankMax
+        val ed = edgePin(bcast)
         val danglingNodes = nodes.join(
-          deg.select(col("u").as("node")), Seq("node"), "left_anti")
+          degP.select(col("u").as("node")), Seq("node"), "left_anti")
         val init = resumeInit.getOrElse(nodes.withColumn("r", lit(1000000L)))
         loop(init) { prev =>
           // one-row dangling-mass aggregate, broadcast into every node's
           // update via cross join — stays distributed, no driver round-trip
           val dsum = prev.join(danglingNodes, Seq("node"), "left_semi")
             .agg(coalesce(sum("r"), lit(0L)).as("dsum"))
-          val inflow = ed
-            .join(prev, col("node") === col("u"))
-            .groupBy(col("v"))
-            .agg(expr("CAST(sum(r div d) AS BIGINT)").as("inflow"))
-            .select(col("v").as("node"), col("inflow"))
+          val inflow = inflowOf(ed, prev, bcast)
           lc(nodes
             .join(inflow, Seq("node"), "left_outer")
             .crossJoin(broadcast(dsum))

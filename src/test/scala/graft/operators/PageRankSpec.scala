@@ -185,4 +185,24 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(resumed === full)
   }
+
+  test("shuffle fallback (broadcastRankMax=0) ≡ broadcast mode, all modes") {
+    // the billion-node posture must be bit-identical to the zero-shuffle
+    // broadcast round shape (the round-13 rebuild's equivalence contract,
+    // KCoreSpec's fallback-≡-broadcast case for this operator)
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(PageRank.ranks(star.toDF("u", "v"), 3, broadcastRankMax = 0L))
+      === ranks(star, 3), "default mode diverged under the fallback")
+    assert(m(PageRank.ranks(star.toDF("u", "v"), 2,
+        teleportTo = Some(Seq(2L).toDF("node")), broadcastRankMax = 0L))
+      === Map(1L -> 850000L, 2L -> 872500L, 3L -> 722500L),
+      "teleport mode diverged under the fallback")
+    val sinks = Seq((1L, 2L), (1L, 3L))
+    assert(m(PageRank.ranks(sinks.toDF("u", "v"), 3,
+        redistributeDangling = true, broadcastRankMax = 0L))
+      === m(PageRank.ranks(sinks.toDF("u", "v"), 3,
+        redistributeDangling = true)),
+      "dangling mode diverged under the fallback")
+  }
 }

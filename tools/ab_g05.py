@@ -43,8 +43,11 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10"
     out_path = REPO / "GROWTH_r12.json"
     artifact = (json.loads(out_path.read_text()) if out_path.exists()
-                else {"round": 12, "generated_by": "tools/ab_g05.py",
-                      "reps": reps, "arms": {}})
+                else {"round": 12, "generated_by": "tools/ab_g05.py"})
+    # tolerate a pre-existing file written by another tool (no 'arms'
+    # key), and refresh 'reps' on every run instead of only at creation
+    artifact.setdefault("arms", {})
+    artifact["reps"] = reps
     walls = {}
     probes = {}
     for rep in range(reps):
