@@ -242,18 +242,6 @@ object Bench {
     // REGRESSION relative to the box, like the min-of-3 query design.
     // SPARK_GRAFT_STREAM_FLOOR (rows/s) overrides the scaled value;
     // 0 disables the gate.
-    // Round 10: the floor scales by the PARALLEL probe, not the scalar
-    // one — the stream pipeline is a 32-way stage and r9 proved the
-    // scalar probe can read FASTER while every multicore path degrades
-    // 26% (host-level all-core throughput loss the single-thread probe
-    // is blind to; measured outside the JVM too — SCALE.md "Two-probe
-    // calibration"). 0.87 s is the best parallel reading observed on
-    // this host class (round-10 quiet box).
-    val calibParRefSec = 0.87
-    val calibParMean = (calibParStart + calibParEnd) / 2
-    val streamFloor = sys.env.get("SPARK_GRAFT_STREAM_FLOOR")
-      .map(_.toLong)
-      .getOrElse(math.round(50000L * calibParRefSec / calibParMean))
     val streamRate = if (streamSec > 0) streamRows / streamSec else -1.0
     // normalized stream rate (round 12, r11 verdict stretch): the
     // replay ran between the last two probes; scale the rate UP by
@@ -265,7 +253,17 @@ object Bench {
       (probes(probes.length - 2).parOverScalar +
         probes.last.parOverScalar) / 2)
     val streamRateNorm = if (streamSec > 0) streamRate * streamFactor else -1.0
-    val streamFailed = streamRate < streamFloor
+    // round 13 (r12 verdict item 6): the floor is re-derived ON THE
+    // NORM BASIS and gates the NORM rate — the pre-r12 floor scaled a
+    // raw-era base (50k, ~1/3 of r7/r8's raw 134-153k) by the live
+    // parallel probe, i.e. it corrected for contention TWICE once the
+    // norm rate existed. streamRateNorm is already contention-
+    // corrected, so the floor is now a spec-pinned constant
+    // ([[StreamFloorNormRowsPerSec]]); SPARK_GRAFT_STREAM_FLOOR
+    // (rows/s, on the norm basis) still overrides, 0 disables.
+    val streamFloor = sys.env.get("SPARK_GRAFT_STREAM_FLOOR")
+      .map(_.toLong).getOrElse(StreamFloorNormRowsPerSec)
+    val streamFailed = streamRateNorm < streamFloor
     // per-micro-batch latency percentiles (nearest-rank over the pooled
     // replays): throughput alone hides one straggler batch behind two
     // fast ones; the p95 ceiling is documented in SCALE.md as advisory
@@ -305,9 +303,8 @@ object Bench {
         if (streamSec > 0) (streamRows / streamSec).round else -1
       },"rows_per_sec_norm":${
         if (streamSec > 0) streamRateNorm.round else -1
-      },"floor_rows_per_sec":$streamFloor,"floor_scaled_by_calibration":${
-        sys.env.get("SPARK_GRAFT_STREAM_FLOOR").isEmpty
-      },"batch_ms_p50":$batchP50,"batch_ms_p95":$batchP95,"n_batches":${
+      },"floor_rows_per_sec":$streamFloor,"floor_basis":"norm"""" +
+      s""","batch_ms_p50":$batchP50,"batch_ms_p95":$batchP95,"n_batches":${
         streamBatchMs.length
       },"ok":${!streamFailed}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iter_queries":$iterQs,"iter_total":$iterTotal,"heavy_queries":$heavyQs,"heavy_total":$heavyTotal,"queries_norm":$qsNorm,"total_norm":$totalNorm,"iter_total_norm":$iterTotalNorm,"heavy_total_norm":$heavyTotalNorm,"samples":$rawJson,"calibration":$calibJson,"stream":$streamJson,"failed":$failed,"sf":"$sfDir"}""")
@@ -397,4 +394,15 @@ object Bench {
     * own noise band on a quiet box, below the 1.24 reading that made
     * BENCH_r10 unadjudicable on raw numbers). */
   val RawBasisCeiling = 1.15
+
+  /** Stream-throughput floor (rows/s) on the NORMALIZED basis (round
+    * 13, r12 verdict item 6). ~1/3 of the r12 norm reading (122.7k) —
+    * the same one-third-of-observed doctrine the original raw-era
+    * floor used against r7/r8's 134-153k rows/s — so it catches a
+    * collapse-class regression (state store, file listing) without
+    * tripping on regime. Gates `stream_rows_per_sec_norm`, which is
+    * already contention-corrected, so the floor itself no longer
+    * scales by the live calibration probe (the pre-r13 double
+    * correction). BenchSummarySpec pins the value. */
+  val StreamFloorNormRowsPerSec = 40000L
 }

@@ -88,4 +88,14 @@ class BenchSummarySpec extends AnyFunSuite {
     assert((parsed \ "mins_norm").asInstanceOf[JObject].obj.length ===
       all.length)
   }
+
+  test("stream floor is a norm-basis constant (round 13)") {
+    // the floor gates stream_rows_per_sec_norm, which is already
+    // contention-corrected, so the floor must be a PINNED constant —
+    // the pre-r13 floor scaled a raw-era base by the live parallel
+    // probe, correcting for contention twice. 40k ≈ 1/3 of the r12
+    // norm reading (122.7k rows/s), the raw-era floor's same
+    // one-third-of-observed doctrine.
+    assert(Bench.StreamFloorNormRowsPerSec === 40000L)
+  }
 }
