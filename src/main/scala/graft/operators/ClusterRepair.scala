@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental cluster REPAIR at the document-update margin (round
+  * 13, r12 verdict stretch): a production corpus refresh re-ingests
+  * documents whose CONTENT changed (same doc_id, new hash), which
+  * invalidates their prior duplicate-cluster membership — p19 detects
+  * the changed rows, d07 handles brand-NEW docs against the corpus,
+  * but nothing repaired [[ConnectedComponents]]' assignments without
+  * a full re-run. This operator recomputes components ONLY for the
+  * components the changed docs touch:
+  *
+  *   1. AFFECTED SET: multi-source [[Bfs]] reachability from the
+  *      changed docs over the (symmetrized) similarity-pair graph —
+  *      reachability from a seed closes over exactly the seed's whole
+  *      component, so the affected set is a union of complete
+  *      components and nothing else. Per-round cost is
+  *      frontier-sized, bounded by the affected components, not the
+  *      corpus.
+  *   2. DELTA-SCOPED CC: [[ConnectedComponents.minLabel]] over the
+  *      pairs whose endpoints are affected (one semi-join; an edge
+  *      with an affected endpoint has both endpoints affected). The
+  *      min-label ids EQUAL the full-recompute ids for these
+  *      components because each is wholly contained in the subgraph.
+  *
+  * The caller splices: `prior assignments WHERE component ∉ touched`
+  * UNION this output. The untouched-component no-op is the contract —
+  * spec-pinned (ClusterRepairSpec): output contains ONLY
+  * seed-reachable components, and prior ∪ repaired ≡ full recompute.
+  *
+  * At 100 TB: |affected| is delta-sized times duplication structure,
+  * so repair cost tracks the corpus REFRESH, not the corpus — the
+  * difference between a nightly 30-minute touch-up and a weekly
+  * full-graph re-cluster. Both iterative stages share the standard
+  * engine contract (per-round lineage cuts, core-tied layout,
+  * reliable-checkpoint option via `checkpointDir`).
+  */
+object ClusterRepair {
+
+  /** Repaired (node, component) assignments for every component that
+    * contains at least one seed.
+    *
+    * @param pairs       similarity pairs, two numeric columns (a, b) —
+    *                    d03's (da, db) shape, undirected
+    * @param seeds       long column `node`: the changed doc ids; seeds
+    *                    absent from the pair graph are isolated docs
+    *                    with no component and contribute nothing
+    * @param maxDiameter BFS round cap ≥ the affected components'
+    *                    diameter (the BFS stops early on an empty
+    *                    frontier, so a generous bound costs nothing)
+    * @param checkpointDir reliable-checkpoint directory for BOTH
+    *                    stages' lineage cuts (the CC contract) */
+  def repair(pairs: DataFrame, seeds: DataFrame, maxDiameter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val p = pairs.toDF("a", "b")
+    val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    val reached = Bfs
+      .hops(sym, seeds.select(col("node")), maxDiameter, checkpointDir)
+      .select(col("node").as("a"))
+    // one endpoint affected ⇒ both are (edges never leave a component),
+    // so a single semi-join scopes the subgraph
+    val sub = p.join(reached, Seq("a"), "left_semi")
+    ConnectedComponents.minLabel(sub, checkpointDir = checkpointDir)
+  }
+}

@@ -1325,7 +1325,54 @@ object DedupPack extends QueryPack {
         SELECT n_blocks, n_distinct_names, n_exact_dup_pairs,
                n_cand_pairs, n_linked_row_pairs, max_block
         FROM bagg, pagg, hot"""),
-      benchHeavy = true)
+      benchHeavy = true),
+
+    // ── Incremental cluster repair (the document-UPDATE margin) ───────
+    // d07 covers brand-new docs vs the corpus; the symmetric production
+    // case is a corpus REFRESH: re-ingested docs whose content CHANGED
+    // (same doc_id, new hash — p19 detects them) invalidate their prior
+    // d06 cluster membership. Full re-cluster is corpus-sized; this
+    // repairs ONLY the touched components: multi-source BFS from the
+    // changed docs over the pair graph closes over exactly their whole
+    // components (operators.ClusterRepair), then min-label CC runs on
+    // that subgraph alone — ids provably equal the full recompute's for
+    // those components, so prior ∪ repaired ≡ full re-run
+    // (ClusterRepairSpec pins the untouched-component no-op and the
+    // splice identity). "Changed" docs are a content-stable 10% hash
+    // bucket (doc_id-md5 ≥ 90 — disjoint discipline from d07's < 20
+    // "new" bucket) so the oracle sees the same refresh. Scale: repair
+    // cost tracks the DELTA times duplication structure, not the
+    // corpus — BFS rounds are frontier-sized, CC runs on |affected|.
+    // Oracle: d06's full recursive closure RESTRICTED to components
+    // containing a changed doc.
+    "d21_cluster_repair" -> Q(
+      run = (s, d) => {
+        val pairs = graft.SparkEntry.queries("d03_minhash_lsh")(s, d)
+          .select(col("da"), col("db"))
+        val changed = Tables.documents(s, d)
+          .select(col("doc_id").as("node"))
+          .filter(conv(substring(md5(col("node").cast("string")), 1, 8),
+            16, 10).cast("long") % 100 >= 90)
+        graft.operators.ClusterRepair.repair(pairs, changed)
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS ($d03OracleSql),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+                 FROM reach GROUP BY n),
+        changed AS (SELECT doc_id FROM documents
+                    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 >= 90),
+        touched AS (SELECT DISTINCT cluster_id
+                    FROM comp JOIN changed USING (doc_id))
+        SELECT doc_id, cluster_id FROM comp JOIN touched USING (cluster_id)
+        ORDER BY doc_id"""))
   )
 
   /** d20's engine, factored out so the hot-block guard is testable
