@@ -129,6 +129,27 @@ object Bench {
     // 14-query headline total stays comparable across rounds
     val heavyNames = SparkEntry.benchHeavyQueries
     val allNames = names ++ iterNames ++ heavyNames
+
+    // STREAM-ONLY mode (round 13, measurement aid): skip the query
+    // passes entirely and print one line per stream replay — the
+    // cheap arm for interleaved two-tree stream A/Bs
+    // (tools/ab_scratch.sh can't reach the stream harness through
+    // graft.Scratch, and a full Bench run costs ~10 min per arm).
+    // Probes bracket the replays so the readings self-adjudicate.
+    if (sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("1")) {
+      val p0 = Calibration.probe(spark)
+      val runs = (1 to 3).map(_ => streamBench(spark))
+      val p1 = Calibration.probe(spark)
+      runs.foreach { case (rows, sec, _) =>
+        println(f"[stream-only] rows=$rows sec=$sec%.3f " +
+          f"rows_per_sec=${rows / sec}%.0f")
+      }
+      println(f"[stream-only] par_over_scalar ${p0.parOverScalar}%.3f -> " +
+        f"${p1.parOverScalar}%.3f")
+      spark.stop()
+      return
+    }
+
     // Warm-up: JVM JIT / codegen / parquet-footer startup, untimed —
     // each query shape pays 1-3s of Janino+JIT on first execution.
     // Failures are tolerated here; the measured loop reports them.
