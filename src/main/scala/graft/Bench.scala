@@ -254,15 +254,12 @@ object Bench {
     // streaming floor THRESHOLD (documented in SCALE.md): the stream
     // path is a correctness-gated but otherwise unmeasured surface —
     // without a floor, a 10x collapse (state-store regression, listing
-    // regression) would ship silently. The 50k rows/s base is ~1/3 of
-    // the observed r7/r8 rates (134–153k), but it is NOT applied as an
-    // absolute wall-clock bar (round-8 advice: a machine-speed
-    // assertion in a pass/fail gate): it is scaled by the run's own
-    // calibration probe (quiet-box reference ≈ 0.8 s), so a loaded or
-    // slower box lowers the bar proportionally and the gate measures
-    // REGRESSION relative to the box, like the min-of-3 query design.
-    // SPARK_GRAFT_STREAM_FLOOR (rows/s) overrides the scaled value;
-    // 0 disables the gate.
+    // regression) would ship silently. Since round 13 the floor is a
+    // spec-pinned CONSTANT on the NORM basis (see
+    // StreamFloorNormRowsPerSec and the derivation comment below) and
+    // gates streamRateNorm, which is already contention-corrected —
+    // no per-run scaling (the pre-r13 raw-basis floor scaled by the
+    // live probe, double-correcting once the norm rate existed).
     val streamRate = if (streamSec > 0) streamRows / streamSec else -1.0
     // normalized stream rate (round 12, r11 verdict stretch): the
     // replay ran between the last two probes; scale the rate UP by

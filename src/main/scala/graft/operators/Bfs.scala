@@ -28,9 +28,25 @@ object Bfs {
     *                      reliable `checkpoint` into this directory
     *                      (survives executor loss) instead of
     *                      `localCheckpoint`
+    * @param requireExhausted false (default) = `maxHops` is a SEMANTIC
+    *                      radius: the k-hop neighborhood is the answer
+    *                      (g03's contract) and hitting the cap is
+    *                      normal. true = `maxHops` is only a SAFETY
+    *                      bound and the caller needs FULL reachability
+    *                      ([[ClusterRepair]]'s contract — a truncated
+    *                      set silently breaks its "affected set is a
+    *                      union of complete components" invariant): if
+    *                      the cap fires while the last frontier still
+    *                      has unvisited neighbors, THROW instead of
+    *                      returning a partial set. Detection is exact —
+    *                      one extra expansion of the final frontier
+    *                      anti-joined against the reached set, paid
+    *                      only when the cap actually fires (an
+    *                      early-exhausted run costs nothing extra).
     * @return columns `node`, `hop` (min hops from any source, ≤ maxHops) */
   def hops(edges: DataFrame, sources: DataFrame, maxHops: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      requireExhausted: Boolean = false): DataFrame = {
     // core-tied round layout (see [[RoundLayout]]): node-sized
     // per-round state must not inherit a corpus-derived session
     // partition count -- measured at sf10 in GROWTH_r10
@@ -58,6 +74,27 @@ object Bfs {
             .groupBy("node").agg(min("hop").as("hop")))
         }
         h += 1
+      }
+      // truncation guard (round 14, r13 advice): when the loop ended on
+      // the round CAP rather than an empty frontier, the reachable set
+      // may be incomplete — nothing in the result distinguishes "done"
+      // from "stopped early". Callers that need full closure opt in and
+      // get an exact check: expand the final frontier once more and
+      // look for any node not already reached. Frontier-sized work,
+      // only on the cap-hit path.
+      if (requireExhausted && !exhausted) {
+        val lastFrontier = dist.filter(col("hop") === maxHops.toLong)
+        val unvisited = lastFrontier
+          .join(e, lastFrontier("node") === e("u"))
+          .select(e("v").as("node"))
+          .join(dist, Seq("node"), "left_anti")
+          .limit(1).count()
+        require(unvisited == 0L,
+          s"Bfs.hops(requireExhausted=true) hit the $maxHops-round cap " +
+            "with unvisited neighbors remaining — the reachable set is " +
+            "TRUNCATED. Raise maxHops above the graph's diameter (the " +
+            "loop stops early on an empty frontier, so a generous bound " +
+            "costs nothing).")
       }
       dist
     }

@@ -49,7 +49,16 @@ object ClusterRepair {
     *                    with no component and contribute nothing
     * @param maxDiameter BFS round cap ≥ the affected components'
     *                    diameter (the BFS stops early on an empty
-    *                    frontier, so a generous bound costs nothing)
+    *                    frontier, so a generous bound costs nothing).
+    *                    ENFORCED, not assumed (round 14, r13 advice):
+    *                    a cap that fires mid-component would truncate
+    *                    the affected set, the semi-joined subgraph
+    *                    would contain PARTIAL components, and the
+    *                    splice identity (prior ∪ repaired ≡ full
+    *                    recompute) would fail silently — so the BFS
+    *                    runs with `requireExhausted = true` and
+    *                    THROWS if any last-round frontier node still
+    *                    has unvisited neighbors
     * @param checkpointDir reliable-checkpoint directory for BOTH
     *                    stages' lineage cuts (the CC contract) */
   def repair(pairs: DataFrame, seeds: DataFrame, maxDiameter: Int = 30,
@@ -58,7 +67,8 @@ object ClusterRepair {
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("u"), col("b").as("v"))
     val reached = Bfs
-      .hops(sym, seeds.select(col("node")), maxDiameter, checkpointDir)
+      .hops(sym, seeds.select(col("node")), maxDiameter, checkpointDir,
+        requireExhausted = true)
       .select(col("node").as("a"))
     // one endpoint affected ⇒ both are (edges never leave a component),
     // so a single semi-join scopes the subgraph

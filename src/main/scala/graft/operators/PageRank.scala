@@ -154,6 +154,27 @@ object PageRank {
       // memoized block scans, and an edge-sized pin here was half the
       // measured sf10 setup wall
       val e = edges.select(col("u"), col("v"))
+      // input-contract tripwire (round 14, r13 advice): the no-pin
+      // contract means this plan is evaluated ~3x at setup (degree agg,
+      // symmetry guard, edge pin) — a caller handing over a raw join/
+      // aggregate derivation would silently pay it three times, and a
+      // non-deterministic plan would hand the three consumers mutually
+      // inconsistent snapshots. Warn loudly; don't throw (the re-scan
+      // is CORRECT for deterministic plans, just slow).
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+        val plan = e.queryExecution.analyzed
+        val expensive = plan.collectFirst {
+          case j: Join => j: Any
+          case a: Aggregate => a: Any
+        }.isDefined
+        if (expensive || !plan.deterministic)
+          System.err.println("[pagerank] WARNING: input edge plan " +
+            "contains a join/aggregate or non-deterministic expression " +
+            "and will be re-evaluated ~3x at setup — cut it first " +
+            "(localCheckpoint / LineageCut.pin), per the input-contract " +
+            "scaladoc")
+      }
       // the ONE node-sized setup pin: sources with out-degree
       val degP = lc.pin(e.groupBy("u").agg(count(lit(1)).as("d")))
       // edge pin, built ONCE and pre-partitioned on the key the round

@@ -51,4 +51,15 @@ class ClusterRepairSpec extends AnyFunSuite {
   test("isolated seeds (not in the pair graph) contribute nothing") {
     assert(repairMap(Seq(999L)) === Map.empty)
   }
+
+  test("maxDiameter below the component diameter throws, never truncates") {
+    // {1,2,3} has diameter 2 from seed 1; maxDiameter=1 would truncate
+    // the affected set (r13 advice: the splice identity would fail
+    // silently) — the BFS exhaustion guard must throw instead
+    val ex = intercept[IllegalArgumentException] {
+      ClusterRepair.repair(pairs.toDF("da", "db"), Seq(1L).toDF("node"),
+        maxDiameter = 1).collect()
+    }
+    assert(ex.getMessage.contains("TRUNCATED"))
+  }
 }

@@ -72,12 +72,22 @@ def main():
         while time.time() < deadline and proc.poll() is None:
             time.sleep(0.5)
             for m in ROUND_RE.finditer(run_log_path.read_text()):
+                # FIRST match with round >= 2, not the last: if rounds
+                # 2 and 3 both landed within one 0.5 s poll, taking the
+                # last would record rounds_done=3 and the resume JVM's
+                # require(remaining > 0) would crash the drill
                 if int(m.group(1)) >= 2:
                     state_file, rounds_done = m.group(2), int(m.group(1))
+                    break
             if rounds_done >= 2:
                 # mid-round-3: the kill the checkpoint mode exists for
                 proc.send_signal(signal.SIGKILL)
                 break
+        if proc.poll() is None:
+            # deadline expired with the JVM still alive (never reached
+            # round 2): kill it so proc.wait() can't block forever —
+            # the drill then FAILS on the assert below instead of hanging
+            proc.send_signal(signal.SIGKILL)
         proc.wait()
     assert rounds_done >= 2, "run JVM never reached round 2 - drill void"
     assert not (work / "never.parquet").exists(), \
