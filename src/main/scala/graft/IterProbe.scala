@@ -54,6 +54,33 @@ object IterProbe {
 
     timed("edge derivation (distinct count)")(baseEdges().count())
 
+    // per-run shuffle attribution (the g05-treatment instrument,
+    // round 13; shared by the pagerank and hits modes since round 14):
+    // differencing adjacent round counts gives marginal per-round wall
+    // AND marginal shuffle bytes — the number that says whether a
+    // round shape is zero-shuffle as designed
+    val ml = new ShuffleAudit.MetricsListener
+    spark.sparkContext.addSparkListener(ml)
+    def shuffleSnap(): (Long, Long) = {
+      org.apache.spark.graftshim.ListenerShim
+        .waitUntilEmpty(spark.sparkContext)
+      (ml.shuffleWrite.sum(), ml.shuffleRead.sum())
+    }
+    def attributedRuns(label: String)(run: Int => Long): Unit =
+      for (r <- 0 to maxRounds) {
+        val (w0, rd0) = shuffleSnap()
+        timed(s"$label rounds=$r")(run(r))
+        val (w1, rd1) = shuffleSnap()
+        println(f"[iterprobe] $label rounds=$r shuffle:" +
+          f" write ${(w1 - w0) / 1e6}%.1f MB" +
+          f" read ${(rd1 - rd0) / 1e6}%.1f MB")
+        // engine leftovers (final generations + pins) drop between
+        // runs so run N+1's storage regime matches a fresh query's.
+        // The probe's own edge cut is NOT enrolled (no trackCut), so
+        // the drain can't invalidate it.
+        Caches.strayUnpersist(spark)
+      }
+
     which match {
       case "pagerank" =>
         // pre-cut the derivation like every production caller does
@@ -64,43 +91,21 @@ object IterProbe {
         // and mis-attribute it to the engine
         val cut = baseEdges().localCheckpoint(true)
         val edges = cut.union(cut.select(col("v").as("u"), col("u").as("v")))
-        // per-run shuffle attribution (the g05-treatment instrument,
-        // round 13): differencing adjacent round counts gives marginal
-        // per-round wall AND marginal shuffle bytes — the number that
-        // says whether a round shape is zero-shuffle as designed
-        val ml = new ShuffleAudit.MetricsListener
-        spark.sparkContext.addSparkListener(ml)
-        def shuffleSnap(): (Long, Long) = {
-          org.apache.spark.graftshim.ListenerShim
-            .waitUntilEmpty(spark.sparkContext)
-          (ml.shuffleWrite.sum(), ml.shuffleRead.sum())
-        }
-        for (r <- 0 to maxRounds) {
-          val (w0, rd0) = shuffleSnap()
-          timed(s"pagerank rounds=$r") {
-            operators.PageRank.ranks(edges, r)
-              .queryExecution.toRdd.count()
-          }
-          val (w1, rd1) = shuffleSnap()
-          println(f"[iterprobe] pagerank rounds=$r shuffle:" +
-            f" write ${(w1 - w0) / 1e6}%.1f MB" +
-            f" read ${(rd1 - rd0) / 1e6}%.1f MB")
-          // engine leftovers (final generations + pins) drop between
-          // runs so run N+1's storage regime matches a fresh query's.
-          // The probe's own edge cut is NOT enrolled (no trackCut), so
-          // the drain can't invalidate it.
-          Caches.strayUnpersist(spark)
+        attributedRuns("pagerank") { r =>
+          operators.PageRank.ranks(edges, r)
+            .queryExecution.toRdd.count()
         }
       case "hits" =>
         // g10's orientation: customers point at suppliers (the query's
-        // own reversal of the shared derivation, GraphPack.scala g10)
-        val edges = baseEdges()
-          .select(col("v").as("u"), col("u").as("v"))
-        for (r <- 0 to maxRounds)
-          timed(s"hits rounds=$r") {
-            operators.Hits.scores(edges, r)
-              .queryExecution.toRdd.count()
-          }
+        // own reversal of the shared derivation, GraphPack.scala g10).
+        // Pre-cut like the pagerank mode so "setup" times the ENGINE
+        // (its own pin + degree aggregate), not the probe's derivation.
+        val cut = baseEdges().localCheckpoint(true)
+        val edges = cut.select(col("v").as("u"), col("u").as("v"))
+        attributedRuns("hits") { r =>
+          operators.Hits.scores(edges, r)
+            .queryExecution.toRdd.count()
+        }
       case "cc" =>
         // d06's shape: d03's LSH pair list → min-label components.
         // Three attributable stages: (a) PAIR DERIVATION (the full d03

@@ -34,12 +34,27 @@ import org.apache.spark.sql.functions._
   * sort-merge join plus the partial-aggregate shuffle over 117M
   * symmetrized edges):
   *
-  *   - SETUP pins only the NODE-sized degree table plus ONE narrow
-  *     `(u, v)` edge pin pre-partitioned on the DESTINATION key (no
-  *     `(u, v, d)` join materialization: the per-edge degree rides in
-  *     with the broadcast below). The symmetry guard is an anti hash
-  *     join of raw destinations against the broadcast degree table —
-  *     no distinct, no shuffle, `limit(1)` short-circuit.
+  *   - SETUP (symmetric contract, round 14 — the r13 verdict's
+  *     superlinear-sf30 item): ONE narrow `(u, v)` edge pin
+  *     pre-partitioned on the SOURCE key is the round's only
+  *     edge-sized shuffle+write. The degree table derives from it
+  *     with ZERO shuffle (the groupBy reuses the pin's partitioning —
+  *     before this, the degree aggregate's map-side partials over a
+  *     hash-scattered edge list were themselves near-edge-sized at
+  *     sf30), the dangling guard reads the pin (not the caller's
+  *     plan), and the DESTINATION-partitioned copy the rounds need is
+  *     a free column-swap PROJECTION of the pin: a symmetrized edge
+  *     list equals its own reversal as a row set, and Catalyst maps
+  *     hash(u) through the swap to hash-partitioned-by-`v`. The swap
+  *     leans on the documented input contract (`trustSymmetry`
+  *     param); callers with merely dangling-free but asymmetric
+  *     input pass `trustSymmetry = false` to restore the r13
+  *     independent repartition. Dangling-redistribute mode keeps the
+  *     r13 setup (its graph is genuinely directed). The degree rides
+  *     in with the broadcast below — no `(u, v, d)` materialization.
+  *     The guard is an anti hash join of pinned destinations against
+  *     the broadcast degree table — no distinct, no shuffle,
+  *     `limit(1)` short-circuit.
   *   - Each ROUND pre-divides the rank state ONCE per source
   *     (`c(u) = r(u) div d(u)`, a node-sized broadcast-hash join) and
   *     BROADCASTS the resulting (u, c) into a hash join against the
@@ -129,14 +144,29 @@ object PageRank {
     * @param broadcastRankMax node-count ceiling for the zero-shuffle
     *                      broadcast round shape (scaladoc above); past
     *                      it the loop uses the shuffle shape. 0 forces
-    *                      the fallback (the spec's equivalence knob). */
+    *                      the fallback (the spec's equivalence knob).
+    * @param trustSymmetry symmetric mode only (round 14). true
+    *                      (default) = take the documented contract at
+    *                      its word — the input IS a symmetrized edge
+    *                      list — and derive the rounds' destination-
+    *                      partitioned edge copy as a free column-swap
+    *                      projection of the one source-partitioned pin
+    *                      (reversed(E) = E as a row set), saving a
+    *                      second edge-sized shuffle + checkpoint write
+    *                      at setup. false = the input is dangling-free
+    *                      (the guard's actual check) but NOT literally
+    *                      symmetric — pay the r13 independent
+    *                      repartition so rank flows along the true
+    *                      edge directions. Spec-pinned identical on
+    *                      symmetric inputs. */
   def ranks(edges: DataFrame, iterations: Int,
       checkpointDir: Option[String] = None,
       redistributeDangling: Boolean = false,
       teleportTo: Option[DataFrame] = None,
       tol: Long = 0L,
       initialRanks: Option[DataFrame] = None,
-      broadcastRankMax: Long = 32000000L): DataFrame = {
+      broadcastRankMax: Long = 32000000L,
+      trustSymmetry: Boolean = true): DataFrame = {
     // core-tied round layout (see [[RoundLayout]]): node-sized
     // per-round state must not inherit a corpus-derived session
     // partition count -- measured at sf10 in GROWTH_r10
@@ -155,10 +185,11 @@ object PageRank {
       // measured sf10 setup wall
       val e = edges.select(col("u"), col("v"))
       // input-contract tripwire (round 14, r13 advice): the no-pin
-      // contract means this plan is evaluated ~3x at setup (degree agg,
-      // symmetry guard, edge pin) — a caller handing over a raw join/
-      // aggregate derivation would silently pay it three times, and a
-      // non-deterministic plan would hand the three consumers mutually
+      // contract means this plan is evaluated up to 3x at setup
+      // (symmetric mode: once, into the source pin; dangling mode:
+      // degree agg, node distinct, edge pin) — a caller handing over a
+      // raw join/aggregate derivation would silently pay it repeatedly,
+      // and a non-deterministic plan would hand the consumers mutually
       // inconsistent snapshots. Warn loudly; don't throw (the re-scan
       // is CORRECT for deterministic plans, just slow).
       locally {
@@ -171,30 +202,18 @@ object PageRank {
         if (expensive || !plan.deterministic)
           System.err.println("[pagerank] WARNING: input edge plan " +
             "contains a join/aggregate or non-deterministic expression " +
-            "and will be re-evaluated ~3x at setup — cut it first " +
+            "and will be re-evaluated at setup — cut it first " +
             "(localCheckpoint / LineageCut.pin), per the input-contract " +
             "scaladoc")
       }
-      // the ONE node-sized setup pin: sources with out-degree
-      val degP = lc.pin(e.groupBy("u").agg(count(lit(1)).as("d")))
-      // edge pin, built ONCE and pre-partitioned on the key the round
-      // shape reuses: narrow (u, v) by DESTINATION in broadcast mode
-      // (the inflow groupBy(v) inherits it — the round is one stage,
-      // zero shuffle; degree rides in with the broadcast state), or
-      // contribution edges (u, v, d) by SOURCE in the shuffle fallback
-      // (the rank join inherits it; only the node-sized rank table and
-      // the map-side combined (v, partial-sum) rows move per round)
-      def edgePin(bcast: Boolean): DataFrame =
-        if (bcast) lc.pin(e.repartition(col("v")))
-        else lc.pin(e.join(degP, "u").repartition(col("u")))
       // per-round inflow Σ_{(u,v)∈E} (r(u) div d(u)) keyed by v.
       // Broadcast mode pre-divides ONCE per source (node-sized BHJ
       // against the broadcast degree pin), then broadcasts (u, c) into
       // the destination-partitioned edge pin — zero shuffle; fallback
       // is the r12 shape (state shuffled to the source-partitioned
       // contribution pin, destination-keyed partial-sum aggregate)
-      def inflowOf(ed: DataFrame, prev: DataFrame, bcast: Boolean)
-          : DataFrame =
+      def inflowOf(ed: DataFrame, degP: DataFrame, prev: DataFrame,
+          bcast: Boolean): DataFrame =
         if (bcast)
           ed.join(broadcast(
               prev.select(col("node"), col("r"))
@@ -253,22 +272,46 @@ object PageRank {
         initialRanks.map(df => lc.pin(df.select(col("node"), col("r"))))
   
       if (!redistributeDangling) {
+        // THE one edge-sized shuffle+write of the run (round 14): a
+        // narrow (u, v) pin pre-partitioned on the SOURCE key. The
+        // caller's plan is evaluated exactly once, into this cut;
+        // everything below derives from checkpointed blocks.
+        val eByU = lc.pin(e.repartition(col("u")))
+        // ZERO-shuffle degree table: the groupBy reuses the pin's
+        // hash(u) partitioning, so no map-side partials ever move (at
+        // sf30 the r13 partial-combine over a hash-scattered 352M-row
+        // list shuffled near-edge-sized — the superlinear-setup term)
+        val degP = lc.pin(eByU.groupBy("u").agg(count(lit(1)).as("d")))
         // node set = sources (symmetric contract) — one setup count
         // decides broadcast vs shuffle shape for the whole run
         val bcast = degP.count() <= broadcastRankMax
         // loud guard for the documented contract (scaladoc above): a
         // destination with no out-edges would silently absorb rank.
-        // Anti HASH join of raw destinations against the (broadcast)
+        // Anti HASH join of pinned destinations against the (broadcast)
         // degree pin — no distinct shuffle, limit(1) short-circuits
         val degKeys = degP.select(col("u"))
-        val dangling = e.select(col("v").as("u"))
+        val dangling = eByU.select(col("v").as("u"))
           .join(if (bcast) broadcast(degKeys) else degKeys,
             Seq("u"), "left_anti").limit(1).count()
         require(dangling == 0L,
           "PageRank(redistributeDangling=false) requires a symmetrized edge " +
             "list (every destination must also be a source); found dangling " +
             "destinations — symmetrize the input or pass redistributeDangling=true")
-        val ed = edgePin(bcast)
+        // destination-partitioned copy for the broadcast round shape:
+        // under the symmetric contract it is a FREE column-swap
+        // projection of the source pin (reversed(E) = E as a row set;
+        // hash(u) maps through the swap to partitioned-by-`v`) — no
+        // second edge shuffle, no second write. trustSymmetry=false
+        // restores the r13 independent repartition for callers whose
+        // input is dangling-free but not literally symmetric. The
+        // shuffle fallback joins the degree in: both sides are already
+        // hash(u)-partitioned, so the pin is a write-only cut.
+        val ed =
+          if (bcast) {
+            if (trustSymmetry)
+              eByU.select(col("v").as("u"), col("u").as("v"))
+            else lc.pin(eByU.repartition(col("v")))
+          } else lc.pin(eByU.join(degP, "u"))
         val init = resumeInit.getOrElse(
           degP.select(col("u").as("node"), lit(1000000L).as("r")))
         teleportTo match {
@@ -277,7 +320,7 @@ object PageRank {
             // inflow relation covers the whole node set and the damped
             // update is a straight projection of it
             loop(init) { prev =>
-              lc(inflowOf(ed, prev, bcast)
+              lc(inflowOf(ed, degP, prev, bcast)
                 .select(col("node"),
                   expr("CAST(150000 + (85 * inflow) div 100 AS BIGINT)")
                     .as("r")))
@@ -290,7 +333,7 @@ object PageRank {
             val seeds = lc.pin(t.select(col("node")).distinct()
               .withColumn("is_seed", lit(1)))
             loop(init) { prev =>
-              val inflow = inflowOf(ed, prev, bcast)
+              val inflow = inflowOf(ed, degP, prev, bcast)
               lc(nodes
                 .join(inflow, Seq("node"), "left_outer")
                 .join(seeds, Seq("node"), "left_outer")
@@ -301,13 +344,22 @@ object PageRank {
             }
         }
       } else {
+        // dangling-redistribute mode keeps the r13 setup: its graph is
+        // genuinely DIRECTED (no reversal identity to exploit), so the
+        // degree table aggregates the caller's plan and the edge pin is
+        // an independent repartition — by DESTINATION for the broadcast
+        // round shape, or contribution edges (u, v, d) by SOURCE for
+        // the shuffle fallback
+        val degP = lc.pin(e.groupBy("u").agg(count(lit(1)).as("d")))
         val nodes = lc.pin(e.select(col("u").as("node"))
           .union(e.select(col("v").as("node"))).distinct())
         // graph cardinality is fixed across rounds — one setup count, a
         // literal thereafter (metadata-sized, not a per-round collect)
         val n = nodes.count()
         val bcast = n <= broadcastRankMax
-        val ed = edgePin(bcast)
+        val ed =
+          if (bcast) lc.pin(e.repartition(col("v")))
+          else lc.pin(e.join(degP, "u").repartition(col("u")))
         val danglingNodes = nodes.join(
           degP.select(col("u").as("node")), Seq("node"), "left_anti")
         val init = resumeInit.getOrElse(nodes.withColumn("r", lit(1000000L)))
@@ -316,7 +368,7 @@ object PageRank {
           // update via cross join — stays distributed, no driver round-trip
           val dsum = prev.join(danglingNodes, Seq("node"), "left_semi")
             .agg(coalesce(sum("r"), lit(0L)).as("dsum"))
-          val inflow = inflowOf(ed, prev, bcast)
+          val inflow = inflowOf(ed, degP, prev, bcast)
           lc(nodes
             .join(inflow, Seq("node"), "left_outer")
             .crossJoin(broadcast(dsum))

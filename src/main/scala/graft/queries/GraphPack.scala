@@ -535,17 +535,22 @@ object GraphPack extends QueryPack {
       run = (s, d) => {
         val edges = supplierCustomerEdges(s, d)
           .select(col("v").as("u"), col("u").as("v"))
-        // single-pin SHIPPED as g10's layout after the GROWTH_r10 A/B:
-        // at sf10 min-of-3, single 211.1 s vs dual 255.1 s (and 136.4
-        // with core-tied rounds, the shipped combination) — at 2
-        // rounds, the second 58.7M-row pre-partitioned pin costs more
-        // than the two per-round edge shuffles it avoids (break-even
-        // ≈ 4-5 rounds; see Hits.scores scaladoc). Results identical
-        // either way; SPARK_GRAFT_HITS_DUAL_PIN=1 restores the
-        // long-run layout for experiments.
+        // BROADCAST round shape SHIPPED round 14 (the g01 treatment,
+        // r13 verdict item 1): one u-keyed edge pin, node-sized score
+        // state broadcast into it per half-round, raw sums lineage-cut
+        // before normalization so the edge scan happens once per
+        // half-round with zero edge shuffle (IterProbe sf10: marginal
+        // shuffle 2.3 GB/round → node-sized; see Hits scaladoc).
+        // ~1.6M nodes at sf10 ≪ broadcastScoreMax=32M, so the query
+        // never falls back. SPARK_GRAFT_HITS_DUAL_PIN=1 maps to the
+        // FALLBACK's dual-pin layout, kept for shuffle-shape
+        // experiments (force with SPARK_GRAFT_HITS_FALLBACK=1).
         graft.operators.Hits.scores(edges, 2,
           dualEdgePin = sys.env.get("SPARK_GRAFT_HITS_DUAL_PIN")
-            .contains("1")).orderBy("node")
+            .contains("1"),
+          broadcastScoreMax =
+            if (sys.env.get("SPARK_GRAFT_HITS_FALLBACK").contains("1")) 0L
+            else 32000000L).orderBy("node")
       },
       oracle = Some {
         def round(hPrev: String, i: Int): String =

@@ -64,19 +64,41 @@ class HitsSpec extends AnyFunSuite {
       "checkpoint dir is empty — rounds did not go through the reliable path")
   }
 
-  test("single-pin layout is bit-identical to dual-pin (physical-only)") {
-    // dualEdgePin=false trades the second pre-partitioned edge pin for
-    // a per-round edge shuffle — a pure physical-layout choice that
-    // must never move a score. Run it on the graph whose round-1
-    // scores are asymmetric (two-hub) at two round counts.
+  test("all layouts bit-identical: broadcast, fallback single/dual pin") {
+    // broadcastScoreMax=0 forces the r13 shuffle fallback (the spec's
+    // equivalence knob, PageRank's broadcastRankMax doctrine); within
+    // the fallback, dualEdgePin trades the second pre-partitioned edge
+    // pin for a per-round edge shuffle. All three are pure physical-
+    // layout choices that must never move a score. Run on the graph
+    // whose round-1 scores are asymmetric (two-hub) at two round
+    // counts, plus the pinKey="v" orientation of the broadcast pin.
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
-    for (iters <- Seq(1, 3)) {
-      val single = Hits.scores(g.toDF("u", "v"), iters, dualEdgePin = false)
+    def run(iters: Int, dual: Boolean, bmax: Long,
+        key: String = "u"): Map[Long, (Long, Long)] =
+      Hits.scores(g.toDF("u", "v"), iters, dualEdgePin = dual,
+          broadcastScoreMax = bmax, pinKey = key)
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
         .toMap
-      assert(single === scores(g, iters),
-        s"single-pin diverged from dual-pin at iterations=$iters")
+    for (iters <- Seq(1, 3)) {
+      val bcastU = scores(g, iters) // default: broadcast mode, pinKey=u
+      assert(run(iters, dual = true, bmax = 0L) === bcastU,
+        s"fallback dual-pin diverged from broadcast at iterations=$iters")
+      assert(run(iters, dual = false, bmax = 0L) === bcastU,
+        s"fallback single-pin diverged from broadcast at iterations=$iters")
+      assert(run(iters, dual = true, bmax = Long.MaxValue, key = "v")
+          === bcastU,
+        s"broadcast pinKey=v diverged from pinKey=u at iterations=$iters")
     }
+  }
+
+  test("tol mode in the fallback layout matches broadcast-mode tol") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+    val bcast = Hits.scores(g.toDF("u", "v"), 20, tol = 2000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fb = Hits.scores(g.toDF("u", "v"), 20, tol = 2000L,
+        broadcastScoreMax = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fb === bcast, "fallback tol run diverged from broadcast tol run")
   }
 
   test("tol=0 ≡ fixed rounds (the oracle-replayable surface, unchanged)") {

@@ -205,4 +205,24 @@ class PageRankSpec extends AnyFunSuite {
         redistributeDangling = true)),
       "dangling mode diverged under the fallback")
   }
+
+  test("trustSymmetry=false (independent destination repartition) ≡ " +
+      "default reversed-projection pin on symmetric input") {
+    // the round-14 setup optimization derives the destination-
+    // partitioned edge copy by column-swapping the source pin, valid
+    // exactly when the input equals its own reversal — pin that both
+    // paths agree on a symmetric graph, at two round counts, and with
+    // a hand-computed expectation so a double-reversal bug (which
+    // would also agree with itself) can't hide
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (iters <- Seq(1, 3)) {
+      val strict = m(PageRank.ranks(star.toDF("u", "v"), iters,
+        trustSymmetry = false))
+      assert(strict === ranks(star, iters),
+        s"trustSymmetry=false diverged at iterations=$iters")
+    }
+    assert(m(PageRank.ranks(star.toDF("u", "v"), 1, trustSymmetry = false))
+      === Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+  }
 }
