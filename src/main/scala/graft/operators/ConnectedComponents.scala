@@ -45,9 +45,25 @@ object ConnectedComponents {
     * @param checkpointDir when set, per-round lineage cuts go through
     *                      reliable `checkpoint` into this directory
     *                      (survives executor loss) instead of
-    *                      `localCheckpoint` */
+    *                      `localCheckpoint`
+    * @param initialLabels when set, (node, label) state to START from
+    *                      instead of the self-label init — the RESUME
+    *                      surface (round 14, [[PageRank]]'s
+    *                      `initialRanks` twin): feed a prior run's
+    *                      round-k label table (e.g. reconstructed from
+    *                      reliable checkpoint files after a driver
+    *                      restart via [[CheckpointRecovery]] — the
+    *                      per-round files carry an extra `prev` column
+    *                      the caller drops) and the loop continues to
+    *                      the SAME fixpoint (min-label propagation is
+    *                      monotone and idempotent, so resuming from any
+    *                      mid-run state converges to the full run's
+    *                      assignments — spec-pinned). Must cover the
+    *                      graph's node set, which every round state
+    *                      does by construction. */
   def minLabel(edges: DataFrame, maxIterations: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      initialLabels: Option[DataFrame] = None): DataFrame = {
     // core-tied round layout (see [[RoundLayout]]): node-sized
     // per-round state must not inherit a corpus-derived session
     // partition count -- measured at sf10 in GROWTH_r10
@@ -66,9 +82,16 @@ object ConnectedComponents {
         .repartition(col("a"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // eager checkpoint: materializes AND truncates lineage to a
-      // LogicalRDD — constant-size plans per round (see scaladoc)
-      var labels = lc(sym.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")))
+      // LogicalRDD — constant-size plans per round (see scaladoc).
+      // Resume surface: a caller-provided state replaces the self-label
+      // init — cut once (pin) so the first round's join doesn't
+      // re-evaluate an arbitrary caller plan (e.g. a checkpoint-
+      // recovery scan), PageRank's resumeInit discipline.
+      var labels = initialLabels match {
+        case Some(init) => lc.pin(init.select(col("node"), col("label")))
+        case None => lc(sym.select(col("a").as("node")).distinct()
+          .withColumn("label", col("node")))
+      }
       var converged = false
       var i = 0
       while (!converged && i < maxIterations) {
@@ -84,6 +107,11 @@ object ConnectedComponents {
         val next = lc(msgs.groupBy("node")
           .agg(min("label").as("label"),
             max(when(col("own") === 1L, col("label"))).as("prev")))
+        // reliable-mode observability (round 14, the CC preemption
+        // drill's hook — see LineageCut.announceRound): the announced
+        // file holds (node, label, prev); a resume reloads it and
+        // passes (node, label) as initialLabels
+        LineageCut.announceRound(next, "cc", i + 1)
         val changed = next.filter(col("label") < col("prev"))
           .limit(1).count()
         labels = next.select("node", "label")

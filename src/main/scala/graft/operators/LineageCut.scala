@@ -52,6 +52,19 @@ import org.apache.spark.sql.execution.LogicalRDD
 object LineageCut {
   private val envOverrideLogged =
     new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Reliable-mode observability (round 13 PageRank, shared round 14):
+    * announce a just-cut round state's checkpoint FILE on stderr so an
+    * external supervisor can resume from the last completed round
+    * after a driver loss. Metadata-sized (one line per round); silent
+    * in localCheckpoint mode (getCheckpointFile is Some only for
+    * reliable checkpoints). The line format is the contract
+    * tools/drill_preempt.py greps: `[<tag>] round <n> complete: <file>`. */
+  def announceRound(df: DataFrame, tag: String, round: Int): Unit =
+    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+      .flatMap(_.getCheckpointFile).foreach { f =>
+        System.err.println(s"[$tag] round $round complete: $f")
+      }
 }
 
 final class LineageCut(checkpointDirOpt: Option[String], keep: Int = 2) {

@@ -242,16 +242,8 @@ object PageRank {
           val prev = r
           r = step(prev)
           // reliable-mode observability (round 13, the preemption
-          // drill's hook): announce each completed round's checkpoint
-          // FILE so an external supervisor can resume from the last
-          // completed round after a driver loss — metadata-sized, one
-          // stderr line per round, silent in localCheckpoint mode
-          // (getCheckpointFile is Some only for reliable checkpoints)
-          r.queryExecution.analyzed.collectFirst {
-            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-          }.flatMap(_.getCheckpointFile).foreach { f =>
-            System.err.println(s"[pagerank] round ${i + 1} complete: $f")
-          }
+          // drill's hook; shared helper since round 14)
+          LineageCut.announceRound(r, "pagerank", i + 1)
           if (tol > 0L) {
             val delta = r.select(col("node"), col("r"))
               .join(prev.select(col("node"), col("r").as("r_prev")), "node")

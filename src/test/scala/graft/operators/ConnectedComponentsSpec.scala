@@ -26,6 +26,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("initialLabels resume: any mid-run state converges to the full " +
+      "run's fixpoint") {
+    // chain 1-2-3-4-5 (diameter 4). Hand-computed round-1 state of the
+    // min-label loop: every node takes min(self, neighbors) —
+    // 1→1, 2→1, 3→2, 4→3, 5→4. Resuming from it must reach the same
+    // all-1 fixpoint as the cold run (monotone + idempotent), and
+    // resuming from the FIXPOINT itself must be a no-op.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val full = components(chain)
+    assert(full === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    val round1 = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L))
+      .toDF("node", "label")
+    val resumed = ConnectedComponents
+      .minLabel(chain.toDF("a", "b"), initialLabels = Some(round1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === full, "resume from round-1 state diverged")
+    val fixpoint = full.toSeq.map { case (n, c) => (n, c) }
+      .toDF("node", "label")
+    val noop = ConnectedComponents
+      .minLabel(chain.toDF("a", "b"), initialLabels = Some(fixpoint))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop === full, "resume from the fixpoint moved a label")
+  }
+
   test("reliable checkpoint mode: identical components, files on disk") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")

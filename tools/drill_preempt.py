@@ -10,17 +10,23 @@ Orchestrates graft.PreemptDrill over three JVMs:
   run    - reliable mode; SIGKILLed right after "[pagerank] round 2
            complete: <file>" appears on stderr (mid-round-3, the
            verdict's "round >= 2" requirement)
-  resume - fresh JVM reloads <file>, runs the 1 remaining round,
-           writes parquet
+  resume - fresh JVM reloads <file>, runs the 1 remaining round IN
+           RELIABLE MODE (round 14: the supervisor hook must fire on
+           the resumed run too), writes parquet
 
 Pass criteria (all checked here, result printed as one JSON line for
 SCALE.md):
   - resume parquet == cold parquet bit-for-bit (duckdb compare)
-  - the resume JVM logged exactly one round ("recovery, not
-    recomputation")
+  - the resume JVM logged exactly its remaining rounds as RELIABLE
+    checkpoints ("recovery, not recomputation" + the second-kill
+    supervisor path exercised)
   - walls: recovered (resume) vs cold recorded
 
-Usage: python3 tools/drill_preempt.py [sfdir] [workdir]
+Usage: python3 tools/drill_preempt.py [sfdir] [workdir] [engine]
+  engine: g01 (default, fixed 3-round PageRank) or cc (round-14
+  verdict item 7: ConnectedComponents over d06's LSH-pair graph,
+  runs to convergence; resume reloads the announced round state and
+  must reach the same fixpoint).
 """
 import json
 import os
@@ -35,7 +41,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "tools"))
 from ladder import JDK17_ADD_OPENS  # noqa: E402
 
-ROUND_RE = re.compile(r"\[pagerank\] round (\d+) complete: (\S+)")
+def round_re(tag):
+    return re.compile(r"\[%s\] round (\d+) complete: (\S+)" % tag)
 
 
 def jvm_cmd(*drill_args):
@@ -49,6 +56,11 @@ def jvm_cmd(*drill_args):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
     work = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/drill_preempt")
+    engine = sys.argv[3] if len(sys.argv) > 3 else "g01"
+    assert engine in ("g01", "cc"), engine
+    tag = {"g01": "pagerank", "cc": "cc"}[engine]
+    ROUND_RE = round_re(tag)
+    prefix = "" if engine == "g01" else "cc_"
     subprocess.run(["rm", "-rf", str(work)])
     work.mkdir(parents=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
@@ -56,7 +68,8 @@ def main():
     # ── cold reference ────────────────────────────────────────────────
     t0 = time.time()
     cold_log = (work / "cold.log").open("w")
-    subprocess.run(jvm_cmd("cold", sf_dir, str(work / "cold.parquet")),
+    subprocess.run(jvm_cmd(prefix + "cold", sf_dir,
+                           str(work / "cold.parquet")),
                    check=True, env=env, stdout=cold_log, stderr=cold_log)
     cold_wall = time.time() - t0
 
@@ -65,7 +78,8 @@ def main():
     run_log_path = work / "run.log"
     with run_log_path.open("w") as run_log:
         proc = subprocess.Popen(
-            jvm_cmd("run", sf_dir, str(ckpt), str(work / "never.parquet")),
+            jvm_cmd(prefix + "run", sf_dir, str(ckpt),
+                    str(work / "never.parquet")),
             env=env, stdout=run_log, stderr=subprocess.STDOUT)
         state_file, rounds_done = None, 0
         deadline = time.time() + 1800
@@ -96,13 +110,29 @@ def main():
     # ── resume from files alone ──────────────────────────────────────
     t1 = time.time()
     resume_log_path = work / "resume.log"
+    resume_args = ([state_file, str(rounds_done)] if engine == "g01"
+                   else [state_file])
     with resume_log_path.open("w") as resume_log:
         subprocess.run(
-            jvm_cmd("resume", sf_dir, state_file, str(rounds_done),
+            jvm_cmd(prefix + "resume", sf_dir, *resume_args,
+                    str(work / "ckpt_resume"),
                     str(work / "resume.parquet")),
             check=True, env=env, stdout=resume_log, stderr=subprocess.STDOUT)
     resume_wall = time.time() - t1
     resumed_rounds = len(ROUND_RE.findall(resume_log_path.read_text()))
+    # the resume leg runs RELIABLE mode too (r13 verdict item 6): its
+    # per-round checkpoint-file log is what a supervisor would watch
+    # after a SECOND kill, so it must announce every remaining round.
+    # g01 runs a fixed 3-round budget (exact count); cc runs to
+    # convergence (at least one round, however converged the state)
+    if engine == "g01":
+        assert resumed_rounds == 3 - rounds_done, (
+            f"resume JVM logged {resumed_rounds} reliable rounds, expected "
+            f"{3 - rounds_done} - the supervisor hook is silent on resume")
+    else:
+        assert resumed_rounds >= 1, (
+            "cc resume JVM announced no reliable rounds - the supervisor "
+            "hook is silent on resume")
 
     # ── adjudicate ───────────────────────────────────────────────────
     import duckdb
@@ -116,11 +146,8 @@ def main():
           SELECT * FROM '{work}/resume.parquet/*.parquet'
           EXCEPT ALL SELECT * FROM '{work}/cold.parquet/*.parquet')
         """).fetchone()[0]
-    # resume must log ZERO reliable rounds (it runs localCheckpoint
-    # mode) -- what proves "not from round 0" is the remaining-round
-    # count it was handed plus the identical answer
     result = {
-        "drill": "preempt_g01", "dir": sf_dir,
+        "drill": f"preempt_{engine}", "dir": sf_dir,
         "rounds_done_at_kill": rounds_done,
         "state_file": state_file,
         "cold_wall_sec": round(cold_wall, 1),
