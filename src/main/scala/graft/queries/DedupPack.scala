@@ -199,8 +199,13 @@ object DedupPack extends QueryPack {
     * removes the hot bucket for d03/d17/p25 at once; output is
     * unchanged (those pairs always scored null Jaccard and were
     * filtered downstream). */
-  private[queries] def bandedSignatures(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d)
+  private[queries] def bandedSignatures(s: SparkSession, d: String): DataFrame =
+    bandedOf(signatures(s, d))
+
+  /** Banding applied to a given signature relation (cols doc_id,
+    * sig0..sigN) — shared by the memoized path above and the
+    * snapshot-parameterized [[lshPairsOf]]. */
+  private[queries] def bandedOf(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until numBands).map { b =>
       concat_ws("|",
         (0 until bandSize).map(j => col(s"sig${b * bandSize + j}")): _*)
@@ -214,6 +219,49 @@ object DedupPack extends QueryPack {
     * confirm stage d03/p25 score candidates with. */
   private[queries] def shingleSets(s: SparkSession, d: String): DataFrame =
     signatures(s, d).select(col("doc_id"), col("s"))
+
+  /** d03's FULL near-dup pair pipeline (shingle → 12 minhash sigs →
+    * band → bucket-join → exact-Jaccard confirm ≥ 3000) over an
+    * ARBITRARY (doc_id, text) relation — round 14, the p27
+    * incremental-refresh composition needs pairs for a PRIOR corpus
+    * snapshot, which the (session, dir)-keyed memos cannot serve.
+    * Same expressions end-to-end as the memoized path (shingleExpr,
+    * MinHashSigs, band keys, JaccardE4), so results for the unchanged
+    * snapshot are bit-identical to d03's. The signature relation is
+    * pinned (it feeds three join branches — the memo's rationale);
+    * the pin is tracked, so the caller's post-query strayUnpersist
+    * reclaims it. */
+  private[queries] def lshPairsOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = graft.functions.GraftFunctions.minhashSigs(col("s"), numHashes)
+    val sigCols = (0 until numHashes).map { i =>
+      element_at(col("sigs"), i + 1).as(s"sig$i")
+    }
+    val lc = new graft.operators.LineageCut(None)
+    val sig = lc.pin(docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(shingleExpr).as("s"))
+      .select(col("doc_id"), col("s"), sigs.as("sigs"))
+      .select(col("doc_id") +: col("s") +: sigCols: _*))
+    val bands = bandedOf(sig)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val jac = graft.functions.GraftFunctions.jaccardE4(col("sa"), col("sb"))
+    cand
+      .join(sig.select(col("doc_id"), col("s").as("sa")),
+        col("da") === col("doc_id")).drop("doc_id")
+      .join(sig.select(col("doc_id"), col("s").as("sb")),
+        col("db") === col("doc_id"))
+      .select(col("da"), col("db"), jac.as("jaccard_e4"))
+      .filter(col("jaccard_e4") >= 3000)
+      .select(col("da"), col("db"))
+  }
 
   /** d03's oracle SQL — shared with d06 (cluster CTE) and PipelinePack. */
   private[queries] val d03OracleSql: String = {
@@ -612,21 +660,10 @@ object DedupPack extends QueryPack {
     // orders of magnitude smaller than the corpus, so this decision
     // step is never the scale bottleneck.
     "d09_canonical_keep" -> Q(
-      run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val clusters = graft.SparkEntry.queries("d06_dup_clusters")(s, d)
-        val quality = graft.SparkEntry.queries("t02_quality_score")(s, d)
-          .select(col("doc_id"), col("quality_e4"))
-        val w = Window.partitionBy("cluster_id")
-          .orderBy(col("quality_e4").desc, col("doc_id"))
-        clusters.join(quality, "doc_id")
-          .withColumn("rn", row_number().over(w))
-          .groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("n_members"),
-            max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
-            max(when(col("rn") === 1, col("quality_e4"))).as("kept_quality_e4"))
-          .orderBy("cluster_id")
-      },
+      run = (s, d) => canonicalKeep(
+        graft.SparkEntry.queries("d06_dup_clusters")(s, d),
+        graft.SparkEntry.queries("t02_quality_score")(s, d)
+          .select(col("doc_id"), col("quality_e4"))),
       oracle = Some(s"""
         WITH RECURSIVE pairs AS ($d03OracleSql),
         edges AS (SELECT da AS a, db AS b FROM pairs
@@ -1374,6 +1411,27 @@ object DedupPack extends QueryPack {
         SELECT doc_id, cluster_id FROM comp JOIN touched USING (cluster_id)
         ORDER BY doc_id"""))
   )
+
+  /** d09's keep policy factored out (round 14): within each cluster
+    * keep the highest-quality member (ties → lowest doc_id) — shared
+    * by d09 (full d06 clustering) and p27 (the incrementally-REFRESHED
+    * clustering), so the two paths' decision step cannot drift.
+    * `clusters` = (doc_id, cluster_id); `quality` = (doc_id,
+    * quality_e4). One keyed window over the (tiny) cluster relation —
+    * never the scale bottleneck. */
+  private[queries] def canonicalKeep(clusters: DataFrame,
+      quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_e4").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+        max(when(col("rn") === 1, col("quality_e4"))).as("kept_quality_e4"))
+      .orderBy("cluster_id")
+  }
 
   /** d20's engine, factored out so the hot-block guard is testable
     * against an adversarial shared-prefix fixture without a parquet

@@ -52,6 +52,37 @@ class ClusterRepairSpec extends AnyFunSuite {
     assert(repairMap(Seq(999L)) === Map.empty)
   }
 
+  test("refresh ≡ full recompute on the new snapshot, incl. the " +
+      "bridge-abandonment case repair() alone cannot handle") {
+    // prior graph: 2 bridges 1-2-3 (one component {1,2,3}), plus
+    // untouched {20,21}. Doc 2's content changes: in the NEW graph it
+    // abandons 1 and 3 entirely and pairs with 9 instead. A full
+    // recompute on the new snapshot: {2,9} -> 2, {20,21} -> 20, and
+    // 1/3 are now UNPAIRED singletons (absent from the relation).
+    val priorPairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("a", "b")
+    val newPairs = Seq((2L, 9L), (20L, 21L)).toDF("a", "b")
+    val changed = Seq(2L).toDF("node")
+    val priorAssign = ConnectedComponents.minLabel(priorPairs)
+    val full = ConnectedComponents.minLabel(newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === Map(2L -> 2L, 9L -> 2L, 20L -> 20L, 21L -> 20L))
+    val refreshed = ClusterRepair
+      .refresh(priorPairs, newPairs, changed, priorAssign)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refreshed === full,
+      "refresh diverged from the full new-snapshot recompute — stale " +
+        "prior assignments for the abandoned neighbors 1/3 survived, or " +
+        "the untouched component was disturbed")
+    // the seed-scoped repair() cannot see the abandoned neighbors: its
+    // new-graph BFS from 2 reaches only {2,9}, so a naive splice keeps
+    // 1 and 3 under their stale prior cluster — pin that refresh's
+    // union-graph BFS is what closes the gap
+    val naive = ClusterRepair.repair(newPairs, changed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(naive === Map(2L -> 2L, 9L -> 2L),
+      "fixture lost its power: repair() now sees abandoned neighbors")
+  }
+
   test("maxDiameter below the component diameter throws, never truncates") {
     // {1,2,3} has diameter 2 from seed 1; maxDiameter=1 would truncate
     // the affected set (r13 advice: the splice identity would fail

@@ -55,6 +55,7 @@ spill) that are not correctness evidence either way.
 """
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -174,6 +175,69 @@ def run_check(out_dir, sf_dir, only=None, rep_name="report.json"):
             "wall_sec": timings.get(q)}
         for q, v in results.items()
     }, r.returncode
+
+
+STREAM_RE = re.compile(
+    r"\[stream-only\] rows=(\d+) sec=([\d.]+) rows_per_sec=(\d+)")
+STREAM_PROBE_RE = re.compile(
+    r"\[stream-only\] par_over_scalar ([\d.]+) -> ([\d.]+)")
+# keep in sync with graft.Bench.StreamFloorNormRowsPerSec (norm basis)
+STREAM_FLOOR_NORM = 40000
+
+
+def run_stream_once(sf_dir):
+    """One fresh JVM running Bench's STREAM_ONLY mode (3 replays +
+    a bracketing probe pair); returns (rates list, probe pair)."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_STREAM_ONLY="1")
+    cmd = (["java"] + JDK17_ADD_OPENS +
+           ["-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC", "-Xmx32g",
+            "-cp", f"{CLASSES}:/opt/spark/jars/*", "graft.Bench"])
+    r = subprocess.run(cmd, cwd=REPO, check=True, env=env,
+                       capture_output=True, text=True)
+    rates = [int(m.group(3)) for m in STREAM_RE.finditer(r.stdout)]
+    probes = [(float(m.group(1)), float(m.group(2)))
+              for m in STREAM_PROBE_RE.finditer(r.stdout)]
+    return rates, (probes[0] if probes else None)
+
+
+def stream_rung(sf_dir, reps):
+    """min-of-N fresh-JVM stream block (round 14, r13 verdict item 4):
+    the bench stream row was a single in-bench run per round, which is
+    why its raw number slid with regime (114.7k -> 82.4k -> 71.5k) and
+    needed a bespoke A/B to adjudicate. This gives the stream harness
+    the SAME one-JVM-per-rep discipline the sf10 query rungs get: each
+    rep is a fresh JVM running 3 replays with a bracketing probe pair;
+    the quotable number is the min/median over per-rep best rates, and
+    the norm-basis floor is evaluated against the MIN."""
+    per_rep = []
+    for rep in range(reps):
+        rates, probe = run_stream_once(sf_dir)
+        best = max(rates) if rates else -1
+        factor = max(1.0, sum(probe) / 2) if probe else None
+        per_rep.append({
+            "rates_raw": rates, "best_raw": best,
+            "probe_pair": list(probe) if probe else None,
+            "best_norm": (round(best * factor) if factor and best > 0
+                          else None),
+        })
+        print(f"[ladder] stream rep {rep}: best {best} rows/s "
+              f"(probe {probe})")
+    norms = sorted(r["best_norm"] for r in per_rep if r["best_norm"])
+    raws = sorted(r["best_raw"] for r in per_rep if r["best_raw"] > 0)
+    block = {
+        "methodology": "min-of-%d fresh JVMs x 3 replays each; "
+                       "rate = best replay per JVM" % reps,
+        "reps": per_rep,
+        "raw_min": raws[0] if raws else None,
+        "raw_median": raws[len(raws) // 2] if raws else None,
+        "norm_min": norms[0] if norms else None,
+        "norm_median": norms[len(norms) // 2] if norms else None,
+        "floor_norm_rows_per_sec": STREAM_FLOOR_NORM,
+        "floor_pass": bool(norms and norms[0] >= STREAM_FLOOR_NORM),
+    }
+    return block
 
 
 def ensure_fixture(dst, replicas):
@@ -397,6 +461,12 @@ def main():
             "verify_wall_sec": round(time.time() - t0, 1),
             "results": results,
         }
+        # stream harness gets the rung methodology too (round 14):
+        # min-of-N fresh JVMs at the sf0.1 rung, recorded next to the
+        # query rows; floor evaluated against the min on the norm basis
+        if label == "sf0.1":
+            print("[ladder] rung sf0.1: stream min-of-%d ..." % reps)
+            rungs[label]["stream"] = stream_rung(sf_dir, reps)
         # single-JVM rungs: the whole rung ran under one probe pair —
         # attach it at rung level (min-of-N rungs carry per-row lists)
         cpath = Path(vdir, "calibration.json")
