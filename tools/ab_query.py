@@ -95,8 +95,14 @@ def main():
                 "walls_sec": walls[tag], "min_sec": ws[0],
                 "median_sec": ws[len(ws) // 2],
                 "par_over_scalar_all": probes[tag],
-                "adjudication": ("hash (r12 gate)" if tag.endswith("_old")
-                                 else new_adj),
+                # the old tree is a committed round boundary whose output
+                # that round's CORRECTNESS gate hashed; name the round
+                # from the tree path (round 14: /tmp/ab_r13 arms were
+                # being stamped "r12 gate")
+                "adjudication": (
+                    "hash (%s gate)" % (Path(tree).name
+                                        .removeprefix("ab_") or "old")
+                    if tag.endswith("_old") else new_adj),
             }
             out_path.write_text(json.dumps(artifact, indent=1,
                                            sort_keys=True))
