@@ -202,6 +202,25 @@ def run_stream_once(sf_dir):
     return rates, (probes[0] if probes else None)
 
 
+def settle_load(max_load1, timeout_sec):
+    """Idle-gate before a stream rep (round 14): LADDER_r14's stream
+    block launched its first JVM seconds after the 24-query verify
+    rung's JVM exited and ALL THREE reps' first probes read hot
+    (2.3-2.5) while the box drained — inflating the norm basis the
+    floor is judged on. Wait for the 1-minute loadavg to fall below
+    `max_load1` (bounded by `timeout_sec` so a busy neighbor can't
+    hang the ladder; on timeout the rep runs anyway and its own
+    in-row probe pair adjudicates the reading, as before)."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_sec:
+        load1 = float(Path("/proc/loadavg").read_text().split()[0])
+        if load1 < max_load1:
+            return
+        time.sleep(5)
+    print(f"[ladder] settle_load: still >= {max_load1} after "
+          f"{timeout_sec}s - proceeding (probes will show it)")
+
+
 def stream_rung(sf_dir, reps):
     """min-of-N fresh-JVM stream block (round 14, r13 verdict item 4):
     the bench stream row was a single in-bench run per round, which is
@@ -213,6 +232,7 @@ def stream_rung(sf_dir, reps):
     the norm-basis floor is evaluated against the MIN."""
     per_rep = []
     for rep in range(reps):
+        settle_load(7.0, 120)
         rates, probe = run_stream_once(sf_dir)
         best = max(rates) if rates else -1
         factor = max(1.0, sum(probe) / 2) if probe else None
