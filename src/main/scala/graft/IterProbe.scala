@@ -92,7 +92,7 @@ object IterProbe {
         val cut = baseEdges().localCheckpoint(true)
         val edges = cut.union(cut.select(col("v").as("u"), col("u").as("v")))
         attributedRuns("pagerank") { r =>
-          operators.PageRank.ranks(edges, r)
+          operators.PageRank.ranks(edges, r, trustSymmetry = true)
             .queryExecution.toRdd.count()
         }
       case "hits" =>

@@ -101,6 +101,19 @@ object ClusterRepair {
     * (spec-pinned, incl. the bridge-abandonment fixture), at a cost
     * that tracks the REFRESH delta, not the corpus.
     *
+    * INPUT INVARIANT (round 15, the r14 advice — this is NOT a general
+    * two-graph reconciler): pairs must be a PURE FUNCTION of endpoint
+    * content, computed with the IDENTICAL derivation (threshold, hash
+    * seeds, band count) for both snapshots — so a pair whose endpoints
+    * are both unchanged appears in priorPairs iff it appears in
+    * newPairs. That is what licenses the splice: components with no
+    * changed doc keep their prior assignments UNVISITED. Holds by
+    * construction for content-derived LSH pairs over two snapshots of
+    * one corpus (d21/p27). If the pair DERIVATION itself changed
+    * between snapshots, unreached components' prior assignments would
+    * be spliced in stale — run a full [[ConnectedComponents]] recompute
+    * instead.
+    *
     * @param priorPairs  similarity pairs of the PRIOR snapshot (a, b)
     * @param newPairs    similarity pairs of the NEW snapshot (a, b)
     * @param changed     long column `node`: docs whose content changed

@@ -22,10 +22,10 @@ import org.apache.spark.sql.execution.LogicalRDD
   * `keep` is the number of generations a loop can still reference
   * after a new cut materializes: 2 for every single-state loop
   * (previous round feeds only the next round's cut) and for the
-  * interleaved two-state loops (HITS h/a, LabelPropagation won/labels);
-  * 3 for [[Sssp]], whose frontier cut reads `dist` from TWO cut
-  * generations back (dist(n-1) is joined against merged(n) AFTER
-  * merged(n)'s cut).
+  * interleaved two-state loops (HITS h/a, LabelPropagation won/labels).
+  * [[Sssp]] also runs at keep=2 since round 15: its frontier is a
+  * filter over the merged state's own-distance column, not a separate
+  * cut reading two generations back.
   *
   * Mechanics: `Dataset.checkpoint`/`localCheckpoint` return a Dataset
   * whose analyzed plan is a [[LogicalRDD]] over the internal
@@ -59,7 +59,18 @@ object LineageCut {
     * after a driver loss. Metadata-sized (one line per round); silent
     * in localCheckpoint mode (getCheckpointFile is Some only for
     * reliable checkpoints). The line format is the contract
-    * tools/drill_preempt.py greps: `[<tag>] round <n> complete: <file>`. */
+    * tools/drill_preempt.py greps: `[<tag>] round <n> complete: <file>`.
+    *
+    * SUPERVISOR CONTRACT (round 15, the r14 advice): round numbers are
+    * LOCAL to each run — a resumed run announces its remaining rounds
+    * renumbered from 1, so a supervisor surviving a SECOND kill must
+    * accumulate completed rounds across kills itself
+    * (roundsDone_total = Σ per-run announced rounds), never feed one
+    * run's announced number back as the global progress. The state
+    * FILE is self-contained either way (it holds the full node-sized
+    * state, not a delta), so resuming from the latest announced file
+    * is always correct; only a fixed-round-budget caller needs the
+    * accumulated count to size the remaining-round argument. */
   def announceRound(df: DataFrame, tag: String, round: Int): Unit =
     df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
       .flatMap(_.getCheckpointFile).foreach { f =>
@@ -95,8 +106,23 @@ final class LineageCut(checkpointDirOpt: Option[String], keep: Int = 2) {
 
   private def cutOnly(df: DataFrame): DataFrame = {
     checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
-    if (checkpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (checkpointDir.isDefined) {
+      // Reliable Dataset.checkpoint computes its plan TWICE: the eager
+      // count job runs it once, then RDD.doCheckpoint's write job
+      // re-executes the whole lineage to produce the bytes it writes —
+      // unless the RDD is persisted. On a quiet small run the second
+      // pass reads still-warm shuffle files and hides; under memory
+      // pressure at scale it re-runs the round's joins/aggregates in
+      // full (round 15 — the r14 CC-drill resume-cost item: recovery
+      // mode paying 2× per round exactly when the cluster is already
+      // struggling). Cache around the cut so the write job reads
+      // blocks, then drop the transient cache: the returned frame
+      // scans the checkpoint FILES, never this cache.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK)
+      try cached.checkpoint(true)
+      finally cached.unpersist(blocking = false)
+    } else df.localCheckpoint(true)
   }
 
   /** Eagerly cut `df` and enroll it in the rotation: once `keep` newer

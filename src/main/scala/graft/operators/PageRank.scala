@@ -145,19 +145,25 @@ object PageRank {
     *                      broadcast round shape (scaladoc above); past
     *                      it the loop uses the shuffle shape. 0 forces
     *                      the fallback (the spec's equivalence knob).
-    * @param trustSymmetry symmetric mode only (round 14). true
-    *                      (default) = take the documented contract at
-    *                      its word — the input IS a symmetrized edge
-    *                      list — and derive the rounds' destination-
-    *                      partitioned edge copy as a free column-swap
-    *                      projection of the one source-partitioned pin
-    *                      (reversed(E) = E as a row set), saving a
-    *                      second edge-sized shuffle + checkpoint write
-    *                      at setup. false = the input is dangling-free
-    *                      (the guard's actual check) but NOT literally
-    *                      symmetric — pay the r13 independent
-    *                      repartition so rank flows along the true
-    *                      edge directions. Spec-pinned identical on
+    * @param trustSymmetry symmetric mode only (round 14). true = take
+    *                      the documented contract at its word — the
+    *                      input IS a symmetrized edge list — and derive
+    *                      the rounds' destination-partitioned edge copy
+    *                      as a free column-swap projection of the one
+    *                      source-partitioned pin (reversed(E) = E as a
+    *                      row set), saving a second edge-sized shuffle
+    *                      + checkpoint write at setup. false (the
+    *                      DEFAULT since round 15 — the r14 advice: the
+    *                      runtime guard checks dangling-freeness, not
+    *                      symmetry, so a dangling-free-but-asymmetric
+    *                      input under a trusting default would silently
+    *                      get reversed-graph ranks) = pay the r13
+    *                      independent repartition so rank flows along
+    *                      the true edge directions. Callers that BUILD
+    *                      the symmetric union themselves (GraphPack,
+    *                      the drills) opt in explicitly — the trust is
+    *                      justified at exactly the sites that construct
+    *                      the symmetry. Spec-pinned identical on
     *                      symmetric inputs. */
   def ranks(edges: DataFrame, iterations: Int,
       checkpointDir: Option[String] = None,
@@ -166,7 +172,7 @@ object PageRank {
       tol: Long = 0L,
       initialRanks: Option[DataFrame] = None,
       broadcastRankMax: Long = 32000000L,
-      trustSymmetry: Boolean = true): DataFrame = {
+      trustSymmetry: Boolean = false): DataFrame = {
     // core-tied round layout (see [[RoundLayout]]): node-sized
     // per-round state must not inherit a corpus-derived session
     // partition count -- measured at sf10 in GROWTH_r10

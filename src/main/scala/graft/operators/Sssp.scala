@@ -47,11 +47,18 @@ object Sssp {
     // per-round state must not inherit a corpus-derived session
     // partition count -- measured at sf10 in GROWTH_r10
     RoundLayout.coreTied(edges.sparkSession) {
-      // rotated per-round cuts with keep=3 (see [[LineageCut]]): the
-      // frontier cut reads `dist` from TWO cut generations back
-      // (dist(n-1) joins against merged(n) AFTER merged(n)'s cut), so
-      // three generations stay live — still bounded by construction
-      val lc = new LineageCut(checkpointDir, keep = 3)
+      // ROUND SHAPE (round 15 — ConnectedComponents' own-flag trick):
+      // change detection rides the SAME min-aggregate. Each node's own
+      // prior distance travels through the union flagged `own`; the
+      // aggregate keeps min(all) AND min(own), and the next frontier is
+      // a cheap FILTER over the already-checkpointed merge (d < od, or
+      // od null for a newly reached node) — the r14 shape paid a second
+      // node-sized join (merged ⋈ dist) plus a SECOND lineage cut per
+      // round just to diff adjacent states. One cut per round also
+      // drops the rotation back to keep=2 (merged(n) reads only
+      // merged(n-1), through the dist projection and the frontier
+      // filter).
+      val lc = new LineageCut(checkpointDir)
       // pre-partitioned on the per-round join key (the g01 hoist): each
       // round's frontier⋈e join reshuffles only the frontier
       val e = lc.pin(edges.select(col("u"), col("v"), col("w"))
@@ -59,8 +66,12 @@ object Sssp {
       require(e.filter(col("w") < 0).limit(1).count() == 0L,
         "Sssp requires non-negative edge weights: with negative weights " +
           "the empty-frontier stop is not a fixpoint proof")
-      var dist = lc(sources.select(col("node"), lit(0L).as("d")).distinct())
-      var frontier = dist
+      var merged = lc(sources.select(col("node"), lit(0L).as("d")).distinct()
+        .withColumn("od", lit(null).cast("long")))
+      def dist = merged.select(col("node"), col("d"))
+      def frontier = merged
+        .filter(col("od").isNull || col("d") < col("od"))
+        .select(col("node"), col("d"))
       var r = 1
       var exhausted = false
       while (r <= maxRounds && !exhausted) {
@@ -68,18 +79,13 @@ object Sssp {
         // every ≤-maxRounds-edge path minimum is already in `dist`
         if (frontier.limit(1).count() == 0L) exhausted = true
         else {
-          val cand = frontier.join(e, frontier("node") === e("u"))
-            .select(e("v").as("node"), (frontier("d") + e("w")).as("d"))
-          val merged = lc(dist.union(cand)
-            .groupBy("node").agg(min("d").as("d")))
-          // next frontier = strictly improved rows (new node, or a
-          // cheaper route found) — the only rows whose relaxation can
-          // still produce new candidates
-          frontier = lc(merged
-            .join(dist.withColumnRenamed("d", "od"), Seq("node"), "left")
-            .filter(col("od").isNull || col("d") < col("od"))
-            .select(col("node"), col("d")))
-          dist = merged
+          val f = frontier
+          val cand = f.join(e, f("node") === e("u"))
+            .select(e("v").as("node"), (f("d") + e("w")).as("d"),
+              lit(0L).as("own"))
+          merged = lc(dist.withColumn("own", lit(1L)).union(cand)
+            .groupBy("node").agg(min("d").as("d"),
+              min(when(col("own") === 1L, col("d"))).as("od")))
         }
         r += 1
       }

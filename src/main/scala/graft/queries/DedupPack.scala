@@ -1388,8 +1388,7 @@ object DedupPack extends QueryPack {
           .select(col("da"), col("db"))
         val changed = Tables.documents(s, d)
           .select(col("doc_id").as("node"))
-          .filter(conv(substring(md5(col("node").cast("string")), 1, 8),
-            16, 10).cast("long") % 100 >= 90)
+          .filter(changedBucketPred(col("node")))
         graft.operators.ClusterRepair.repair(pairs, changed)
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
           .orderBy("doc_id")
@@ -1432,6 +1431,17 @@ object DedupPack extends QueryPack {
         max(when(col("rn") === 1, col("quality_e4"))).as("kept_quality_e4"))
       .orderBy("cluster_id")
   }
+
+  /** d21/p27's "changed docs" bucket (round 15, the r14 advice):
+    * content-stable 10% hash bucket (doc_id-md5 ≥ 90 — disjoint from
+    * d07's < 20 "new" bucket by construction). Factored like
+    * [[canonicalKeep]] so p27's fixture predicate cannot drift from
+    * d21's if the bucket definition ever moves; both queries' DuckDB
+    * oracles inline the same `('0x' || substr(md5(...), 1, 8))::BIGINT
+    * % 100 >= 90` expression. */
+  private[queries] def changedBucketPred(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100 >= 90
 
   /** d20's engine, factored out so the hot-block guard is testable
     * against an adversarial shared-prefix fixture without a parquet

@@ -1284,9 +1284,9 @@ object PipelinePack extends QueryPack {
       run = (s, d) => {
         val lc = new graft.operators.LineageCut(None)
         val docs = Tables.documents(s, d)
-        val changedPred = conv(
-          substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100 >= 90
+        // d21's changed bucket, via the shared helper (round 15, the
+        // r14 advice): the fixture predicate tracks d21's by definition
+        val changedPred = DedupPack.changedBucketPred(col("doc_id"))
         val prior = docs.select(col("doc_id"),
           when(changedPred,
             concat_ws(" ", reverse(split(col("text"), " "))))

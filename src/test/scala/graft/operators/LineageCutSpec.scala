@@ -45,7 +45,9 @@ class LineageCutSpec extends AnyFunSuite {
     val before = sc.getPersistentRDDs.keySet
     val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L),
       (2L, 1L), (3L, 2L), (1L, 3L)).toDF("u", "v")
-    val got = PageRank.ranks(ring, 12)
+    // trustSymmetry=true (the ring IS symmetric): keeps the r14 pin
+    // budget this test counts — the strict default adds a third pin
+    val got = PageRank.ranks(ring, 12, trustSymmetry = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // symmetric ring fixed point survives the long run + rotation
     assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
@@ -63,7 +65,8 @@ class LineageCutSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-lc-ckpt")
     val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L),
       (2L, 1L), (3L, 2L), (1L, 3L)).toDF("u", "v")
-    val got = PageRank.ranks(ring, 10, checkpointDir = Some(ckpt.toString))
+    val got = PageRank.ranks(ring, 10, checkpointDir = Some(ckpt.toString),
+        trustSymmetry = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
     val rddDirs = {
@@ -81,10 +84,31 @@ class LineageCutSpec extends AnyFunSuite {
         s"found $rddDirs — evicted generations' files are not deleted")
   }
 
-  test("Sssp long relaxation chain survives keep=3 (frontier reads 2 back)") {
-    // path 1→2→…→9 forces 8 relaxation rounds; every round's frontier
-    // cut joins dist from TWO cut generations back, the case keep=2
-    // would break by evicting a still-referenced generation
+  test("reliable cut evaluates its input plan ONCE (round 15): the " +
+      "persist shields doCheckpoint's write pass from recomputing") {
+    // Dataset.checkpoint(eager=true) runs the count job, then
+    // RDD.doCheckpoint re-executes the lineage to write the files —
+    // 2× the plan unless blocks shield it. An accumulator-bumping UDF
+    // makes the evaluation count observable: 100 rows must bump it
+    // exactly 100 times, not 200 (the pre-round-15 reliable behavior).
+    import org.apache.spark.sql.functions.{col, udf}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lc-once")
+    val evals = spark.sparkContext.longAccumulator("plan-evals")
+    val bump = udf((x: Long) => { evals.add(1L); x })
+    val lc = new LineageCut(Some(ckpt.toString))
+    val cut = lc(spark.range(100).select(bump(col("id")).as("a")))
+    assert(cut.count() === 100L)
+    assert(evals.value === 100L,
+      s"reliable cut evaluated its plan ${evals.value / 100.0} times — " +
+        "the checkpoint write pass is recomputing instead of reading blocks")
+  }
+
+  test("Sssp long relaxation chain survives the rotation (eviction stress)") {
+    // path 1→2→…→9 forces 8 relaxation rounds; every round's dist AND
+    // frontier read the previous merged cut (round 15: both are
+    // projections/filters of ONE keep=2 generation — before that, the
+    // frontier was its own cut reading dist two generations back), so a
+    // rotation bug that evicts a still-referenced generation breaks here
     val chain = (1L to 8L).map(i => (i, i + 1, 10L)).toDF("u", "v", "w")
     val src = Seq(1L).toDF("node")
     val got = Sssp.distances(chain, src, maxRounds = 20)

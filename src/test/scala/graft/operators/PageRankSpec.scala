@@ -206,23 +206,26 @@ class PageRankSpec extends AnyFunSuite {
       "dangling mode diverged under the fallback")
   }
 
-  test("trustSymmetry=false (independent destination repartition) ≡ " +
-      "default reversed-projection pin on symmetric input") {
+  test("trustSymmetry=true (reversed-projection destination pin) ≡ " +
+      "default independent repartition on symmetric input") {
     // the round-14 setup optimization derives the destination-
     // partitioned edge copy by column-swapping the source pin, valid
     // exactly when the input equals its own reversal — pin that both
     // paths agree on a symmetric graph, at two round counts, and with
     // a hand-computed expectation so a double-reversal bug (which
-    // would also agree with itself) can't hide
+    // would also agree with itself) can't hide. Since round 15 the
+    // DEFAULT is the strict path (the r14 advice: the runtime guard
+    // checks dangling-freeness, not symmetry) and symmetric-union
+    // builders opt IN — this test is the opt-in's license.
     def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (iters <- Seq(1, 3)) {
-      val strict = m(PageRank.ranks(star.toDF("u", "v"), iters,
-        trustSymmetry = false))
-      assert(strict === ranks(star, iters),
-        s"trustSymmetry=false diverged at iterations=$iters")
+      val trusted = m(PageRank.ranks(star.toDF("u", "v"), iters,
+        trustSymmetry = true))
+      assert(trusted === ranks(star, iters),
+        s"trustSymmetry=true diverged from the default at iterations=$iters")
     }
-    assert(m(PageRank.ranks(star.toDF("u", "v"), 1, trustSymmetry = false))
+    assert(m(PageRank.ranks(star.toDF("u", "v"), 1, trustSymmetry = true))
       === Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
   }
 }

@@ -75,6 +75,25 @@ class SsspSpec extends AnyFunSuite {
     }
   }
 
+  test("maxRounds=0 returns the distinct source set at distance 0") {
+    // the round-15 own-flag merge initializes sources with a null own
+    // distance; a zero-round call must still return exactly the seeds
+    // (IterProbe's rounds=0 arm and the setup-cost attribution rely on it)
+    assert(dist(weighted, Seq(1L, 1L, 4L), 0) === Map(1L -> 0L, 4L -> 0L))
+  }
+
+  test("frontier excludes non-improved nodes (own-flag merge semantics)") {
+    // diamond where 4 is settled at round 2 via both routes at equal
+    // cost: the round-15 filter (d < od, od null for new) must treat an
+    // EQUAL re-derivation as non-improved — with ≥ admitted to the
+    // frontier, the 4→5 edge would re-relax every round and the
+    // early-exit below would never fire inside the generous bound
+    val diamond = Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+    assert(dist(diamond, Seq(1L), 50) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
   test("reliable checkpoint mode: identical distances, files on disk") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sssp-ckpt")
     val reliable = Sssp
