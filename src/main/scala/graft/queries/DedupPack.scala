@@ -1171,9 +1171,18 @@ object DedupPack extends QueryPack {
     // Output: top-20 pairs by dot (ties → doc ids) via TakeOrdered.
     "d18_tfidf_similarity" -> Q(
       run = (s, d) => {
+        // Round 15 (guide §2.4/§5, the d20 treatment): the weighted
+        // doc-term relation feeds BOTH sides of the tok self-join, and
+        // tf feeds both df and w — without cuts the executed plan ran
+        // the tokenize+aggregate chain once PER CONSUMER (8 parquet
+        // scans of documents, two full explodes per side). Cut tf once
+        // (one explode+aggregate ever) and w once (both join sides read
+        // its blocks); stray release via the trackCut contract.
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        graft.Caches.trackCut(tf)
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
         val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(n))
@@ -1183,6 +1192,8 @@ object DedupPack extends QueryPack {
           .select(col("tok"), col("doc_id"),
             round(col("tf") * log(col("n").cast("double") / col("df"))
               * 10000, 0).cast("long").as("w"))
+          .localCheckpoint(true)
+        graft.Caches.trackCut(w)
         val dots = w.as("a")
           .join(w.as("b"),
             col("a.tok") === col("b.tok")
@@ -1452,10 +1463,20 @@ object DedupPack extends QueryPack {
     * refusal pattern), not silently run Σ B² pair joins. */
   private[graft] def entityBlocks(customer: DataFrame,
       maxBlock: Long = 1000L): DataFrame = {
+    // Round 15 (guide §2.4/§5): the representative relation is consumed
+    // FOUR times — the hot-block guard's eager aggregate, both sides of
+    // the within-block self-join, and the block census — and each
+    // consumer used to re-scan customer and re-run the exact-collapse
+    // hash aggregate. One lineage cut materializes it once (|distinct
+    // names| rows, the relation this query exists to shrink to); every
+    // consumer now reads blocks. Stray release via the round-12
+    // trackCut contract, same as s09's quantized relation.
     val names = customer
       .groupBy(col("c_name").as("name"))
       .agg(count(lit(1)).as("mult"))
       .withColumn("blk", expr("substring(name, 1, length(name) - 2)"))
+      .localCheckpoint(true)
+    graft.Caches.trackCut(names)
     val hottest = names.groupBy("blk").agg(count(lit(1)).as("bn"))
       .agg(coalesce(max("bn"), lit(0L)).as("m")).head.getLong(0)
     require(hottest <= maxBlock,

@@ -538,10 +538,16 @@ object EventsPack extends QueryPack {
     // count), so the two plans agreeing is a real cross-check.
     "e15_rolling_wau" -> Q(
       run = (s, d) => {
+        // Round 15 (guide §2.4): ud feeds the run-detection window AND
+        // the day spine (which is itself consumed twice — the gap
+        // anti-join and the final inner join). Uncut, the events scan +
+        // distinct ran per consumer; one cut computes it once.
         val ud = Tables.events(s, d)
           .select(col("event_type"), col("user_id"),
             to_date(date_trunc("day", col("ts"))).as("d"))
           .distinct()
+          .localCheckpoint(true)
+        graft.Caches.trackCut(ud)
         val w = Window.partitionBy("event_type", "user_id").orderBy("d")
         val runs = ud
           .withColumn("brk",

@@ -192,6 +192,23 @@ object GraphPack extends QueryPack {
       edgeCache.remove(k).foreach(unpinCheckpoint)
     }
 
+  /** g11's community labeling, factored so PlanSpec can pin its
+    * broadcast shape DIRECTLY (round 15): the query cuts this
+    * relation (it feeds both m2 and the per-community aggregate), so
+    * the two BroadcastHashJoins no longer appear in g11's final plan —
+    * the pin moved here, the same way the PQ pipeline's shapes are
+    * audited at the stage, not per consuming query. Projects down to
+    * (cu, cv) before the cut so the materialized rows carry the two
+    * community ids only (guide §2.3 — narrower cut bytes). */
+  private[graft] def g11LabeledEdges(edges: DataFrame,
+      comm: DataFrame): DataFrame =
+    edges
+      .join(broadcast(comm).withColumnRenamed("node", "u"), "u")
+      .withColumnRenamed("c", "cu")
+      .join(broadcast(comm.withColumnRenamed("node", "v")
+        .withColumnRenamed("c", "cv")), "v")
+      .select(col("cu"), col("cv"))
+
   def queries: Seq[(String, Q)] = Seq(
     "g01_pagerank" -> Q(
       run = (s, d) => {
@@ -309,12 +326,20 @@ object GraphPack extends QueryPack {
     // handles residual skew); counts are exact integers.
     "g03_triangles" -> Q(
       run = (s, d) => {
+        // Round 15 (guide §2.4): und feeds deg (twice, via the union)
+        // and the orientation; ori feeds all THREE sides of the wedge
+        // join; tri feeds the three-way corner union. Uncut, those
+        // fan-outs multiply — the executed plan held ~45 copies of the
+        // co-purchase derivation (90 lineitem scans). Cutting the three
+        // reuse points makes every stage compute exactly once.
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         val und = li.as("a").join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey")
               && col("a.l_partkey") < col("b.l_partkey"))
           .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
           .distinct()
+          .localCheckpoint(true)
+        graft.Caches.trackCut(und)
         val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("deg"))
         val withDeg = und
@@ -330,6 +355,8 @@ object GraphPack extends QueryPack {
             || (col("du") === col("dv") && col("u") < col("v")), col("v"))
             .otherwise(col("u")).as("dst"),
           greatest(col("du"), col("dv")).as("ddst"))
+          .localCheckpoint(true)
+        graft.Caches.trackCut(ori)
         val tri = ori.as("ab").join(ori.as("ac"),
             col("ab.src") === col("ac.src")
               && (col("ab.ddst") < col("ac.ddst")
@@ -338,6 +365,8 @@ object GraphPack extends QueryPack {
           .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("ac.dst").as("c"))
           .join(ori.as("bc"),
             col("b") === col("bc.src") && col("c") === col("bc.dst"), "leftsemi")
+          .localCheckpoint(true)
+        graft.Caches.trackCut(tri)
         tri.select(col("a").as("node"))
           .union(tri.select(col("b").as("node")))
           .union(tri.select(col("c").as("node")))
@@ -734,11 +763,15 @@ object GraphPack extends QueryPack {
           .union(Tables.customer(s, d)
             .select((col("c_custkey") + lit(1000000L)).as("node"),
               col("c_nationkey").cast("long").as("c")))
-        val lab = edges
-          .join(broadcast(comm).withColumnRenamed("node", "u"), "u")
-          .withColumnRenamed("c", "cu")
-          .join(broadcast(comm.withColumnRenamed("node", "v")
-            .withColumnRenamed("c", "cv")), "v")
+        // Round 15 (guide §2.4): lab feeds both the global m2 count and
+        // the per-community aggregate — uncut, the edge-sized
+        // two-broadcast join ran twice (and rebuilt its four dimension
+        // broadcasts). One cut, both consumers read blocks. The
+        // labeling's broadcast shape is pinned on [[g11LabeledEdges]]
+        // directly (PlanSpec) since the cut hides it from this query's
+        // final plan.
+        val lab = g11LabeledEdges(edges, comm).localCheckpoint(true)
+        graft.Caches.trackCut(lab)
         val m2 = lab.agg(count(lit(1)).as("m2"))
         val byComm = lab.groupBy(col("cu").as("community"))
           .agg(count(lit(1)).as("deg_sum"),

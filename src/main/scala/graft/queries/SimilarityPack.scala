@@ -548,41 +548,69 @@ object SimilarityPack extends QueryPack {
     // Empty clusters would simply drop out (deterministic both sides).
     "s09_int_kmeans" -> Q(
       run = (s, d) => {
-        val base = Tables.embeddings(s, d)
+        // Round 15 (guide §2.4 — remove shuffles outright): Lloyd
+        // rounds used to shuffle 8|V| partial rows into a
+        // groupBy(vec, cid) AND 8|V| full rows into a per-vec window
+        // just to pick each vector's nearest of EIGHT centroids. The
+        // k×64 centroid table is metadata-sized, so the argmin belongs
+        // map-side: quantized vectors stay un-exploded (one array row
+        // per vec, cut once), centroids ride ONE broadcast row (the
+        // Hits/p01 scalar-injection pattern), and `array_min` over
+        // (dist, cid) structs replays the window's ORDER BY dist, cid
+        // exactly — integer math unchanged, oracle replays bit-for-bit.
+        // Per round the only |V|-proportional shuffle left is the
+        // centroid update's map-side-collapsed (cid, dim) partials
+        // (≤ k·dims rows per task); the two 8|V| exchanges and the
+        // per-round lineage cut are gone.
+        val qa = Tables.embeddings(s, d)
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
           .withColumn("nrm", sqrt(aggregate(
             transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)))
-        val q = base
-          .select(col("vec_id"), col("nrm"),
-            posexplode(col("v")).as(Seq("pos", "x")))
-          .select(col("vec_id"), (col("pos") + 1).as("dim"),
-            (round(col("x") / col("nrm") * 127, 0).cast("int") + lit(127))
-              .as("u8"))
+          .select(col("vec_id"),
+            transform(col("v"), x =>
+              round(x / col("nrm") * 127, 0).cast("int") + lit(127))
+              .as("u"))
           .localCheckpoint(true)
-        graft.Caches.trackCut(q)
+        graft.Caches.trackCut(qa)
         // sorted-literal broadcast rank, not a global window — see
         // seedRanks scaladoc (the 8-row collect is bounded by the limit)
         val ids = broadcast(seedRanks(s,
-          q.select("vec_id").distinct().orderBy("vec_id").limit(8)))
-        var cent = q.join(ids, "vec_id")
-          .select(col("cid"), col("dim"), col("u8").as("cu8"))
+          qa.select("vec_id").distinct().orderBy("vec_id").limit(8)))
+        // centroids as ONE row of (cid, cu8-array) structs; order
+        // inside the array is irrelevant (argmin is order-independent)
+        var cents = qa.join(ids, "vec_id")
+          .groupBy()
+          .agg(collect_list(struct(col("cid"), col("u").as("cu")))
+            .as("cents"))
         var assign: DataFrame = null
         for (_ <- 1 to 2) {
-          val dists = q.join(broadcast(cent), "dim")
-            .groupBy(col("vec_id"), col("cid"))
-            .agg(sum((col("u8") - col("cu8")).cast("long")
-              * (col("u8") - col("cu8"))).as("dist"))
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("dist"), col("cid"))
-          assign = dists.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("cid"), col("dist"))
-            .localCheckpoint(true)
-          graft.Caches.trackCut(assign)
-          cent = q.join(assign.select("vec_id", "cid"), "vec_id")
-            .groupBy(col("cid"), col("dim"))
-            .agg(expr("CAST(sum(u8) div count(1) AS INT)").as("cu8"))
+          assign = qa.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("u"),
+              array_min(transform(col("cents"), c =>
+                struct(
+                  aggregate(
+                    zip_with(col("u"), c.getField("cu"),
+                      (a, b) => (a - b).cast("long") * (a - b)),
+                    lit(0L), (acc, x) => acc + x).as("dist"),
+                  c.getField("cid").as("cid")))).as("m"))
+            .select(col("vec_id"), col("u"),
+              col("m").getField("cid").as("cid"),
+              col("m").getField("dist").as("dist"))
+          // integer-mean update, dimension-generic: explode collapses
+          // map-side to ≤ k·dims partial rows per task; the per-cid
+          // array re-assembly and the 1-row collect are metadata-sized
+          cents = assign
+            .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+            .groupBy(col("cid"), col("pos"))
+            .agg(expr("CAST(sum(x) div count(1) AS INT)").as("cu"))
+            .groupBy(col("cid"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("cu"))))
+              .as("ps"))
+            .select(col("cid"),
+              transform(col("ps"), p => p.getField("cu")).as("cu"))
+            .groupBy()
+            .agg(collect_list(struct(col("cid"), col("cu"))).as("cents"))
         }
         assign
           .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
@@ -1043,7 +1071,13 @@ object SimilarityPack extends QueryPack {
         val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
         val assign = dists.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+        // Round 15 (guide §2.4): nn feeds BOTH sides of the
+        // within-cluster pair join — uncut, the assignment pipeline
+        // (explode + 8|V| distance shuffle + window) ran twice. One cut
+        // computes the assignment once; both pair sides read blocks.
         val nn = base.join(assign, "vec_id")
+          .localCheckpoint(true)
+        graft.Caches.trackCut(nn)
         val cos = round(dot(col("a.v"), col("b.v"))
           / col("a.nrm") / col("b.nrm") * 1000000, 0).cast("long")
         nn.as("a").join(nn.as("b"),

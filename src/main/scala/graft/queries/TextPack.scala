@@ -201,10 +201,18 @@ object TextPack extends QueryPack {
         import org.apache.spark.sql.expressions.Window
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), explode(toks).as("t"))
+        // Round 15 (guide §2.4): tf is cut once and document frequency
+        // derives FROM it — tf is already distinct per (doc_id, t), so
+        // dfreq's countDistinct(doc_id) is a plain count over tf rows.
+        // Before: the raw token explode ran TWICE (once per consumer)
+        // and the dfreq side paid a two-phase distinct aggregate over
+        // raw tokens; after: one explode, one cut, and dfreq is a
+        // cheap count over the cut's blocks.
         val tf = tok.groupBy(col("doc_id"), col("t"))
           .agg(count(lit(1)).as("tf"))
-        val dfreq = tok.groupBy(col("t"))
-          .agg(countDistinct(col("doc_id")).as("df"))
+          .localCheckpoint(true)
+        graft.Caches.trackCut(tf)
+        val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score_e4").desc, col("t"))
@@ -470,8 +478,17 @@ object TextPack extends QueryPack {
           .filter(length(col("word")).between(2, 12)
             && col("word").rlike("^[a-z]+$"))
           .groupBy("word").agg(count(lit(1)).as("n"))
+        // Round 15 (guide §2.4, the engines' lineage-cut doctrine
+        // applied to this 3-round merge loop): each round's top-pair
+        // scan, the merge, and the compression metric all re-embedded
+        // the previous rounds' whole plan — the executed query held 21
+        // copies of the word derivation (explode + filter + aggregate
+        // over documents). Cutting the working set per round makes each
+        // derivation run ONCE; every later consumer reads blocks.
         var cur = words.select(col("word"), col("n"),
           concat_ws(" ", chars).as("s"))
+          .localCheckpoint(true)
+        graft.Caches.trackCut(cur)
         var out: DataFrame = null
         for (r <- 1 to 3) {
           val top = cur
@@ -487,6 +504,8 @@ object TextPack extends QueryPack {
               concat(lit(" "), col("mp"), lit(" ")),
               concat(lit(" "), replace(col("mp"), lit(" ")), lit(" ")))))
             .drop("mp")
+            .localCheckpoint(true)
+          graft.Caches.trackCut(cur)
           // the metric merges are learned FOR: corpus symbols remaining
           // after this round (each merge occurrence saves one symbol)
           val compressed = cur.agg(sum(col("n")

@@ -48,8 +48,9 @@ class PlanSmellGateSpec extends AnyFunSuite {
     "d15_lsh_eval" -> (Set(S), "CARD: 1-row LSH recall/precision card"),
     "d16_hot_shingles" -> (Set(B, S), "CROSS: 1-row total-pairs agg into per-shingle share"),
     "d17_lsh_precision" -> (Set(S), "CARD: 1-row precision card"),
-    "d18_tfidf_similarity" -> (Set(B, S),
-      "CROSS: 1-row norm totals; the candidate stage itself is a df-pruned equi-join"),
+    // d18's former CROSS (1-row norm totals) vanished in round 15: the
+    // weighted relation is now cut, so the scalar injection runs once
+    // at cut-build time and the final plan is a block-scan join.
     "d19_banding_sweep" -> (Set(B, S), "CROSS: 3-row (b,r) grid x 1-row truth totals"),
     "d20_entity_blocks" -> (Set(B, S),
       "CROSS: 1-row block census x 1-row pair agg; blocks are hot-block-guarded"),
@@ -88,6 +89,8 @@ class PlanSmellGateSpec extends AnyFunSuite {
     "s01_cosine_topk" -> (Set(B), "CROSS: ~10 broadcast query vectors (exact scan)"),
     "s04_cosine_topk_native" -> (Set(B), "CROSS: same 10-query broadcast, codegen kernel"),
     "s05_ann_recall" -> (Set(B), "CROSS: s01's 10-query exact yardstick embedded"),
+    "s09_int_kmeans" -> (Set(B, S),
+      "CROSS: 1-row k-centroid array broadcast per Lloyd round (round 15)"),
     "s17_mips_topk" -> (Set(B), "CROSS: 10-query broadcast MIPS scan"),
     "s18_multiprobe_lsh" -> (Set(B), "CROSS: query-side probe expansion, 10 queries"),
     "s19_recall_curve" -> (Set(B), "CROSS: s01 yardstick embedded per curve point"),

@@ -28,6 +28,13 @@ class GraphCacheSpec extends AnyFunSuite {
     assert((afterBuild -- before).nonEmpty,
       "first consumer should have materialized the cached edge relation")
     SparkEntry.queries("g11_modularity")(spark, sfDir).collect()
+    // round 15: g11 cuts its labeled relation — a TRANSIENT, released
+    // by the per-query stray reclamation every production caller runs
+    // (Verify/Bench). Reclaim it the same way here; the assertion below
+    // still catches a cache re-derivation, because pack memos are NOT
+    // strays (strayUnpersist never releases them — a rebuilt edge
+    // cache would survive the reclaim and fail the emptiness check).
+    graft.Caches.strayUnpersist(spark)
     val afterReuse = persisted
     assert((afterReuse -- afterBuild).isEmpty,
       "second consumer re-derived the edge relation instead of reusing " +

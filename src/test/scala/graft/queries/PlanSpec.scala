@@ -674,10 +674,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("g11: modularity labels both endpoints via broadcast, no cartesian") {
+    // round 15: the labeled relation is CUT (it feeds both m2 and the
+    // per-community aggregate), so the final plan scans blocks — the
+    // broadcast-shape pin moved to the labeling stage itself
     val p = planOf("g11_modularity")
     assert(!p.contains("CartesianProduct"), "community labeling went all-pairs")
-    assert("BroadcastHashJoin".r.findAllIn(
-      p.split("== Initial Plan ==")(0)).size >= 2,
+    val edges = spark.range(3).selectExpr("id AS u", "id + 1 AS v")
+    val comm = spark.range(5).selectExpr("id AS node", "id % 2 AS c")
+    val stage = GraphPack.g11LabeledEdges(edges, comm)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!stage.contains("CartesianProduct"),
+      "community labeling went all-pairs")
+    assert("BroadcastHashJoin".r.findAllIn(stage).size >= 2,
       "node→community map should broadcast onto both edge endpoints")
   }
 

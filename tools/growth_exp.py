@@ -37,7 +37,7 @@ import sys
 import time
 from pathlib import Path
 
-from ladder import run_verify
+from ladder import run_verify, settle_load
 
 REPO = Path(__file__).resolve().parent.parent
 SF10 = "/tmp/sf10"
@@ -65,6 +65,12 @@ def run_once(query, parts, out_dir, sf_dir=SF10, extra_env=None):
         for k, v in knobs.items():
             saved[k] = os.environ.get(k)
             os.environ[k] = v
+        # idle-gate every arm launch (round 15, r14 verdict item 7):
+        # GROWTH_r14's g01 sf30 arm read min 450.6 / median 656.4 with
+        # first probes at 1.20/0.95 — minima depended on launch order.
+        # Same gate the ladder's stream reps use; on timeout the arm
+        # runs anyway and its in-row probe adjudicates.
+        settle_load(2.0, 600)
         t0 = time.time()
         run_verify(sf_dir, out_dir, query, mem="64g")
         wall = round(time.time() - t0, 1)
